@@ -1,0 +1,265 @@
+"""Single configuration object for every pipeline stage.
+
+Field-name-compatible with the reference's ``AudioTokensConfig``
+(reference: audio_tokens_config.py:14-81) so that a user of the reference can
+carry their config edits over unchanged, plus TPU-native extensions (mesh
+shape, dtypes, device batching, compat switches) that the reference — a
+single-GPU torch pipeline — had no equivalent for.
+
+Unlike the reference, which required editing the source file, this config has
+a CLI overlay: ``AudioTokensConfig.from_args(["--model_type", "bert"])`` or a
+JSON file via ``--config path.json``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, List, Optional, Sequence
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s"
+)
+
+# Root for all artifacts (spectrograms/, tokenized_audio/, output/).  The
+# reference anchored these to its repo dir; we anchor to $AUDIO_TOKENS_HOME or
+# the current working directory so the package is location-independent.
+def _base_dir() -> str:
+    return os.environ.get("AUDIO_TOKENS_HOME", os.getcwd())
+
+
+@dataclass
+class AudioTokensConfig:
+    random_seed: int = 4242
+
+    # ------------------------------------------------------------------
+    # Artifact root (new): all relative default paths resolve under this.
+    # ------------------------------------------------------------------
+    base_dir: str = field(default_factory=_base_dir)
+
+    # ------------------------------------------------------------------
+    # AudiosetMetadataProcessor (reference: audio_tokens_config.py:18-27)
+    # ------------------------------------------------------------------
+    csv_index_files: List[str] = field(default_factory=list)  # resolved in __post_init__
+    ontology_json_file: str = ""  # resolved in __post_init__
+    dataset_ratio: float = 0.1  # portion of all ytids to use
+    validation_ratio: float = 0.1  # portion of dataset used as validation set
+
+    # Split file shared by splitter + spectrogram stage (reference :30)
+    split_file: str = ""
+
+    # ------------------------------------------------------------------
+    # SpectrogramGenerator (reference: audio_tokens_config.py:32-41)
+    # ------------------------------------------------------------------
+    audio_source_path: str = ""
+    audio_source_sets: List[str] = field(default_factory=lambda: ["bal_train"])
+    dest_spec_path: Path = None  # type: ignore[assignment]
+    common_sr: int = 22050
+    normalize: bool = False
+    n_mels: int = 64
+    n_fft: int = 512
+    hop_length: int = 128
+    spectrogram_batch_size: int = 5000
+
+    # ------------------------------------------------------------------
+    # ClusterCreator and ModelTrainer (reference :43-51)
+    # ------------------------------------------------------------------
+    vocab_size: int = 500
+    niter: int = 20
+    use_convolution: bool = False
+    num_kernels: int = 10
+    kernel_size: int = 3
+    clustering_batch_size: int = 10000
+
+    # ClusterCreator and SpecTokenizer (reference :53-55)
+    centroids_path: Path = None  # type: ignore[assignment]
+    source_spec_path: Path = None  # type: ignore[assignment]
+
+    # SpecTokenizer (reference :57-59)
+    dest_tokenized_path: str = ""
+    tokenizer_batch_size: int = 10000
+
+    # ------------------------------------------------------------------
+    # ModelTrainer (reference :61-78)
+    # ------------------------------------------------------------------
+    use_wandb: bool = False
+    wandb_project: str = "audio-tokens"
+    tokenized_train_dir: str = ""
+    tokenized_val_dir: str = ""
+    model_type: str = "lstm"
+    num_layers: int = 1
+    epochs: int = 100
+    hidden_size: int = 768
+    num_workers: int = 8
+    training_batch_size: int = 8
+    learning_rate: float = 1e-4
+    num_classes: int = 543
+    prediction_threshold: float = 0.2
+    lstm_embed_dim: int = 256
+    lstm_hidden_dim: int = 512
+    dropout: float = 0.0
+    use_precomputed_embeddings: bool = False  # True for RawSTFTDataset
+
+    # DataLoaderCreator (reference :80-81)
+    dataset_type: str = "TokenizedSpecDataset"
+
+    # ==================================================================
+    # TPU-native extensions (no reference counterpart)
+    # ==================================================================
+    # Fixed device shapes: clips are padded/truncated to this many seconds on
+    # device (XLA wants static shapes); true lengths are carried alongside.
+    clip_seconds: float = 10.0
+    # Number of clips processed per device program in the spectrogram /
+    # tokenizer stages (the reference loops clip-at-a-time on the host).
+    device_batch_size: int = 64
+
+    # Mesh: axis names and sizes.  data_parallel <= available devices; -1
+    # means "all devices".  model_parallel > 1 enables TP sharding on the
+    # transformer classifier.
+    data_parallel: int = -1
+    model_parallel: int = 1
+
+    # Numerics. matmul inputs are cast to compute_dtype (bf16 feeds the MXU at
+    # full rate); accumulation and params stay float32.
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    # Reference-compat switches (SURVEY.md §2.7 quirks, resolved knowingly):
+    #   True  -> reproduce reference behavior (all-ones attention masks,
+    #            pad-token 0 collision, warm-start batched k-means)
+    #   False -> fixed behavior (true lengths, dedicated pad handling,
+    #            full-corpus k-means)
+    reference_compat: bool = True
+
+    # K-means extensions: cap on points per centroid per train call
+    # (FAISS subsamples to 256*k by default; None = use every frame).
+    max_points_per_centroid: Optional[int] = None
+    # 'batch_warm_start' reproduces the reference's sequential-batch
+    # refinement (reference: processors/cluster_creator.py:49-56);
+    # 'full' runs Lloyd once over the whole corpus (sharded).
+    kmeans_mode: str = "batch_warm_start"
+
+    # Trainer extensions.
+    eval_batch_size: int = 0  # 0 -> same as training_batch_size
+    checkpoint_dir: str = ""  # resolved under base_dir/output
+    save_best_checkpoint: bool = True
+    log_every_steps: int = 50
+    early_stopping_patience: int = 0  # 0 disables (reference stub never fired)
+    max_train_steps: int = 0  # 0 = no cap (useful for smoke tests)
+    # Sequence capacity for token models (frames for 10 s @ hop 128 = 1723,
+    # padded up to a lane-friendly multiple).
+    max_seq_len: int = 1728
+
+    # Audio decode backend: 'auto' prefers the native C++ decoder when built,
+    # falling back to the pure-python reader.
+    audio_backend: str = "auto"
+
+    def __post_init__(self) -> None:
+        base = self.base_dir
+        if not self.csv_index_files:
+            self.csv_index_files = [
+                f"{base}/metadata/balanced_train_segments.csv",
+            ]
+        if not self.ontology_json_file:
+            self.ontology_json_file = f"{base}/metadata/ontology.json"
+        if not self.split_file:
+            self.split_file = f"{base}/output/bal_train_data_split.json"
+        if not self.audio_source_path:
+            self.audio_source_path = f"{base}/audioset"
+        if self.dest_spec_path is None:
+            self.dest_spec_path = Path(f"{base}/spectrograms")
+        if self.centroids_path is None:
+            self.centroids_path = Path(f"{base}/output/centroids.npy")
+        if self.source_spec_path is None:
+            self.source_spec_path = Path(f"{base}/spectrograms")
+        if not self.dest_tokenized_path:
+            self.dest_tokenized_path = f"{base}/tokenized_audio/"
+        if not self.tokenized_train_dir:
+            self.tokenized_train_dir = f"{base}/tokenized_audio/train/"
+        if not self.tokenized_val_dir:
+            self.tokenized_val_dir = f"{base}/tokenized_audio/validation/"
+        if not self.checkpoint_dir:
+            self.checkpoint_dir = f"{base}/output/checkpoints"
+        if not self.eval_batch_size:
+            self.eval_batch_size = self.training_batch_size
+        self.dest_spec_path = Path(self.dest_spec_path)
+        self.centroids_path = Path(self.centroids_path)
+        self.source_spec_path = Path(self.source_spec_path)
+
+    # ------------------------------------------------------------------
+    # Derived quantities
+    # ------------------------------------------------------------------
+    @property
+    def clip_samples(self) -> int:
+        return int(round(self.clip_seconds * self.common_sr))
+
+    @property
+    def frames_per_clip(self) -> int:
+        """STFT frame count for a full-length clip (center-padded)."""
+        return 1 + self.clip_samples // self.hop_length
+
+    @property
+    def feature_dim(self) -> int:
+        """Dimensionality of one frame vector fed to K-means / VQ."""
+        d = self.n_mels
+        if self.use_convolution:
+            d *= self.num_kernels
+        return d
+
+    # ------------------------------------------------------------------
+    # CLI / file overlay
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_args(cls, argv: Optional[Sequence[str]] = None) -> "AudioTokensConfig":
+        """Build a config from ``--field value`` CLI flags.
+
+        ``--config file.json`` loads a JSON dict first; explicit flags win.
+        Field types are inferred from the dataclass annotations.
+        """
+        import argparse
+
+        parser = argparse.ArgumentParser(description="audio-tokens-tpu config")
+        parser.add_argument("--config", type=str, default=None, help="JSON config file")
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        for name, f in fields.items():
+            parser.add_argument(f"--{name}", type=str, default=None)
+        ns, _ = parser.parse_known_args(argv)
+
+        overrides: dict = {}
+        if ns.config:
+            with open(ns.config) as fh:
+                overrides.update(json.load(fh))
+        for name in fields:
+            raw = getattr(ns, name)
+            if raw is not None:
+                overrides[name] = _coerce(raw, fields[name])
+        return cls(**overrides)
+
+    def to_dict(self) -> dict:
+        out = {}
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            out[f.name] = str(v) if isinstance(v, Path) else v
+        return out
+
+
+def _coerce(raw: str, f: dataclasses.Field) -> Any:
+    """Coerce a CLI string to the dataclass field's type."""
+    ann = f.type if isinstance(f.type, str) else str(f.type)
+    if "bool" in ann:
+        return raw.lower() in ("1", "true", "yes", "on")
+    if "int" in ann and "Optional" not in ann:
+        return int(raw)
+    if "Optional[int]" in ann:
+        return None if raw.lower() in ("none", "null") else int(raw)
+    if "float" in ann:
+        return float(raw)
+    if "List[str]" in ann:
+        return [s for s in raw.split(",") if s]
+    if "Path" in ann:
+        return Path(raw)
+    return raw

@@ -1,0 +1,70 @@
+"""Evaluation metrics.
+
+Macro mean-average-precision over classes that have at least one positive in
+the evaluated set — the reference's headline metric
+(reference: utils/metrics_calculator.py:8-33, which delegates per-class AP to
+sklearn.average_precision_score).  Implemented here in pure numpy with the
+same step-interpolation and tie handling as sklearn so scores are directly
+comparable; verified against sklearn in tests/test_metrics.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+
+def binary_average_precision(y_true: np.ndarray, y_score: np.ndarray) -> float:
+    """AP = sum_n (R_n - R_{n-1}) * P_n over distinct-score thresholds.
+
+    Matches sklearn.metrics.average_precision_score for binary labels,
+    including tie grouping (all samples sharing a score fall under one
+    threshold).
+    """
+    y_true = np.asarray(y_true, dtype=np.float64).ravel()
+    y_score = np.asarray(y_score, dtype=np.float64).ravel()
+    n_pos = y_true.sum()
+    if n_pos == 0:
+        return 0.0
+
+    order = np.argsort(-y_score, kind="stable")
+    y_true = y_true[order]
+    y_score = y_score[order]
+
+    # Last index of each run of equal scores = the distinct thresholds.
+    distinct = np.where(np.diff(y_score))[0]
+    threshold_idxs = np.r_[distinct, y_true.size - 1]
+
+    tps = np.cumsum(y_true)[threshold_idxs]
+    fps = 1 + threshold_idxs - tps
+    precision = tps / (tps + fps)
+    recall = tps / n_pos
+
+    prev_recall = np.r_[0.0, recall[:-1]]
+    return float(np.sum((recall - prev_recall) * precision))
+
+
+def macro_mean_average_precision(
+    labels: np.ndarray, predictions: np.ndarray
+) -> float:
+    """Mean AP over classes with >=1 positive (reference: utils/metrics_calculator.py:25-33)."""
+    labels = np.asarray(labels)
+    predictions = np.asarray(predictions)
+    aps = [
+        binary_average_precision(labels[:, i], predictions[:, i])
+        for i in range(labels.shape[1])
+        if labels[:, i].sum() > 0
+    ]
+    return float(np.mean(aps)) if aps else 0.0
+
+
+class MetricsCalculator:
+    """Drop-in equivalent of the reference's MetricsCalculator."""
+
+    def compute_metrics(
+        self, predictions: Sequence[np.ndarray], labels: Sequence[np.ndarray]
+    ) -> Dict[str, float]:
+        all_predictions = np.concatenate(list(predictions), axis=0)
+        all_labels = np.concatenate(list(labels), axis=0)
+        return {"mAP": macro_mean_average_precision(all_labels, all_predictions)}

@@ -1,0 +1,32 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set the platform flags before jax is imported anywhere, so this executes
+at conftest import time (pytest imports conftest before test modules).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_prev = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _prev:
+    os.environ["XLA_FLAGS"] = (
+        _prev + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def tmp_workspace(tmp_path, monkeypatch):
+    """A temp artifact root with tiny synthetic AudioSet-style metadata."""
+    from tests.fixtures import make_workspace
+
+    monkeypatch.setenv("AUDIO_TOKENS_HOME", str(tmp_path))
+    make_workspace(tmp_path)
+    return tmp_path
