@@ -1,0 +1,98 @@
+"""Vector-quantization primitives: L2 normalize, pairwise distance, 1-NN assign.
+
+Replaces the reference's FAISS ``IndexFlatL2`` nearest-centroid search
+(reference: processors/spec_tokenizer.py:76-78,123-127) with an MXU matmul:
+
+    ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2
+
+The ``||x||^2`` term is constant across centroids so the argmin drops it.
+Ties break toward the lowest centroid index (jnp.argmin semantics), matching
+FAISS flat-search tie behavior.
+
+Large frame sets are processed as a ``lax.scan`` over fixed-size chunks so the
+(N, K) distance matrix is never materialized in HBM — each chunk's distances
+live only in VMEM-sized tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPS = 1e-10  # matches reference normalize_vectors (processors/cluster_creator.py:64-66)
+
+
+def l2_normalize(x: jax.Array, eps: float = EPS) -> jax.Array:
+    """x / (||x|| + eps), row-wise — identical formula to the reference."""
+    norms = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / (norms + eps)
+
+
+def pairwise_sqdist(
+    x: jax.Array, centroids: jax.Array, precision=jax.lax.Precision.HIGHEST
+) -> jax.Array:
+    """Squared L2 distances (N, K) via one GEMM + rank-1 corrections."""
+    x2 = jnp.sum(x * x, axis=1, keepdims=True)  # (N, 1)
+    c2 = jnp.sum(centroids * centroids, axis=1)[None, :]  # (1, K)
+    xc = jnp.dot(x, centroids.T, precision=precision,
+                 preferred_element_type=jnp.float32)
+    return x2 - 2.0 * xc + c2
+
+
+def _assign_chunk(
+    x: jax.Array, centroids: jax.Array, precision
+) -> Tuple[jax.Array, jax.Array]:
+    """(assignments, min sq-dists) for one chunk."""
+    c2 = jnp.sum(centroids * centroids, axis=1)[None, :]
+    xc = jnp.dot(x, centroids.T, precision=precision,
+                 preferred_element_type=jnp.float32)
+    scores = c2 - 2.0 * xc  # argmin-equivalent to full sqdist
+    assign = jnp.argmin(scores, axis=1).astype(jnp.int32)
+    mind = jnp.min(scores, axis=1) + jnp.sum(x * x, axis=1)
+    return assign, mind
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "precision"))
+def _vq_assign_jit(x, centroids, chunk: int, precision):
+    n = x.shape[0]
+    if chunk >= n:
+        return _assign_chunk(x, centroids, precision)
+    n_chunks = n // chunk  # caller guarantees divisibility
+    xs = x.reshape(n_chunks, chunk, x.shape[1])
+
+    def body(_, xc):
+        return None, _assign_chunk(xc, centroids, precision)
+
+    _, (assign, mind) = jax.lax.scan(body, None, xs)
+    return assign.reshape(-1), mind.reshape(-1)
+
+
+def vq_assign(
+    x,
+    centroids,
+    chunk: Optional[int] = 16384,
+    precision=jax.lax.Precision.HIGHEST,
+    return_distances: bool = False,
+):
+    """Nearest-centroid ID for every row of x.
+
+    Accepts numpy or jax arrays; pads N up to a chunk multiple internally and
+    trims the result, so callers never see the static-shape constraint.
+    """
+    x = jnp.asarray(x, dtype=jnp.float32)
+    centroids = jnp.asarray(centroids, dtype=jnp.float32)
+    n = x.shape[0]
+    if chunk is None or chunk > n:
+        chunk = max(n, 1)
+    n_pad = -(-n // chunk) * chunk
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    assign, mind = _vq_assign_jit(x, centroids, chunk, precision)
+    assign, mind = assign[:n], mind[:n]
+    if return_distances:
+        return np.asarray(assign), np.asarray(mind)
+    return np.asarray(assign)

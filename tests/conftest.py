@@ -6,12 +6,19 @@ at conftest import time (pytest imports conftest before test modules).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session may pre-set JAX_PLATFORMS to a TPU platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _prev:
     os.environ["XLA_FLAGS"] = (
         _prev + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# A TPU plugin may have been registered by a sitecustomize hook before this
+# file runs, in which case the env var alone is ignored — force via config.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

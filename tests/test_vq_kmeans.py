@@ -1,0 +1,127 @@
+"""VQ assignment exactness + K-means parity vs a pure-numpy Lloyd reference,
+plus sharded == unsharded equivalence on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from audio_tokens_tpu.ops.kmeans import KMeans, kmeans_fit
+from audio_tokens_tpu.ops.vq import l2_normalize, pairwise_sqdist, vq_assign
+
+
+def numpy_lloyd(x, init, niter):
+    """Independent reference: plain Lloyd with keep-previous empty handling."""
+    c = init.astype(np.float64).copy()
+    x = x.astype(np.float64)
+    for _ in range(niter):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        for j in range(c.shape[0]):
+            pts = x[a == j]
+            if len(pts):
+                c[j] = pts.mean(0)
+    return c
+
+
+def test_l2_normalize_matches_reference_formula(rng):
+    v = rng.standard_normal((50, 16)).astype(np.float32)
+    ours = np.asarray(l2_normalize(v))
+    expect = v / (np.linalg.norm(v, axis=1, keepdims=True) + 1e-10)
+    np.testing.assert_allclose(ours, expect, atol=1e-6)
+
+
+def test_vq_assign_exact_vs_bruteforce(rng):
+    x = rng.standard_normal((1000, 24)).astype(np.float32)
+    c = rng.standard_normal((37, 24)).astype(np.float32)
+    ours = vq_assign(x, c, chunk=128)
+    brute = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1)
+    np.testing.assert_array_equal(ours, brute)
+
+
+def test_vq_assign_tie_breaks_low_index():
+    c = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]], np.float32)  # dup centroids
+    x = np.array([[1.0, 0.0], [0.5, 0.5]], np.float32)
+    a = vq_assign(x, c)
+    assert a[0] == 0  # tie between centroid 0 and 1 -> lowest index
+
+
+def test_vq_assign_distances(rng):
+    x = rng.standard_normal((100, 8)).astype(np.float32)
+    c = rng.standard_normal((10, 8)).astype(np.float32)
+    a, d = vq_assign(x, c, return_distances=True)
+    brute = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(d, brute.min(1), atol=1e-4)
+
+
+def test_pairwise_sqdist(rng):
+    x = rng.standard_normal((64, 12)).astype(np.float32)
+    c = rng.standard_normal((9, 12)).astype(np.float32)
+    ours = np.asarray(pairwise_sqdist(x, c))
+    brute = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(ours, brute, atol=1e-4)
+
+
+def test_kmeans_matches_numpy_lloyd(rng):
+    x = rng.standard_normal((500, 8)).astype(np.float32)
+    init = x[:10].copy()
+    ours, obj = kmeans_fit(x, 10, niter=5, init_centroids=init, chunk=128)
+    expect = numpy_lloyd(x, init, 5)
+    np.testing.assert_allclose(ours, expect, atol=1e-4)
+    assert obj > 0
+
+
+def test_kmeans_objective_decreases(rng):
+    x = rng.standard_normal((2000, 16)).astype(np.float32)
+    objs = []
+    for niter in (1, 3, 10):
+        _, obj = kmeans_fit(x, 8, niter=niter, seed=0)
+        objs.append(obj)
+    assert objs[0] >= objs[1] >= objs[2]
+
+
+def test_kmeans_deterministic(rng):
+    x = rng.standard_normal((300, 8)).astype(np.float32)
+    c1, o1 = kmeans_fit(x, 6, niter=4, seed=3)
+    c2, o2 = kmeans_fit(x, 6, niter=4, seed=3)
+    np.testing.assert_array_equal(c1, c2)
+    assert o1 == o2
+
+
+def test_sharded_kmeans_matches_unsharded(rng):
+    """8-device data-sharded Lloyd must equal the single-device result."""
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    x = rng.standard_normal((4096, 8)).astype(np.float32)
+    init = x[rng.choice(4096, 32, replace=False)]
+    mesh = Mesh(np.array(jax.devices()), axis_names=("data",))
+    sharded, obj_s = kmeans_fit(x, 32, niter=6, init_centroids=init, mesh=mesh, chunk=64)
+    single, obj_1 = kmeans_fit(x, 32, niter=6, init_centroids=init, chunk=512)
+    np.testing.assert_allclose(sharded, single, atol=1e-3)
+    assert obj_s == pytest.approx(obj_1, rel=1e-4)
+
+
+def test_kmeans_warm_start_refines(rng):
+    """Reference batch schedule: train(b0) then train(b1, init=centroids)."""
+    x0 = rng.standard_normal((400, 8)).astype(np.float32)
+    x1 = rng.standard_normal((400, 8)).astype(np.float32) + 2.0
+    km = KMeans(8, 8, niter=4, seed=1)
+    km.train(x0)
+    c0 = km.centroids.copy()
+    km.train(x1, init_centroids=km.centroids)
+    assert not np.allclose(c0, km.centroids)
+    # warm-started result equals a direct fit with that init
+    expect, _ = kmeans_fit(x1, 8, niter=4, init_centroids=c0, seed=1)
+    np.testing.assert_allclose(km.centroids, expect, atol=1e-5)
+
+
+def test_kmeans_subsampling_cap(rng):
+    x = rng.standard_normal((4000, 4)).astype(np.float32)
+    c, _ = kmeans_fit(x, 4, niter=2, seed=0, max_points_per_centroid=100)
+    assert c.shape == (4, 4)
+
+
+def test_empty_cluster_keeps_previous_centroid():
+    x = np.array([[0.0, 0.0], [0.1, 0.0], [10.0, 10.0]], np.float32)
+    far = np.array([[0.05, 0.0], [10.0, 10.0], [99.0, 99.0]], np.float32)
+    c, _ = kmeans_fit(x, 3, niter=3, init_centroids=far)
+    np.testing.assert_allclose(c[2], [99.0, 99.0], atol=1e-6)  # never assigned
