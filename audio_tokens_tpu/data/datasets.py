@@ -1,0 +1,231 @@
+"""Host-side datasets + fixed-shape batching for training.
+
+Equivalents of the reference's three torch Datasets + collate functions
+(reference: datasets/tokenized_spec_dataset.py, datasets/raw_stft_dataset.py,
+datasets/raw_stft_flat_dataset.py) rebuilt for XLA's static-shape world:
+
+  * the reference pads each batch to the *batch* max length; here every batch
+    is padded to ``config.max_seq_len`` so one compiled program serves the
+    whole run (10 s clips are ~constant-length anyway: 1723 frames);
+  * pad value is 0 — in ``reference_compat`` mode that includes the token/pad
+    collision and all-ones masks of SURVEY.md §2.7.1-2; with
+    ``reference_compat=False`` true lengths are carried and consumed by the
+    models;
+  * the final partial batch is padded to full batch size with ``n_valid``
+    marking real rows (losses/metrics are masked accordingly).
+
+``dataset_type`` strings match the reference: TokenizedSpecDataset,
+RawSTFTDataset, RawSTFTFlatDataset.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from audio_tokens_tpu.config import AudioTokensConfig
+from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+
+logger = logging.getLogger(__name__)
+
+
+class ClipDataset:
+    """Base: a split's clips as (feature array path, multi-hot labels)."""
+
+    #: subclasses set: directory holding per-ytid .npy files + feature kind
+    kind: str = "tokens"  # 'tokens' | 'spec' | 'flat'
+
+    def __init__(
+        self,
+        config: AudioTokensConfig,
+        metadata: AudiosetMetadataProcessor,
+        split: str = "train",
+    ):
+        self.config = config
+        self.metadata = metadata
+        self.split = split
+        with open(config.split_file, "r") as f:
+            split_ytids = json.load(f)[split]
+        base = self._base_path()
+        self.files: List[Path] = []
+        self.ytids: List[str] = []
+        for ytid in split_ytids:
+            p = base / f"{ytid}.npy"
+            if p.exists():  # skip clips whose artifact is missing (reference :40-47)
+                self.files.append(p)
+                self.ytids.append(ytid)
+        if len(self.files) < len(split_ytids):
+            logger.info(
+                "%s/%s: %d of %d clips have artifacts",
+                type(self).__name__, split, len(self.files), len(split_ytids),
+            )
+
+    def _base_path(self) -> Path:
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def labels_for(self, idx: int) -> np.ndarray:
+        return self.metadata.multi_hot(self.ytids[idx], self.config.num_classes)
+
+    def load_features(self, idx: int) -> np.ndarray:
+        raise NotImplementedError
+
+
+class TokenizedSpecDataset(ClipDataset):
+    kind = "tokens"
+
+    def _base_path(self) -> Path:
+        return Path(self.config.dest_tokenized_path) / self.split
+
+    def load_features(self, idx: int) -> np.ndarray:
+        return np.load(self.files[idx]).astype(np.int32)
+
+
+class RawSTFTDataset(ClipDataset):
+    kind = "spec"
+
+    def _base_path(self) -> Path:
+        return Path(self.config.source_spec_path) / self.split
+
+    def load_features(self, idx: int) -> np.ndarray:
+        return np.load(self.files[idx]).T.astype(np.float32)  # (T, n_mels)
+
+
+class RawSTFTFlatDataset(RawSTFTDataset):
+    kind = "flat"
+
+
+_DATASET_TYPES = {
+    "TokenizedSpecDataset": TokenizedSpecDataset,
+    "RawSTFTDataset": RawSTFTDataset,
+    "RawSTFTFlatDataset": RawSTFTFlatDataset,
+}
+
+
+def get_dataset_class(config: AudioTokensConfig):
+    try:
+        return _DATASET_TYPES[config.dataset_type]
+    except KeyError:
+        raise ValueError(f"Unsupported dataset type: {config.dataset_type}") from None
+
+
+class BatchLoader:
+    """Fixed-shape batches with seeded shuffling and background prefetch.
+
+    Yields dicts:
+      inputs   (B, ...)  int32 tokens / float32 spec / float32 flat
+      lengths  (B,)      true pre-padding lengths (frames or tokens)
+      labels   (B, C)    multi-hot float32
+      n_valid  int       number of real rows in this batch (rest are padding)
+    """
+
+    def __init__(
+        self,
+        dataset: ClipDataset,
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 0,
+        max_seq_len: Optional[int] = None,
+        prefetch: int = 2,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.max_seq_len = max_seq_len or dataset.config.max_seq_len
+        self.prefetch = prefetch
+        self.n_mels = dataset.config.n_mels
+
+    def __len__(self) -> int:
+        return -(-len(self.ds) // self.batch_size)
+
+    def _make_batch(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
+        bs, T = self.batch_size, self.max_seq_len
+        kind = self.ds.kind
+        cfg = self.ds.config
+        if kind == "tokens":
+            inputs = np.zeros((bs, T), np.int32)
+        else:
+            inputs = np.zeros(
+                (bs, T * self.n_mels) if kind == "flat" else (bs, T, self.n_mels),
+                np.float32,
+            )
+        lengths = np.zeros((bs,), np.int32)
+        labels = np.zeros((bs, cfg.num_classes), np.float32)
+        for row, idx in enumerate(idxs):
+            feats = self.ds.load_features(int(idx))
+            n = min(len(feats), T)
+            lengths[row] = n
+            if kind == "tokens":
+                inputs[row, :n] = feats[:n]
+            elif kind == "spec":
+                inputs[row, :n] = feats[:n]
+            else:  # flat: zero-pad then flatten (reference raw_stft_flat :58-69)
+                buf = np.zeros((T, self.n_mels), np.float32)
+                buf[:n] = feats[:n]
+                inputs[row] = buf.reshape(-1)
+            labels[row] = self.ds.labels_for(int(idx))
+        return {
+            "inputs": inputs,
+            "lengths": lengths,
+            "labels": labels,
+            "n_valid": len(idxs),
+        }
+
+    def _index_batches(self, epoch: int) -> Iterator[np.ndarray]:
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        for i in range(0, len(order), self.batch_size):
+            yield order[i : i + self.batch_size]
+
+    def batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Background-threaded batch assembly (double buffering)."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for idxs in self._index_batches(epoch):
+                    q.put(self._make_batch(idxs))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()
+
+
+class DataLoaderCreator:
+    """Reference-shaped factory (datasets/data_loader_creator.py:17-53)."""
+
+    def __init__(self, config: AudioTokensConfig):
+        self.config = config
+
+    def get_dataloaders(self) -> Tuple[BatchLoader, BatchLoader]:
+        cls = get_dataset_class(self.config)
+        metadata = AudiosetMetadataProcessor(self.config)
+        train = cls(self.config, metadata, split="train")
+        val = cls(self.config, metadata, split="validation")
+        train_loader = BatchLoader(
+            train, self.config.training_batch_size, shuffle=True,
+            seed=self.config.random_seed,
+        )
+        val_loader = BatchLoader(
+            val, self.config.eval_batch_size, shuffle=False,
+            seed=self.config.random_seed,
+        )
+        return train_loader, val_loader

@@ -1,0 +1,113 @@
+"""Bidirectional LSTM token classifier
+(reference: models/simple_lstm_token_classifier.py:10-43: Embedding(vocab,256)
+-> packed biLSTM(256, 512, num_layers) -> concat last fwd/bwd hidden -> ReLU
+-> dropout -> Linear(1024, num_classes)).
+
+TPU-native recurrence: cuDNN's packed-sequence LSTM becomes a time-major
+``lax.scan`` whose per-step work is a single fused (B, E+H) x (E+H, 4H) gate
+GEMM.  Variable lengths are handled with masked carries instead of packing —
+at step t a sequence past its length passes its state through unchanged, so
+the final forward carry equals the state at t = len-1 and the backward scan
+(from T-1 down) ignores the padding it starts in.  With ``lengths=None`` the
+mask is all-ones, reproducing the reference's degenerate-mask behavior
+(SURVEY.md §2.7.1).
+
+``use_precomputed_embeddings`` (raw STFT frames instead of token IDs,
+reference :26-31) is supported by passing float inputs of shape (B, T, D):
+they bypass the embedding table through a width-matching projection-free path
+(D must equal embed_dim, as in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class LSTMLayer(nn.Module):
+    """One direction, one layer; returns (all hidden states, final (h, c))."""
+
+    hidden_dim: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask):
+        # x: (B, T, E) float; mask: (B, T) 1.0 where t < length
+        b, t, e = x.shape
+        h = self.hidden_dim
+        # torch nn.LSTM init: U(-1/sqrt(H), 1/sqrt(H)) for all weights/biases
+        bound = 1.0 / jnp.sqrt(h)
+        init = nn.initializers.uniform(scale=2 * bound)
+
+        def shifted(key, shape, dtype=jnp.float32):
+            return init(key, shape, dtype) - bound
+
+        w_ih = self.param("w_ih", shifted, (e, 4 * h))
+        w_hh = self.param("w_hh", shifted, (h, 4 * h))
+        bias = self.param("bias", shifted, (4 * h,))
+
+        xg = jnp.einsum("bte,eg->btg", x, w_ih) + bias  # precompute input gates
+        xg = jnp.swapaxes(xg, 0, 1)  # time-major (T, B, 4H)
+        m = jnp.swapaxes(mask, 0, 1)[:, :, None]  # (T, B, 1)
+
+        def step(carry, inp):
+            h_prev, c_prev = carry
+            gates_x, mt = inp
+            gates = gates_x + h_prev @ w_hh
+            i, f, g, o = jnp.split(gates, 4, axis=-1)  # torch gate order
+            i, f, o = nn.sigmoid(i), nn.sigmoid(f), nn.sigmoid(o)
+            g = jnp.tanh(g)
+            c = f * c_prev + i * g
+            h_new = o * jnp.tanh(c)
+            # masked carry: past the sequence end, state passes through
+            h_out = mt * h_new + (1 - mt) * h_prev
+            c_out = mt * c + (1 - mt) * c_prev
+            return (h_out, c_out), h_out
+
+        init_carry = (
+            jnp.zeros((b, h), x.dtype),
+            jnp.zeros((b, h), x.dtype),
+        )
+        (h_last, _), hs = jax.lax.scan(
+            step, init_carry, (xg, m), reverse=self.reverse
+        )
+        return jnp.swapaxes(hs, 0, 1), h_last  # (B, T, H), (B, H)
+
+
+class SimpleLSTMTokenClassifier(nn.Module):
+    vocab_size: int
+    embed_dim: int
+    hidden_dim: int
+    num_layers: int
+    num_classes: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, lengths: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            emb = nn.Embed(self.vocab_size, self.embed_dim, name="embedding")(x)
+        else:
+            emb = x  # use_precomputed_embeddings path
+        b, t = emb.shape[:2]
+        if lengths is None:
+            mask = jnp.ones((b, t), emb.dtype)
+        else:
+            mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(emb.dtype)
+
+        h_fwd = h_bwd = None
+        inp = emb
+        for layer in range(self.num_layers):
+            fwd_hs, h_fwd = LSTMLayer(self.hidden_dim, reverse=False,
+                                      name=f"lstm_l{layer}_fwd")(inp, mask)
+            bwd_hs, h_bwd = LSTMLayer(self.hidden_dim, reverse=True,
+                                      name=f"lstm_l{layer}_bwd")(inp, mask)
+            inp = jnp.concatenate([fwd_hs, bwd_hs], axis=-1)
+
+        last = jnp.concatenate([h_fwd, h_bwd], axis=-1)  # (B, 2H)
+        last = nn.relu(last)
+        last = nn.Dropout(self.dropout, deterministic=deterministic)(last)
+        return nn.Dense(self.num_classes, name="fc")(last)

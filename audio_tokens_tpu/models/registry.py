@@ -1,0 +1,67 @@
+"""Model factory (reference: utils/model_utils.py:13-43): the same five
+``model_type`` strings select the same architectures with the same config
+fields."""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from audio_tokens_tpu.config import AudioTokensConfig
+from audio_tokens_tpu.models.cnn import CNNClassifier
+from audio_tokens_tpu.models.lstm import SimpleLSTMTokenClassifier
+from audio_tokens_tpu.models.mlp import BaselineMLPClassifier
+from audio_tokens_tpu.models.simple import SimpleTokenClassifier
+from audio_tokens_tpu.models.transformer import TransformerClassifier
+
+# What each model consumes: 'tokens' (int IDs), 'spec' (B,T,M), 'flat' (B,D)
+_INPUT_KINDS = {
+    "lstm": "tokens",
+    "simple": "tokens",
+    "bert": "tokens",
+    "cnn": "spec",
+    "baseline": "flat",
+}
+
+
+def model_input_kind(config: AudioTokensConfig) -> str:
+    if config.model_type in ("lstm",) and config.use_precomputed_embeddings:
+        return "spec"  # raw-frame embeddings path (reference lstm :26-31)
+    try:
+        return _INPUT_KINDS[config.model_type]
+    except KeyError:
+        raise ValueError(f"Unknown model type: {config.model_type}") from None
+
+
+def get_model(config: AudioTokensConfig) -> nn.Module:
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    if config.model_type == "lstm":
+        return SimpleLSTMTokenClassifier(
+            vocab_size=config.vocab_size,
+            embed_dim=config.lstm_embed_dim,
+            hidden_dim=config.lstm_hidden_dim,
+            num_layers=config.num_layers,
+            num_classes=config.num_classes,
+            dropout=config.dropout,
+        )
+    elif config.model_type == "simple":
+        return SimpleTokenClassifier(
+            vocab_size=config.vocab_size,
+            hidden_size=config.hidden_size,
+            num_classes=config.num_classes,
+        )
+    elif config.model_type == "bert":
+        return TransformerClassifier(
+            vocab_size=config.vocab_size,
+            num_layers=config.num_layers,
+            num_classes=config.num_classes,
+            hidden_size=config.hidden_size,
+            dropout=config.dropout,
+            compute_dtype=compute_dtype,
+        )
+    elif config.model_type == "cnn":
+        return CNNClassifier(num_classes=config.num_classes)
+    elif config.model_type == "baseline":
+        return BaselineMLPClassifier(num_classes=config.num_classes)
+    else:
+        raise ValueError(f"Unknown model type: {config.model_type}")

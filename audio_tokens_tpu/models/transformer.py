@@ -1,0 +1,102 @@
+"""BERT-style transformer encoder classifier
+(reference: models/custom_bert_classifier.py:8-28 — a freshly initialized HF
+``BertModel(BertConfig(vocab_size, num_hidden_layers, hidden_size))`` with
+input truncated to 512 tokens and a linear head on the position-0 output).
+
+Built in-repo (no HF dependency): learned token + position embeddings with
+LayerNorm, post-LN encoder blocks (MHA -> Add&LN -> GELU MLP x4 -> Add&LN),
+matching BERT-base block structure (heads = hidden/64, intermediate = 4*
+hidden).  Like the reference, no [CLS] token is inserted — "CLS output" is
+simply position 0 of the encoded sequence, and with the reference's
+degenerate all-ones masks (``lengths=None``) attention is unmasked.
+
+TPU notes: attention and MLP matmuls run in ``compute_dtype`` (bf16 on the
+MXU) with fp32 accumulation and fp32 LayerNorm/softmax; weights carry
+logical-axis annotations (``embed``/``mlp``/``heads``) so a ``model`` mesh
+axis can tensor-shard the MLP + attention projections via
+``flax.linen.logical_to_mesh``-style rules in the trainer.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# Logical-axis annotations for tensor parallelism.
+KERNEL_TP_COL = nn.with_logical_partitioning(
+    nn.initializers.lecun_normal(), ("embed", "mlp")
+)
+KERNEL_TP_ROW = nn.with_logical_partitioning(
+    nn.initializers.lecun_normal(), ("mlp", "embed")
+)
+
+
+class EncoderBlock(nn.Module):
+    hidden_size: int
+    num_heads: int
+    dropout: float
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask, deterministic: bool = True):
+        # --- self attention (post-LN, BERT style) ---
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.hidden_size,
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
+            dropout_rate=self.dropout,
+            deterministic=deterministic,
+            name="attention",
+        )(x, x, mask=attn_mask)
+        x = nn.LayerNorm(dtype=jnp.float32, name="attn_ln")(x + attn)
+        # --- MLP ---
+        h = nn.Dense(4 * self.hidden_size, dtype=self.compute_dtype,
+                     param_dtype=jnp.float32, kernel_init=KERNEL_TP_COL,
+                     name="mlp_in")(x)
+        h = nn.gelu(h)
+        h = nn.Dense(self.hidden_size, dtype=self.compute_dtype,
+                     param_dtype=jnp.float32, kernel_init=KERNEL_TP_ROW,
+                     name="mlp_out")(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.LayerNorm(dtype=jnp.float32, name="mlp_ln")(x + h)
+
+
+class TransformerClassifier(nn.Module):
+    vocab_size: int
+    num_layers: int
+    num_classes: int
+    hidden_size: int = 768
+    max_position: int = 512  # reference truncates to 512 (custom_bert_classifier.py:21-22)
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, lengths: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
+        tokens = tokens[:, : self.max_position]
+        b, t = tokens.shape
+        x = nn.Embed(self.vocab_size, self.hidden_size, name="tok_embed")(tokens)
+        pos = nn.Embed(self.max_position, self.hidden_size, name="pos_embed")(
+            jnp.arange(t)[None, :]
+        )
+        x = nn.LayerNorm(dtype=jnp.float32, name="embed_ln")(x + pos)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+
+        if lengths is None:
+            attn_mask = None  # reference compat: all-ones masks
+        else:
+            keep = jnp.arange(t)[None, :] < jnp.minimum(lengths, t)[:, None]
+            attn_mask = keep[:, None, None, :]  # (B, 1, 1, T) broadcast over queries
+
+        num_heads = max(1, self.hidden_size // 64)
+        for i in range(self.num_layers):
+            x = EncoderBlock(
+                self.hidden_size, num_heads, self.dropout,
+                compute_dtype=self.compute_dtype, name=f"layer_{i}",
+            )(x, attn_mask, deterministic)
+
+        cls = x[:, 0, :]  # position-0 representation, like the reference
+        return nn.Dense(self.num_classes, name="classifier")(cls)

@@ -1,0 +1,62 @@
+"""Device mesh + sharding helpers.
+
+The communication layer of the framework: everything multi-chip goes through
+a ``jax.sharding.Mesh`` with named axes and XLA collectives — the TPU-native
+replacement for the NCCL/DDP layer the reference never had (SURVEY.md §2.6).
+
+Axes:
+  * ``data``  — batch / point sharding (DP training, sharded K-means);
+  * ``model`` — tensor-parallel sharding of transformer weights (optional).
+
+Collectives ride ICI within a slice; lay DCN-spanning meshes out so ``data``
+is the outer (DCN) axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int = -1, model: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Mesh with ('data', 'model') axes. data=-1 uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
+    grid = np.array(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def data_mesh(config=None, min_devices: int = 2) -> Optional[Mesh]:
+    """1-D data mesh over all devices, or None when a single device suffices
+    (single-device programs skip shard_map entirely)."""
+    devices = jax.devices()
+    want = getattr(config, "data_parallel", -1) if config is not None else -1
+    if want == -1:
+        want = len(devices)
+    want = min(want, len(devices))
+    if want < min_devices:
+        return None
+    return Mesh(np.array(devices[:want]), axis_names=("data",))
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = "data"):
+    """Device-put a host batch with its leading dim sharded over ``axis``."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicated(mesh: Mesh, tree):
+    """Device-put a pytree fully replicated over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,148 @@
+"""Stage 2: cluster training-set STFT frames into a centroid vocabulary.
+
+Same artifact contract as the reference
+(reference: processors/cluster_creator.py:36-62): reads
+``{source_spec_path}/train/*.npy``, produces L2-normalized
+``centroids.npy`` of shape ``(vocab_size, feature_dim)`` plus a 2-D PCA
+scatter plot at ``output/centroids_visualization.png``.
+
+Replaces FAISS ``Kmeans`` with the mesh-sharded MXU Lloyd loop in
+``ops/kmeans.py``.  Two modes (``config.kmeans_mode``):
+
+  * ``batch_warm_start`` — the reference's exact schedule: each
+    ``clustering_batch_size``-file frame batch re-trains ``niter`` Lloyd
+    iterations seeded from the previous batch's centroids
+    (reference :49-56 / SURVEY.md §2.7.4);
+  * ``full`` — one Lloyd fit over the whole corpus (statistically sounder;
+    the recommended TPU mode since the sharded loop makes it cheap).
+
+File order is sorted (the reference used unsorted ``glob`` order, which is
+filesystem-dependent — sorting makes the batch schedule reproducible).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Iterator, Optional
+
+import numpy as np
+
+from audio_tokens_tpu.config import AudioTokensConfig
+from audio_tokens_tpu.ops.conv_features import ConvFeatures
+from audio_tokens_tpu.ops.kmeans import KMeans, kmeans_fit
+from audio_tokens_tpu.ops.vq import l2_normalize
+from audio_tokens_tpu.parallel.mesh import data_mesh
+from audio_tokens_tpu.utils.seeding import key_for, set_seed
+
+logger = logging.getLogger(__name__)
+
+CONV_STAGE_NAME = "conv_features"  # shared by cluster + tokenize stages
+
+
+def make_conv_features(config: AudioTokensConfig) -> Optional[ConvFeatures]:
+    """The conv front-end shared between stages 2 and 3 (fixes SURVEY §2.7.3)."""
+    if not config.use_convolution:
+        return None
+    return ConvFeatures(
+        config.num_kernels,
+        config.kernel_size,
+        key_for(config.random_seed, CONV_STAGE_NAME),
+    )
+
+
+class ClusterCreator:
+    def __init__(self, config: AudioTokensConfig):
+        self.config = config
+        set_seed(config.random_seed)
+        self.conv = make_conv_features(config)
+        self.mesh = data_mesh(config)
+
+    def run(self) -> np.ndarray:
+        logger.info("starting clustering (mode=%s)", self.config.kmeans_mode)
+        if self.config.kmeans_mode == "full":
+            batches = list(self._batch_generator(self.config.clustering_batch_size))
+            frames = np.concatenate(batches, axis=0)
+            centroids, obj = kmeans_fit(
+                frames,
+                self.config.vocab_size,
+                self.config.niter,
+                seed=self.config.random_seed,
+                mesh=self.mesh,
+                max_points_per_centroid=self.config.max_points_per_centroid,
+            )
+            logger.info("full kmeans over %d frames: obj=%.2f", len(frames), obj)
+        else:  # batch_warm_start (reference schedule)
+            km = KMeans(
+                self.feature_dim,
+                self.config.vocab_size,
+                niter=self.config.niter,
+                seed=self.config.random_seed,
+                mesh=self.mesh,
+                max_points_per_centroid=self.config.max_points_per_centroid,
+            )
+            for i, batch in enumerate(
+                self._batch_generator(self.config.clustering_batch_size)
+            ):
+                if i == 0:
+                    km.train(batch)
+                else:
+                    km.train(batch, init_centroids=km.centroids)
+            centroids = km.centroids
+            if centroids is None:
+                raise RuntimeError("no training spectrograms found")
+
+        centroids = np.asarray(l2_normalize(centroids))
+        logger.info("Centroids shape: %s", centroids.shape)
+        out_path = Path(self.config.centroids_path)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        np.save(out_path, centroids)
+        if self.conv is not None:
+            np.savez(out_path.with_suffix(".conv.npz"), **self.conv.state_dict())
+        self.visualize_centroids(centroids)
+        return centroids
+
+    @property
+    def feature_dim(self) -> int:
+        return self.config.feature_dim
+
+    def _batch_generator(self, batch_size: int) -> Iterator[np.ndarray]:
+        """Yield (frames, feature_dim) float32 matrices, L2-normalized, per
+        file-batch — the reference's frame pipeline (:83-102) with the conv
+        + normalize applied on device."""
+        spec_dir = Path(self.config.source_spec_path) / "train"
+        files = sorted(spec_dir.glob("*.npy"))
+        if not files:
+            raise FileNotFoundError(f"no spectrograms under {spec_dir}")
+        for i in range(0, len(files), batch_size):
+            batch_data = [np.load(f).T for f in files[i : i + batch_size]]
+            frames = np.concatenate(batch_data, axis=0).astype(np.float32)
+            if self.conv is not None:
+                frames = np.asarray(self.conv(frames))
+            yield np.asarray(l2_normalize(frames))
+
+    def visualize_centroids(self, centroids: np.ndarray) -> None:
+        """2-D PCA scatter (reference :104-113), PCA via numpy SVD."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            centered = centroids - centroids.mean(axis=0, keepdims=True)
+            _, _, vt = np.linalg.svd(centered, full_matrices=False)
+            pts = centered @ vt[:2].T
+            plt.figure(figsize=(10, 8))
+            plt.scatter(pts[:, 0], pts[:, 1])
+            plt.title("2D PCA of Centroids")
+            out = Path(self.config.base_dir) / "output" / "centroids_visualization.png"
+            out.parent.mkdir(parents=True, exist_ok=True)
+            plt.savefig(out)
+            plt.close()
+            logger.info("Centroids visualization saved to %s", out)
+        except Exception as e:  # plotting is best-effort
+            logger.warning("centroid visualization failed: %s", e)
+
+
+if __name__ == "__main__":
+    ClusterCreator(AudioTokensConfig.from_args()).run()

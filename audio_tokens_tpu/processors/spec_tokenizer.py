@@ -1,0 +1,155 @@
+"""Stage 3: spectrograms -> nearest-centroid token-ID sequences.
+
+Same artifact contract as the reference
+(reference: processors/spec_tokenizer.py:41-90): reads
+``{source_spec_path}/{split}/*.npy``, writes one int64 token array per clip to
+``{dest_tokenized_path}/{split}/{ytid}.npy`` (one token per STFT frame), wipes
+output dirs per run, and on the train split reports token statistics with
+distribution + Zipf plots.
+
+The FAISS ``IndexFlatL2`` search is replaced by the chunked MXU argmin in
+``ops/vq.py``; the conv front-end (when enabled) shares weights with the
+cluster stage by construction instead of by RNG coincidence.
+"""
+
+from __future__ import annotations
+
+import logging
+import shutil
+from collections import Counter
+from pathlib import Path
+from typing import Dict, List
+
+import numpy as np
+
+from audio_tokens_tpu.config import AudioTokensConfig
+from audio_tokens_tpu.ops.vq import l2_normalize, vq_assign
+from audio_tokens_tpu.processors.cluster_creator import make_conv_features
+from audio_tokens_tpu.utils.seeding import set_seed
+
+logger = logging.getLogger(__name__)
+
+
+class SpecTokenizer:
+    def __init__(self, config: AudioTokensConfig):
+        self.config = config
+        set_seed(config.random_seed)
+        self.source_path = Path(config.source_spec_path)
+        self.dest_tokenized_path = Path(config.dest_tokenized_path)
+        self.centroids = np.load(config.centroids_path).astype(np.float32)
+        self.conv = make_conv_features(config)
+        if self.conv is not None:
+            conv_state = Path(config.centroids_path).with_suffix(".conv.npz")
+            if conv_state.exists():
+                self.conv.load_state_dict(dict(np.load(conv_state)))
+
+    def run(self) -> Dict[str, dict]:
+        stats = {}
+        for split in ["train", "validation"]:
+            source_dir = self.source_path / split
+            tokenized_dir = self.dest_tokenized_path / split
+            shutil.rmtree(tokenized_dir, ignore_errors=True)
+            tokenized_dir.mkdir(parents=True)
+            logger.info("Tokenizing %s: %s --> %s", split, source_dir, tokenized_dir)
+            all_tokens = self.tokenize_directory(source_dir, tokenized_dir)
+            if split == "train":
+                stats[split] = self.analyze_tokens(all_tokens)
+                self.plot_token_distribution(all_tokens)
+        return stats
+
+    def tokenize_directory(self, source_dir: Path, tokenized_dir: Path) -> np.ndarray:
+        all_tokens: List[np.ndarray] = []
+        spec_files = sorted(source_dir.glob("*.npy"))
+        bs = self.config.tokenizer_batch_size
+        for i in range(0, len(spec_files), bs):
+            all_tokens.append(self.process_batch(spec_files[i : i + bs], tokenized_dir))
+        return np.concatenate(all_tokens) if all_tokens else np.zeros(0, np.int64)
+
+    def process_batch(self, batch_files: List[Path], tokenized_dir: Path) -> np.ndarray:
+        batch_specs = [np.load(f).T for f in batch_files]  # (T_i, n_mels) each
+        frames = np.concatenate(batch_specs, axis=0).astype(np.float32)
+        if self.conv is not None:
+            frames = np.asarray(self.conv(frames))
+        frames = np.asarray(l2_normalize(frames))
+        tokens = vq_assign(frames, self.centroids).astype(np.int64)
+
+        start = 0
+        for spec_file, spec in zip(batch_files, batch_specs):
+            end = start + len(spec)
+            np.save(tokenized_dir / f"{spec_file.stem}.npy", tokens[start:end])
+            start = end
+        return tokens
+
+    # ------------------------------------------------------------------
+    # Reporting (reference :129-240)
+    # ------------------------------------------------------------------
+    def analyze_tokens(self, all_tokens: np.ndarray) -> dict:
+        counts = Counter(all_tokens.tolist())
+        most = counts.most_common(1)
+        least = counts.most_common()[-1] if counts else None
+        stats = {
+            "total_tokens": int(len(all_tokens)),
+            "unique_tokens": int(len(counts)),
+            "most_common": most[0] if most else None,
+            "least_common": least,
+        }
+        logger.info("Total tokens: %d", stats["total_tokens"])
+        logger.info("Unique tokens: %d", stats["unique_tokens"])
+        logger.info("Most common token: %s", stats["most_common"])
+        logger.info("Least common token: %s", stats["least_common"])
+        zipf = self.analyze_zipf_and_tail(
+            np.sort(np.asarray(list(counts.values())))[::-1]
+        )
+        stats.update(zipf)
+        return stats
+
+    def analyze_zipf_and_tail(self, frequencies: np.ndarray) -> dict:
+        """Zipf slope by closed-form least squares over the 10-90% rank band
+        (reference used scipy.linregress; same estimator)."""
+        if len(frequencies) < 4:
+            return {"zipf_slope": float("nan"), "tail_start": 0}
+        ranks = np.arange(1, len(frequencies) + 1)
+        lo, hi = int(0.1 * len(frequencies)), int(0.9 * len(frequencies))
+        lx = np.log(ranks[lo:hi])
+        ly = np.log(frequencies[lo:hi])
+        vx = lx - lx.mean()
+        slope = float((vx * (ly - ly.mean())).sum() / (vx * vx).sum())
+        r = float(
+            (vx * (ly - ly.mean())).sum()
+            / np.sqrt((vx * vx).sum() * ((ly - ly.mean()) ** 2).sum())
+        )
+        cum = np.cumsum(frequencies) / frequencies.sum()
+        tail_start = int(np.searchsorted(cum, 0.8))
+        logger.info("Zipf slope: %.2f (r^2=%.2f); 80%% of mass in top %d tokens",
+                    slope, r * r, tail_start)
+        return {"zipf_slope": slope, "zipf_r2": r * r, "tail_start": tail_start}
+
+    def plot_token_distribution(self, all_tokens: np.ndarray) -> None:
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            counts = Counter(all_tokens.tolist())
+            freqs = np.sort(np.asarray(list(counts.values())))[::-1]
+            ranks = np.arange(1, len(freqs) + 1)
+            fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(15, 10))
+            ax1.plot(ranks, freqs)
+            ax1.set_xscale("log")
+            ax1.set_yscale("log")
+            ax1.set_title("Distribution of Assigned Tokens (Sorted by Frequency)")
+            ax2.bar(ranks[:100], freqs[:100])
+            ax2.set_xlabel("Token Rank")
+            out = Path(self.config.base_dir) / "output" / "token_distribution.png"
+            out.parent.mkdir(parents=True, exist_ok=True)
+            fig.tight_layout()
+            fig.savefig(out)
+            plt.close(fig)
+            logger.info("Token distribution plot saved to %s", out)
+        except Exception as e:
+            logger.warning("token distribution plot failed: %s", e)
+
+
+if __name__ == "__main__":
+    SpecTokenizer(AudioTokensConfig.from_args()).run()

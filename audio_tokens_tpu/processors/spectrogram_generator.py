@@ -1,0 +1,138 @@
+"""Stage 1: audio files -> per-clip mel-spectrogram ``.npy`` artifacts.
+
+Same artifact contract as the reference
+(reference: processors/spectrogram_generator.py:39-61):
+``{dest_spec_path}/{split}/{ytid}.npy`` each holding a float32
+``(n_mels, frames)`` array; output dirs are wiped per run; missing or
+undecodable clips are skipped with a log line; NaN/Inf spectrograms dropped.
+
+TPU-native redesign: the reference loops clip-at-a-time through torchaudio on
+the host/GPU (SURVEY.md §3.2 — its #1 bottleneck).  Here clips are decoded on
+the host (thread pool), packed into fixed-shape device batches, and the whole
+DFT+mel+dB frontend runs as one batched XLA program per ``device_batch_size``
+clips; only valid frames are written back.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import shutil
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from audio_tokens_tpu.config import AudioTokensConfig
+from audio_tokens_tpu.data.audio_io import AudioDecodeError, decode_audio
+from audio_tokens_tpu.ops.mel import MelFrontend, num_frames
+
+logger = logging.getLogger(__name__)
+
+
+class SpectrogramGenerator:
+    def __init__(self, config: AudioTokensConfig):
+        self.config = config
+        self.frontend = MelFrontend(
+            sample_rate=config.common_sr,
+            n_mels=config.n_mels,
+            n_fft=config.n_fft,
+            hop_length=config.hop_length,
+            clip_samples=config.clip_samples,
+            normalize=config.normalize,
+        )
+        with open(config.split_file, "r") as f:
+            self.data_split = json.load(f)
+        self._decode_pool = ThreadPoolExecutor(max_workers=config.num_workers)
+
+    def run(self) -> None:
+        for split in ["train", "validation"]:
+            logger.info("Creating %s spectrograms", split)
+            output_dir = Path(self.config.dest_spec_path) / split
+            shutil.rmtree(output_dir, ignore_errors=True)
+            output_dir.mkdir(parents=True)
+            n_ok = self.populate_specs(self.data_split[split], output_dir)
+            logger.info(
+                "%s: %d/%d spectrograms saved to %s",
+                split.capitalize(), n_ok, len(self.data_split[split]), output_dir,
+            )
+
+    # ------------------------------------------------------------------
+    def populate_specs(self, ytids: List[str], output_dir: Path) -> int:
+        """Decode (threaded) -> batch -> device frontend -> save. Returns count."""
+        bs = self.config.device_batch_size
+        n_ok = 0
+        pending: List[Tuple[str, np.ndarray]] = []
+
+        def flush():
+            nonlocal n_ok
+            if not pending:
+                return
+            n_ok += self._process_device_batch(pending, output_dir)
+            pending.clear()
+
+        for ytid, wave in zip(ytids, self._decode_pool.map(self._decode_one, ytids)):
+            if wave is None:
+                continue
+            pending.append((ytid, wave))
+            if len(pending) == bs:
+                flush()
+        flush()
+        return n_ok
+
+    def _decode_one(self, ytid: str) -> Optional[np.ndarray]:
+        path = self.find_audio_file(ytid)
+        if path is None:
+            return None
+        try:
+            wave, _ = decode_audio(path, target_sr=self.config.common_sr)
+        except (AudioDecodeError, Exception) as e:  # skip-and-log, like reference
+            logger.info("skipping %s: %s", path, e)
+            return None
+        if len(wave) < self.config.n_fft:
+            logger.info("skipping %s: too short (%d samples)", path, len(wave))
+            return None
+        return wave
+
+    def find_audio_file(self, ytid: str) -> Optional[Path]:
+        """Probe ``{source}/{set}/{ytid[:2]}/{ytid}.flac`` (then ``.wav``)."""
+        for source_set in self.config.audio_source_sets:
+            base = Path(self.config.audio_source_path) / source_set / ytid[:2]
+            for ext in (".flac", ".wav"):
+                p = base / f"{ytid}{ext}"
+                if p.exists():
+                    return p
+        logger.debug("Audio file not found: %s", ytid)
+        return None
+
+    def _process_device_batch(
+        self, items: List[Tuple[str, np.ndarray]], output_dir: Path
+    ) -> int:
+        bs = self.config.device_batch_size
+        waves = [w for _, w in items]
+        batch, lengths = self.frontend.prepare_batch(waves)
+        if len(items) < bs:  # pad to the static batch shape; extra rows ignored
+            pad = np.zeros((bs - len(items), batch.shape[1]), np.float32)
+            batch = np.concatenate([batch, pad], axis=0)
+            lengths = np.concatenate([lengths, np.zeros(bs - len(items), np.int32)])
+        if self.config.normalize:
+            specs = np.asarray(self.frontend.normalized(batch, lengths))
+        else:
+            specs = np.asarray(self.frontend(batch))
+
+        n_ok = 0
+        for i, (ytid, wave) in enumerate(items):
+            n_valid = num_frames(min(len(wave), self.config.clip_samples),
+                                 self.config.hop_length)
+            spec = specs[i, :, :n_valid]
+            if not np.isfinite(spec).all():
+                logger.debug("Warning: NaN/Inf values found in spectrogram %s", ytid)
+                continue
+            np.save(output_dir / f"{ytid}.npy", spec)
+            n_ok += 1
+        return n_ok
+
+
+if __name__ == "__main__":
+    SpectrogramGenerator(AudioTokensConfig.from_args()).run()

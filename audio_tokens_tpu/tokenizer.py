@@ -1,0 +1,94 @@
+"""Fused wav -> token-ID program: the framework's flagship compute path.
+
+In the reference a clip crosses the host/device boundary five times between
+waveform and token sequence (SURVEY.md §3.2-3.4).  Here it never leaves the
+device: framing+DFT (strided conv GEMM) -> mel GEMM -> dB -> [conv features]
+-> L2 normalize -> nearest-centroid argmin (GEMM) compile into ONE XLA
+program, batched over clips.
+
+This is the program `bench.py` measures and `infer.py` serves.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_tokens_tpu.config import AudioTokensConfig
+from audio_tokens_tpu.ops.mel import MelFrontend, num_frames
+from audio_tokens_tpu.ops.conv_features import ConvFeatures
+from audio_tokens_tpu.ops.vq import EPS
+
+
+class FusedTokenizer:
+    def __init__(
+        self,
+        config: AudioTokensConfig,
+        centroids: np.ndarray,
+        conv: Optional[ConvFeatures] = None,
+        compute_dtype=jnp.float32,
+    ):
+        self.config = config
+        self.frontend = MelFrontend(
+            sample_rate=config.common_sr,
+            n_mels=config.n_mels,
+            n_fft=config.n_fft,
+            hop_length=config.hop_length,
+            clip_samples=config.clip_samples,
+            compute_dtype=compute_dtype,
+        )
+        self.centroids = jnp.asarray(centroids, jnp.float32)
+        self.conv = conv
+        self.compute_dtype = compute_dtype
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def tokens_from_padded(self, padded_batch: jax.Array) -> jax.Array:
+        """(B, pad+T+pad) waveforms -> (B, frames_max) int32 token IDs."""
+        mel = self.frontend(padded_batch)  # (B, M, T)
+        b, m, t = mel.shape
+        frames = jnp.transpose(mel, (0, 2, 1)).reshape(b * t, m)
+        if self.conv is not None:
+            frames = self.conv(frames)
+        norms = jnp.sqrt(jnp.sum(frames * frames, axis=1, keepdims=True))
+        frames = frames / (norms + EPS)
+        c = self.centroids
+        c2 = jnp.sum(c * c, axis=1)[None, :]
+        scores = c2 - 2.0 * jnp.dot(
+            frames.astype(self.compute_dtype),
+            c.T.astype(self.compute_dtype),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.argmin(scores, axis=1).astype(jnp.int32).reshape(b, t)
+
+    def tokenize_waveforms(self, waves: List[np.ndarray]) -> List[np.ndarray]:
+        """Host convenience: list of 1-D float arrays -> per-clip token arrays
+        (trimmed to each clip's valid frame count)."""
+        batch, lengths = self.frontend.prepare_batch(waves)
+        tokens = np.asarray(self.tokens_from_padded(jnp.asarray(batch)))
+        out = []
+        for i, w in enumerate(waves):
+            n_valid = num_frames(
+                min(len(w), self.config.clip_samples), self.config.hop_length
+            )
+            out.append(tokens[i, :n_valid].astype(np.int64))
+        return out
+
+    @classmethod
+    def from_artifacts(cls, config: AudioTokensConfig) -> "FusedTokenizer":
+        """Load centroids (+ conv weights) from the pipeline's artifacts."""
+        from pathlib import Path
+
+        from audio_tokens_tpu.processors.cluster_creator import make_conv_features
+
+        centroids = np.load(config.centroids_path).astype(np.float32)
+        conv = make_conv_features(config)
+        if conv is not None:
+            state = Path(config.centroids_path).with_suffix(".conv.npz")
+            if state.exists():
+                conv.load_state_dict(dict(np.load(state)))
+        return cls(config, centroids, conv)

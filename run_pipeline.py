@@ -1,0 +1,36 @@
+"""Full 4-stage pipeline driver (reference: run_pipeline.py:8-14).
+
+Stage semantics and artifact contract match the reference: spectrograms ->
+centroids -> tokens -> trained classifier, all under one shared config.  The
+split manifest must exist first (``python -m audio_tokens_tpu.data.splitter``),
+exactly as in the reference (README.md:143).
+"""
+
+import logging
+
+from audio_tokens_tpu.config import AudioTokensConfig
+from audio_tokens_tpu.processors import (
+    ClusterCreator,
+    ModelTrainer,
+    SpecTokenizer,
+    SpectrogramGenerator,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def main(config: AudioTokensConfig | None = None):
+    config = config or AudioTokensConfig.from_args()
+    SpectrogramGenerator(config).run()
+    ClusterCreator(config).run()
+    SpecTokenizer(config).run()
+    val_loss, val_metrics = ModelTrainer(config).run()
+    logger.info(
+        "Pipeline complete. Final Val Loss: %.4f, Val mAP: %.4f",
+        val_loss, val_metrics["mAP"],
+    )
+    return val_loss, val_metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""End-to-end pipeline tests on the synthetic corpus: split -> spectrograms ->
+centroids -> tokens -> (model training tested separately in test_training)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+from audio_tokens_tpu.data.splitter import DatasetSplitter
+from audio_tokens_tpu.ops.mel import num_frames
+from audio_tokens_tpu.processors.cluster_creator import ClusterCreator
+from audio_tokens_tpu.processors.spec_tokenizer import SpecTokenizer
+from audio_tokens_tpu.processors.spectrogram_generator import SpectrogramGenerator
+from audio_tokens_tpu.tokenizer import FusedTokenizer
+from tests import fixtures
+
+
+@pytest.fixture(scope="module")
+def pipeline_ws(tmp_path_factory):
+    """Run stages 0-3 once on a small synthetic corpus."""
+    base = tmp_path_factory.mktemp("pipeline")
+    fixtures.make_workspace(base)
+    cfg = fixtures.test_config(base)
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+    SpectrogramGenerator(cfg).run()
+    ClusterCreator(cfg).run()
+    SpecTokenizer(cfg).run()
+    return base, cfg
+
+
+def test_spectrogram_artifacts(pipeline_ws):
+    base, cfg = pipeline_ws
+    split = json.loads(Path(cfg.split_file).read_text())
+    for split_name in ("train", "validation"):
+        out_dir = Path(cfg.dest_spec_path) / split_name
+        files = list(out_dir.glob("*.npy"))
+        assert len(files) == len(split[split_name])  # every synthetic clip decodes
+        spec = np.load(files[0])
+        assert spec.dtype == np.float32
+        assert spec.shape[0] == cfg.n_mels
+        assert np.isfinite(spec).all()
+
+
+def test_spectrogram_frame_counts_match_clip_lengths(pipeline_ws):
+    base, cfg = pipeline_ws
+    split = json.loads(Path(cfg.split_file).read_text())
+    ytid = split["train"][0]
+    i = int(ytid[2:6])
+    clip = fixtures.synth_clip(i)
+    spec = np.load(Path(cfg.dest_spec_path) / "train" / f"{ytid}.npy")
+    expected = num_frames(min(len(clip), cfg.clip_samples), cfg.hop_length)
+    assert spec.shape[1] == expected
+
+
+def test_centroid_artifacts(pipeline_ws):
+    base, cfg = pipeline_ws
+    centroids = np.load(cfg.centroids_path)
+    assert centroids.shape == (cfg.vocab_size, cfg.n_mels)
+    # L2-normalized (reference cluster_creator.py:58-59)
+    np.testing.assert_allclose(np.linalg.norm(centroids, axis=1), 1.0, atol=1e-4)
+    assert (Path(cfg.base_dir) / "output" / "centroids_visualization.png").exists()
+
+
+def test_token_artifacts_one_token_per_frame(pipeline_ws):
+    base, cfg = pipeline_ws
+    for split_name in ("train", "validation"):
+        spec_dir = Path(cfg.dest_spec_path) / split_name
+        tok_dir = Path(cfg.dest_tokenized_path) / split_name
+        specs = sorted(spec_dir.glob("*.npy"))
+        toks = sorted(tok_dir.glob("*.npy"))
+        assert [f.stem for f in specs] == [f.stem for f in toks]
+        for sf, tf in zip(specs[:5], toks[:5]):
+            spec, tok = np.load(sf), np.load(tf)
+            assert tok.shape == (spec.shape[1],)  # one token per STFT frame
+            assert tok.dtype == np.int64
+            assert tok.min() >= 0 and tok.max() < cfg.vocab_size
+
+
+def test_tokens_match_manual_assignment(pipeline_ws):
+    """Stage-3 output must equal brute-force nearest-centroid by hand."""
+    base, cfg = pipeline_ws
+    centroids = np.load(cfg.centroids_path)
+    tok_dir = Path(cfg.dest_tokenized_path) / "train"
+    spec_dir = Path(cfg.dest_spec_path) / "train"
+    f = sorted(spec_dir.glob("*.npy"))[0]
+    frames = np.load(f).T.astype(np.float32)
+    frames = frames / (np.linalg.norm(frames, axis=1, keepdims=True) + 1e-10)
+    brute = ((frames[:, None, :] - centroids[None]) ** 2).sum(-1).argmin(1)
+    saved = np.load(tok_dir / f.name)
+    np.testing.assert_array_equal(saved, brute)
+
+
+def test_fused_tokenizer_matches_staged_pipeline(pipeline_ws):
+    """wav -> tokens in one device program == spectrogram stage + tokenize
+    stage composed through .npy artifacts."""
+    base, cfg = pipeline_ws
+    split = json.loads(Path(cfg.split_file).read_text())
+    ytid = split["train"][1]
+    i = int(ytid[2:6])
+    clip = fixtures.synth_clip(i)
+
+    fused = FusedTokenizer.from_artifacts(cfg)
+    fused_tokens = fused.tokenize_waveforms([clip])[0]
+    staged = np.load(Path(cfg.dest_tokenized_path) / "train" / f"{ytid}.npy")
+    assert fused_tokens.shape == staged.shape
+    # identical up to fp associativity at VQ boundaries: require exact match
+    np.testing.assert_array_equal(fused_tokens, staged)
+
+
+def test_rerun_is_destructive_and_deterministic(pipeline_ws):
+    """Stages wipe + recreate their output dirs (reference §2.7.8) and are
+    deterministic at fixed seed."""
+    base, cfg = pipeline_ws
+    tok_dir = Path(cfg.dest_tokenized_path) / "train"
+    before = {f.name: np.load(f) for f in sorted(tok_dir.glob("*.npy"))[:3]}
+    marker = tok_dir / "stale_marker.npy"
+    np.save(marker, np.zeros(3))
+    SpecTokenizer(cfg).run()
+    assert not marker.exists()
+    for name, arr in before.items():
+        np.testing.assert_array_equal(np.load(tok_dir / name), arr)
+
+
+def test_zipf_stats_present(pipeline_ws):
+    base, cfg = pipeline_ws
+    stats = SpecTokenizer(cfg).run()
+    s = stats["train"]
+    assert s["total_tokens"] > 0
+    assert 0 < s["unique_tokens"] <= cfg.vocab_size
+    assert "zipf_slope" in s
