@@ -11,10 +11,9 @@ simply position 0 of the encoded sequence, and with the reference's
 degenerate all-ones masks (``lengths=None``) attention is unmasked.
 
 TPU notes: attention and MLP matmuls run in ``compute_dtype`` (bf16 on the
-MXU) with fp32 accumulation and fp32 LayerNorm/softmax; weights carry
-logical-axis annotations (``embed``/``mlp``/``heads``) so a ``model`` mesh
-axis can tensor-shard the MLP + attention projections via
-``flax.linen.logical_to_mesh``-style rules in the trainer.
+MXU) with fp32 accumulation and fp32 LayerNorm/softmax; ``TP_RULES`` maps
+param paths to Megatron-style column/row shardings over a ``model`` mesh axis
+(applied by ``parallel.tp_param_specs``).
 """
 
 from __future__ import annotations
@@ -24,12 +23,21 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-# Logical-axis annotations for tensor parallelism.
-KERNEL_TP_COL = nn.with_logical_partitioning(
-    nn.initializers.lecun_normal(), ("embed", "mlp")
-)
-KERNEL_TP_ROW = nn.with_logical_partitioning(
-    nn.initializers.lecun_normal(), ("mlp", "embed")
+# Tensor-parallel partition rules: param-path substring -> PartitionSpec axes
+# over the ('data', 'model') mesh.  Megatron layout: column-parallel up/QKV
+# projections, row-parallel down/output projections; everything else
+# replicated.  Consumed by parallel.tp_param_spec / __graft_entry__.
+TP_RULES = (
+    ("mlp_in/kernel", (None, "model")),
+    ("mlp_in/bias", ("model",)),
+    ("mlp_out/kernel", ("model", None)),
+    ("attention/query/kernel", (None, None, "model")),
+    ("attention/key/kernel", (None, None, "model")),
+    ("attention/value/kernel", (None, None, "model")),
+    ("attention/query/bias", (None, "model")),
+    ("attention/key/bias", (None, "model")),
+    ("attention/value/bias", (None, "model")),
+    ("attention/out/kernel", (None, "model", None)),
 )
 
 
@@ -54,12 +62,10 @@ class EncoderBlock(nn.Module):
         x = nn.LayerNorm(dtype=jnp.float32, name="attn_ln")(x + attn)
         # --- MLP ---
         h = nn.Dense(4 * self.hidden_size, dtype=self.compute_dtype,
-                     param_dtype=jnp.float32, kernel_init=KERNEL_TP_COL,
-                     name="mlp_in")(x)
+                     param_dtype=jnp.float32, name="mlp_in")(x)
         h = nn.gelu(h)
         h = nn.Dense(self.hidden_size, dtype=self.compute_dtype,
-                     param_dtype=jnp.float32, kernel_init=KERNEL_TP_ROW,
-                     name="mlp_out")(h)
+                     param_dtype=jnp.float32, name="mlp_out")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return nn.LayerNorm(dtype=jnp.float32, name="mlp_ln")(x + h)
 

@@ -60,3 +60,32 @@ def replicated(mesh: Mesh, tree):
     """Device-put a pytree fully replicated over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def tp_param_specs(params, rules) -> dict:
+    """PartitionSpec tree for a params pytree from (path-substring, axes)
+    rules; unmatched params are replicated.
+
+    ``rules`` come from the model (e.g. ``models.transformer.TP_RULES``);
+    paths are '/'-joined flax param paths.
+    """
+
+    def spec_for(path, leaf):
+        path_str = "/".join(str(getattr(k, "key", k)) for k in path)
+        for substr, axes in rules:
+            if substr in path_str:
+                if len(axes) != leaf.ndim:
+                    raise ValueError(
+                        f"rule {substr}: {len(axes)} axes vs {leaf.ndim}-d param {path_str}"
+                    )
+                return P(*axes)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def tp_shardings(mesh: Mesh, params, rules):
+    """NamedSharding tree for params under TP rules."""
+    specs = tp_param_specs(params, rules)
+    return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs,
+                                  is_leaf=lambda x: isinstance(x, P))
