@@ -71,7 +71,7 @@ def _lloyd_stats(x_chunks, mask_chunks, centroids, precision, axis_name=None):
     if axis_name is not None:
         # Under shard_map the carry accumulates device-varying data; mark the
         # zero init as varying over the mesh axis so scan's carry types match.
-        init = jax.lax.pvary(init, axis_name)
+        init = jax.lax.pcast(init, axis_name, to="varying")
     (sums, counts, obj), _ = jax.lax.scan(body, init, (x_chunks, mask_chunks))
     return sums, counts, obj
 
