@@ -1,0 +1,106 @@
+"""ctypes binding for the native audio ingestion library (native/audiodec.cpp).
+
+``decode_batch`` decodes N clips in a C++ thread pool straight into the
+reflect-padded (B, pad+clip+pad) float32 buffer the device mel program
+consumes — one memcpy-free handoff from disk to ``MelFrontend``.
+
+Falls back silently when the library isn't built; ``available()`` reports
+status and ``config.audio_backend`` selects the path ('auto'/'native'/'python').
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_LIB_PATH = Path(__file__).resolve().parents[2] / "native" / "libaudiodec.so"
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not _LIB_PATH.exists():
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.atk_version.restype = ctypes.c_int
+        lib.atk_last_error.restype = ctypes.c_char_p
+        lib.atk_decode_file.restype = ctypes.c_int64
+        lib.atk_decode_file.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
+        lib.atk_decode_batch.restype = ctypes.c_int
+        lib.atk_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ]
+        assert lib.atk_version() == 1
+        _lib = lib
+        logger.info("native audio decoder loaded: %s", _LIB_PATH)
+    except Exception as e:
+        logger.warning("native audio decoder unavailable: %s", e)
+        _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def last_error() -> str:
+    lib = _load()
+    return lib.atk_last_error().decode() if lib else "library not loaded"
+
+
+def decode_file(path, target_sr: int, max_seconds: float = 60.0) -> np.ndarray:
+    """Decode one file to mono float32 at target_sr (native)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder not built (python native/build.py)")
+    max_samples = int(target_sr * max_seconds)
+    out = np.empty(max_samples, np.float32)
+    n = lib.atk_decode_file(
+        str(path).encode(), target_sr,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_samples,
+    )
+    if n < 0:
+        raise RuntimeError(f"decode failed for {path}: {last_error()}")
+    return out[:n].copy()
+
+
+def decode_batch(
+    paths: List, target_sr: int, clip_samples: int, n_fft: int,
+    n_threads: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Threaded batch decode -> (padded (B, pad+clip+pad) float32, lengths (B,)).
+
+    lengths[i] == -1 marks a failed decode (row zeroed); caller applies the
+    reference's skip-and-log semantics.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder not built (python native/build.py)")
+    n = len(paths)
+    pad = n_fft // 2
+    row_len = clip_samples + 2 * pad
+    out = np.zeros((n, row_len), np.float32)
+    lengths = np.zeros(n, np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.atk_decode_batch(
+        c_paths, n, target_sr, clip_samples, n_fft, n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out, lengths

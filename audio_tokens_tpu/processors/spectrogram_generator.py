@@ -25,6 +25,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from audio_tokens_tpu.config import AudioTokensConfig
+from audio_tokens_tpu.data import native_loader
 from audio_tokens_tpu.data.audio_io import AudioDecodeError, decode_audio
 from audio_tokens_tpu.ops.mel import MelFrontend, num_frames
 
@@ -45,6 +46,16 @@ class SpectrogramGenerator:
         with open(config.split_file, "r") as f:
             self.data_split = json.load(f)
         self._decode_pool = ThreadPoolExecutor(max_workers=config.num_workers)
+        self.use_native = config.audio_backend in ("auto", "native") and (
+            native_loader.available()
+        )
+        if config.audio_backend == "native" and not self.use_native:
+            raise RuntimeError(
+                "audio_backend='native' but native/libaudiodec.so is not built "
+                "(python native/build.py)"
+            )
+        logger.info("audio decode backend: %s",
+                    "native C++" if self.use_native else "python")
 
     def run(self) -> None:
         for split in ["train", "validation"]:
@@ -61,6 +72,8 @@ class SpectrogramGenerator:
     # ------------------------------------------------------------------
     def populate_specs(self, ytids: List[str], output_dir: Path) -> int:
         """Decode (threaded) -> batch -> device frontend -> save. Returns count."""
+        if self.use_native:
+            return self._populate_specs_native(ytids, output_dir)
         bs = self.config.device_batch_size
         n_ok = 0
         pending: List[Tuple[str, np.ndarray]] = []
@@ -79,6 +92,43 @@ class SpectrogramGenerator:
             if len(pending) == bs:
                 flush()
         flush()
+        return n_ok
+
+    def _populate_specs_native(self, ytids: List[str], output_dir: Path) -> int:
+        """C++ threaded decode straight into the device-ready padded layout."""
+        cfg = self.config
+        bs = cfg.device_batch_size
+        n_ok = 0
+        found = [(y, p) for y in ytids if (p := self.find_audio_file(y)) is not None]
+        for i in range(0, len(found), bs):
+            chunk = found[i : i + bs]
+            batch, lengths = native_loader.decode_batch(
+                [p for _, p in chunk], cfg.common_sr, cfg.clip_samples,
+                cfg.n_fft, n_threads=cfg.num_workers,
+            )
+            if len(chunk) < bs:  # keep the compiled shape
+                batch = np.concatenate(
+                    [batch, np.zeros((bs - len(chunk), batch.shape[1]), np.float32)]
+                )
+                lengths = np.concatenate(
+                    [lengths, np.full(bs - len(chunk), -1, np.int32)]
+                )
+            ok_lengths = np.maximum(lengths, 0)
+            if cfg.normalize:
+                specs = np.asarray(self.frontend.normalized(batch, ok_lengths))
+            else:
+                specs = np.asarray(self.frontend(batch))
+            for row, (ytid, path) in enumerate(chunk):
+                if lengths[row] < 0:
+                    logger.info("skipping %s: %s", path, native_loader.last_error())
+                    continue
+                n_valid = num_frames(int(lengths[row]), cfg.hop_length)
+                spec = specs[row, :, :n_valid]
+                if not np.isfinite(spec).all():
+                    logger.debug("Warning: NaN/Inf values found in spectrogram %s", ytid)
+                    continue
+                np.save(output_dir / f"{ytid}.npy", spec)
+                n_ok += 1
         return n_ok
 
     def _decode_one(self, ytid: str) -> Optional[np.ndarray]:

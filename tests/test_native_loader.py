@@ -1,0 +1,97 @@
+"""Native C++ decoder cross-checked against the pure-python reference
+implementations on identical fixtures.  Skipped when the library isn't built
+(CI builds it via `python native/build.py`)."""
+
+import numpy as np
+import pytest
+
+from audio_tokens_tpu.data import native_loader
+from audio_tokens_tpu.data.audio_io import decode_audio
+from audio_tokens_tpu.ops.mel import reflect_pad_clip
+from tests import fixtures
+from tests.flac_encoder import encode_flac_fixed_order1, encode_flac_verbatim
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available(), reason="native decoder not built"
+)
+
+
+def test_native_wav_matches_python(tmp_path, rng):
+    x = rng.random(22050).astype(np.float32) - 0.5
+    fixtures.write_wav(tmp_path / "a.wav", x, sr=22050)
+    native = native_loader.decode_file(tmp_path / "a.wav", 22050)
+    python, _ = decode_audio(tmp_path / "a.wav", target_sr=22050)
+    np.testing.assert_allclose(native, python, atol=1e-7)
+
+
+def test_native_wav_stereo_downmix(tmp_path, rng):
+    x = rng.random(8000).astype(np.float32) - 0.5
+    fixtures.write_wav(tmp_path / "s.wav", x, sr=16000, channels=2)
+    native = native_loader.decode_file(tmp_path / "s.wav", 16000)
+    python, _ = decode_audio(tmp_path / "s.wav", target_sr=16000)
+    np.testing.assert_allclose(native, python, atol=1e-6)
+
+
+def test_native_resample_matches_python(tmp_path, rng):
+    x = np.sin(np.arange(44100) * 0.03).astype(np.float32)
+    fixtures.write_wav(tmp_path / "r.wav", x, sr=44100)
+    native = native_loader.decode_file(tmp_path / "r.wav", 22050)
+    python, _ = decode_audio(tmp_path / "r.wav", target_sr=22050)
+    assert len(native) == len(python)
+    np.testing.assert_allclose(native, python, atol=2e-5)
+
+
+def test_native_flac_matches_python(tmp_path, rng):
+    pcm = (rng.random((9000, 2)) * 60000 - 30000).astype(np.int32)
+    (tmp_path / "m.flac").write_bytes(encode_flac_verbatim(pcm, 22050, block_size=4096))
+    native = native_loader.decode_file(tmp_path / "m.flac", 22050)
+    python, _ = decode_audio(tmp_path / "m.flac", target_sr=22050)
+    np.testing.assert_allclose(native, python, atol=1e-6)
+
+
+def test_native_flac_fixed_rice(tmp_path):
+    ramp = np.cumsum(np.array([100, 3, -2, 5, 0, -7, 4, 4, -3, 2, 1, -1]))
+    (tmp_path / "f.flac").write_bytes(encode_flac_fixed_order1(ramp, 22050, rice_param=2))
+    native = native_loader.decode_file(tmp_path / "f.flac", 22050)
+    np.testing.assert_allclose(native * 32768.0, ramp, atol=0.01)
+
+
+def test_native_batch_layout_matches_reflect_pad(tmp_path, rng):
+    """Batch rows must equal reflect_pad_clip of the python-decoded clip."""
+    sr, clip_samples, n_fft = 22050, 22050, 256
+    paths = []
+    for i in range(5):
+        x = fixtures.synth_clip(i, seconds=0.8)
+        p = tmp_path / f"c{i}.wav"
+        fixtures.write_wav(p, x, sr=sr)
+        paths.append(p)
+    batch, lengths = native_loader.decode_batch(paths, sr, clip_samples, n_fft,
+                                                n_threads=3)
+    assert batch.shape == (5, clip_samples + n_fft)
+    for i, p in enumerate(paths):
+        wav, _ = decode_audio(p, target_sr=sr)
+        assert lengths[i] == min(len(wav), clip_samples)
+        expect = reflect_pad_clip(wav, clip_samples, n_fft)
+        np.testing.assert_allclose(batch[i], expect, atol=1e-6)
+
+
+def test_native_batch_failed_decode_marked(tmp_path, rng):
+    good = tmp_path / "g.wav"
+    fixtures.write_wav(good, fixtures.synth_clip(0, 0.5), sr=22050)
+    bad = tmp_path / "b.wav"
+    bad.write_bytes(b"garbage")
+    batch, lengths = native_loader.decode_batch(
+        [good, bad, tmp_path / "missing.wav"], 22050, 22050, 256
+    )
+    assert lengths[0] > 0
+    assert lengths[1] == -1 and lengths[2] == -1
+    assert np.all(batch[1] == 0) and np.all(batch[2] == 0)
+
+
+def test_native_truncates_long_clip(tmp_path):
+    x = fixtures.synth_clip(1, seconds=2.0)
+    p = tmp_path / "long.wav"
+    fixtures.write_wav(p, x, sr=22050)
+    clip_samples = 11025
+    batch, lengths = native_loader.decode_batch([p], 22050, clip_samples, 256)
+    assert lengths[0] == clip_samples
