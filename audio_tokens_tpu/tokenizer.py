@@ -48,9 +48,9 @@ class FusedTokenizer:
     @functools.partial(jax.jit, static_argnums=0)
     def tokens_from_padded(self, padded_batch: jax.Array) -> jax.Array:
         """(B, pad+T+pad) waveforms -> (B, frames_max) int32 token IDs."""
-        mel = self.frontend(padded_batch)  # (B, M, T)
-        b, m, t = mel.shape
-        frames = jnp.transpose(mel, (0, 2, 1)).reshape(b * t, m)
+        mel = self.frontend.mel_frames(padded_batch)  # (B, T, M)
+        b, t, m = mel.shape
+        frames = mel.reshape(b * t, m)
         if self.conv is not None:
             frames = self.conv(frames)
         norms = jnp.sqrt(jnp.sum(frames * frames, axis=1, keepdims=True))
