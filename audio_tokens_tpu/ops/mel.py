@@ -184,18 +184,19 @@ class MelFrontend:
             n_blocks = padded_batch.shape[1] // hop
             blocks = padded_batch[:, : n_blocks * hop].reshape(b, n_blocks, hop)
             blocks = blocks.astype(self.compute_dtype)
-            spec = None
-            for j in range(r):
-                w_j = self._basis[j * hop : (j + 1) * hop].astype(self.compute_dtype)
-                part = jax.lax.dot_general(
-                    blocks[:, j : j + t_max],
-                    w_j,
-                    (((2,), (0,)), ((), ())),
-                    precision=self.precision,
-                    preferred_element_type=jnp.float32,
-                )
-                spec = part if spec is None else spec + part
-            return spec  # (B, T, 2F)
+            # frame t = blocks[t..t+R-1] concatenated: one (B,T,n_fft) view
+            # copy, then a single (n_fft, 2F) GEMM.  Measured faster than
+            # summing R shifted GEMMs (fewer full-size partial accumulations).
+            frames = jnp.concatenate(
+                [blocks[:, j : j + t_max] for j in range(r)], axis=-1
+            )  # (B, T, n_fft)
+            return jax.lax.dot_general(
+                frames,
+                self._basis.astype(self.compute_dtype),
+                (((2,), (0,)), ((), ())),
+                precision=self.precision,
+                preferred_element_type=jnp.float32,
+            )  # (B, T, 2F)
         x = padded_batch[:, None, :].astype(self.compute_dtype)  # (B, 1, L)
         spec = jax.lax.conv_general_dilated(
             x,

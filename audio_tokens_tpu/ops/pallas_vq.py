@@ -1,0 +1,122 @@
+"""Pallas TPU kernel: fused L2-normalize + nearest-centroid assignment.
+
+The XLA path (ops/vq.py) materializes the (N, K) score matrix in HBM between
+the distance GEMM and the argmin (for N = 55k frames x K = 500 that is
+~110 MB of round-trip traffic per batch).  This kernel keeps everything in
+VMEM: per grid step it loads a frame tile, normalizes it on the VPU, runs the
+(TILE, d) x (d, K) distance GEMM on the MXU against the VMEM-resident
+centroid block, and reduces the argmin — only the (TILE,) token IDs ever
+leave the chip.
+
+Shapes are padded to hardware tiles by the wrapper: d -> multiple of 128
+(zero-pad: L2 distances unchanged), K -> multiple of 128 (pad rows get +inf
+scores), N -> multiple of the frame tile (outputs trimmed).
+
+Falls back to interpret mode off-TPU so tests run on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS = 1e-10  # matches ops/vq.py / reference normalize_vectors
+TILE_N = 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _vq_kernel(f_ref, ct_ref, c2_ref, out_ref, *, normalize: bool):
+    f = f_ref[:]  # (TILE_N, d_pad) f32
+    if normalize:
+        norms = jnp.sqrt(jnp.sum(f * f, axis=1, keepdims=True))
+        f = f / (norms + EPS)
+    # scores = ||c||^2 - 2 f.c   (argmin-equivalent to the true sq-distance)
+    fc = jax.lax.dot_general(
+        f, ct_ref[:], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,  # f32-exact for token parity
+        preferred_element_type=jnp.float32,
+    )  # (TILE, K_pad)
+    scores = c2_ref[:] - 2.0 * fc
+    out_ref[:] = jnp.argmin(scores, axis=1).astype(jnp.int32)[:, None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("normalize", "interpret", "tile_n")
+)
+def _vq_pallas_jit(frames, centroids, normalize, interpret, tile_n):
+    """Pad to hardware tiles, run the kernel, trim — all one compiled program."""
+    n, d = frames.shape
+    k = centroids.shape[0]
+    d_pad = _round_up(d, 128)
+    k_pad = _round_up(k, 128)
+    n_pad = _round_up(n, tile_n)
+
+    if d_pad != d:
+        frames = jnp.pad(frames, ((0, 0), (0, d_pad - d)))
+        centroids = jnp.pad(centroids, ((0, 0), (0, d_pad - d)))
+    if n_pad != n:
+        frames = jnp.pad(frames, ((0, n_pad - n), (0, 0)))
+    c2 = jnp.sum(centroids * centroids, axis=1)
+    if k_pad != k:
+        centroids = jnp.pad(centroids, ((0, k_pad - k), (0, 0)))
+        c2 = jnp.pad(c2, (0, k_pad - k), constant_values=jnp.float32(np.inf))
+
+    out = pl.pallas_call(
+        functools.partial(_vq_kernel, normalize=normalize),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        grid_spec=pl.GridSpec(
+            grid=(n_pad // tile_n,),
+            in_specs=[
+                pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_pad, k_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * d_pad * k_pad,
+            bytes_accessed=n_pad * d_pad * 4 + d_pad * k_pad * 4 + n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(frames, centroids.T, c2[None, :])
+    return out[:n, 0]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def vq_assign_pallas(
+    frames,
+    centroids,
+    normalize: bool = False,
+    tile_n: int = TILE_N,
+    interpret: bool | None = None,
+):
+    """Token IDs for each frame row; optionally fusing the L2 normalize.
+
+    frames (N, d) float32, centroids (K, d) float32 -> (N,) int32.
+    Accepts any N/K/d; pads to hardware tiles internally.
+    """
+    frames = jnp.asarray(frames, jnp.float32)
+    centroids = jnp.asarray(centroids, jnp.float32)
+    if interpret is None:
+        interpret = not _on_tpu()
+    tile_n = min(tile_n, _round_up(frames.shape[0], 8))
+    return _vq_pallas_jit(frames, centroids, normalize, interpret, tile_n)

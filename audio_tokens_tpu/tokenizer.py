@@ -2,9 +2,11 @@
 
 In the reference a clip crosses the host/device boundary five times between
 waveform and token sequence (SURVEY.md §3.2-3.4).  Here it never leaves the
-device: framing+DFT (strided conv GEMM) -> mel GEMM -> dB -> [conv features]
--> L2 normalize -> nearest-centroid argmin (GEMM) compile into ONE XLA
-program, batched over clips.
+device: framing+DFT (shifted-block GEMMs) -> mel GEMM -> dB -> [conv
+features] -> fused normalize+distance+argmin compile into ONE program,
+batched over clips.  The VQ step uses the Pallas kernel (ops/pallas_vq.py) on
+TPU — normalize, distance GEMM and argmin never leave VMEM — and the chunked
+XLA path elsewhere.
 
 This is the program `bench.py` measures and `infer.py` serves.
 """
@@ -21,6 +23,7 @@ import numpy as np
 from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.ops.mel import MelFrontend, num_frames
 from audio_tokens_tpu.ops.conv_features import ConvFeatures
+from audio_tokens_tpu.ops.pallas_vq import _on_tpu, vq_assign_pallas
 from audio_tokens_tpu.ops.vq import EPS
 
 
@@ -31,6 +34,7 @@ class FusedTokenizer:
         centroids: np.ndarray,
         conv: Optional[ConvFeatures] = None,
         compute_dtype=jnp.float32,
+        use_pallas: Optional[bool] = None,
     ):
         self.config = config
         self.frontend = MelFrontend(
@@ -44,6 +48,7 @@ class FusedTokenizer:
         self.centroids = jnp.asarray(centroids, jnp.float32)
         self.conv = conv
         self.compute_dtype = compute_dtype
+        self.use_pallas = _on_tpu() if use_pallas is None else use_pallas
 
     @functools.partial(jax.jit, static_argnums=0)
     def tokens_from_padded(self, padded_batch: jax.Array) -> jax.Array:
@@ -53,6 +58,11 @@ class FusedTokenizer:
         frames = mel.reshape(b * t, m)
         if self.conv is not None:
             frames = self.conv(frames)
+        if self.use_pallas:
+            tokens = vq_assign_pallas(
+                frames, self.centroids, normalize=True, interpret=False
+            )
+            return tokens.reshape(b, t)
         norms = jnp.sqrt(jnp.sum(frames * frames, axis=1, keepdims=True))
         frames = frames / (norms + EPS)
         c = self.centroids

@@ -1,0 +1,47 @@
+"""Pallas fused VQ kernel vs brute force / XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from audio_tokens_tpu.ops.pallas_vq import vq_assign_pallas
+from audio_tokens_tpu.ops.vq import l2_normalize, vq_assign
+
+
+def test_pallas_matches_bruteforce(rng):
+    x = rng.standard_normal((300, 24)).astype(np.float32)
+    c = rng.standard_normal((37, 24)).astype(np.float32)
+    ours = np.asarray(vq_assign_pallas(x, c, tile_n=128))
+    brute = ((x[:, None, :] - c[None]) ** 2).sum(-1).argmin(1)
+    np.testing.assert_array_equal(ours, brute)
+
+
+def test_pallas_matches_xla_path(rng):
+    x = rng.standard_normal((1000, 64)).astype(np.float32)
+    c = rng.standard_normal((500, 64)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(vq_assign_pallas(x, c, tile_n=256)), vq_assign(x, c, chunk=250)
+    )
+
+
+def test_pallas_fused_normalize(rng):
+    x = (rng.standard_normal((256, 32)) * 5).astype(np.float32)
+    c = rng.standard_normal((16, 32)).astype(np.float32)
+    fused = np.asarray(vq_assign_pallas(x, c, normalize=True, tile_n=128))
+    manual = vq_assign(np.asarray(l2_normalize(x)), c)
+    np.testing.assert_array_equal(fused, manual)
+
+
+def test_pallas_ragged_shapes(rng):
+    # N not multiple of tile, K not multiple of 128, d not multiple of 128
+    x = rng.standard_normal((517, 40)).astype(np.float32)
+    c = rng.standard_normal((130, 40)).astype(np.float32)
+    ours = np.asarray(vq_assign_pallas(x, c, tile_n=256))
+    brute = ((x[:, None, :] - c[None]) ** 2).sum(-1).argmin(1)
+    assert ours.shape == (517,)
+    np.testing.assert_array_equal(ours, brute)
+
+
+def test_pallas_tie_break_low_index():
+    c = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]], np.float32)
+    x = np.array([[1.0, 0.0]], np.float32)
+    assert int(vq_assign_pallas(x, c, tile_n=8)[0]) == 0
