@@ -144,6 +144,7 @@ class AudioTokensConfig:
     kmeans_mode: str = "batch_warm_start"
 
     # Trainer extensions.
+    resume_from: str = ""  # checkpoint name under checkpoint_dir to resume from
     eval_batch_size: int = 0  # 0 -> same as training_batch_size
     checkpoint_dir: str = ""  # resolved under base_dir/output
     save_best_checkpoint: bool = True

@@ -25,7 +25,7 @@ _INPUT_KINDS = {
 
 
 def model_input_kind(config: AudioTokensConfig) -> str:
-    if config.model_type in ("lstm",) and config.use_precomputed_embeddings:
+    if config.model_type in ("lstm", "bert") and config.use_precomputed_embeddings:
         return "spec"  # raw-frame embeddings path (reference lstm :26-31)
     try:
         return _INPUT_KINDS[config.model_type]

@@ -83,8 +83,15 @@ class TransformerClassifier(nn.Module):
     def __call__(self, tokens, lengths: Optional[jnp.ndarray] = None,
                  deterministic: bool = True):
         tokens = tokens[:, : self.max_position]
-        b, t = tokens.shape
-        x = nn.Embed(self.vocab_size, self.hidden_size, name="tok_embed")(tokens)
+        if jnp.issubdtype(tokens.dtype, jnp.integer):
+            b, t = tokens.shape
+            x = nn.Embed(self.vocab_size, self.hidden_size, name="tok_embed")(tokens)
+        else:
+            # skip-tokenization branch: raw mel frames (B, T, D) projected to
+            # hidden — the transformer counterpart of the LSTM's
+            # use_precomputed_embeddings path (exercises the fused STFT alone)
+            b, t = tokens.shape[:2]
+            x = nn.Dense(self.hidden_size, name="frame_proj")(tokens)
         pos = nn.Embed(self.max_position, self.hidden_size, name="pos_embed")(
             jnp.arange(t)[None, :]
         )

@@ -53,6 +53,28 @@ class FusedTokenizer:
     @functools.partial(jax.jit, static_argnums=0)
     def tokens_from_padded(self, padded_batch: jax.Array) -> jax.Array:
         """(B, pad+T+pad) waveforms -> (B, frames_max) int32 token IDs."""
+        return self._tokens_impl(padded_batch)
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def tokens_sharded(self, padded_batch: jax.Array, mesh) -> jax.Array:
+        """Multi-chip tokenization: batch sharded over the mesh's 'data' axis.
+
+        The program is embarrassingly batch-parallel, but the Pallas VQ kernel
+        can't be auto-partitioned by GSPMD, so each device runs the full fused
+        program on its local shard under shard_map (zero collectives).
+        """
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = mesh.shape["data"]
+        if padded_batch.shape[0] % n_dev:
+            raise ValueError(
+                f"batch {padded_batch.shape[0]} not divisible by data={n_dev}"
+            )
+        return jax.shard_map(
+            self._tokens_impl, mesh=mesh, in_specs=P("data"), out_specs=P("data")
+        )(padded_batch)
+
+    def _tokens_impl(self, padded_batch: jax.Array) -> jax.Array:
         mel = self.frontend.mel_frames(padded_batch)  # (B, T, M)
         b, t, m = mel.shape
         frames = mel.reshape(b * t, m)

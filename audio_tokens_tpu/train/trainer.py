@@ -73,6 +73,19 @@ class Trainer:
         best_metric = 0.0
         epochs_since_best = 0
         step = 0
+        if cfg.resume_from:
+            params, opt_state, step, best_metric = ckpt.load_checkpoint(
+                cfg.checkpoint_dir, cfg.resume_from, params, opt_state
+            )
+            if self.mesh is not None:
+                from audio_tokens_tpu.parallel.mesh import replicated
+
+                params = replicated(self.mesh, params)
+                opt_state = replicated(self.mesh, opt_state)
+            logger.info(
+                "resumed from %s at step %d (best mAP %.4f)",
+                cfg.resume_from, step, best_metric,
+            )
         val_loss, val_metrics = float("nan"), {"mAP": 0.0}
 
         for epoch in range(cfg.epochs):

@@ -1,0 +1,102 @@
+"""Resume-from-checkpoint, non-compat (true lengths) mode, and the
+skip-tokenization transformer branch."""
+
+import numpy as np
+import pytest
+
+from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+from audio_tokens_tpu.data.splitter import DatasetSplitter
+from audio_tokens_tpu.processors.cluster_creator import ClusterCreator
+from audio_tokens_tpu.processors.model_trainer import ModelTrainer
+from audio_tokens_tpu.processors.spec_tokenizer import SpecTokenizer
+from audio_tokens_tpu.processors.spectrogram_generator import SpectrogramGenerator
+from tests import fixtures
+
+
+@pytest.fixture(scope="module")
+def ws(tmp_path_factory):
+    base = tmp_path_factory.mktemp("extras_ws")
+    fixtures.make_workspace(base)
+    cfg = fixtures.test_config(base)
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+    SpectrogramGenerator(cfg).run()
+    ClusterCreator(cfg).run()
+    SpecTokenizer(cfg).run()
+    return base
+
+
+def test_resume_from_checkpoint(ws):
+    cfg = fixtures.test_config(ws, model_type="simple", epochs=2,
+                               learning_rate=3e-3)
+    t1 = ModelTrainer(cfg)
+    t1.run()
+
+    cfg2 = fixtures.test_config(ws, model_type="simple", epochs=1,
+                                learning_rate=3e-3, resume_from="no-wandb-best")
+    t2 = ModelTrainer(cfg2)
+    val_loss, metrics = t2.run()
+    assert np.isfinite(val_loss)
+
+
+def test_resume_missing_checkpoint_errors(ws):
+    cfg = fixtures.test_config(ws, model_type="simple", epochs=1,
+                               resume_from="not-a-checkpoint")
+    with pytest.raises(FileNotFoundError):
+        ModelTrainer(cfg).run()
+
+
+def test_non_compat_mode_trains_lstm(ws):
+    """reference_compat=False: true lengths drive masking/packing."""
+    cfg = fixtures.test_config(
+        ws, model_type="lstm", epochs=1, reference_compat=False,
+        save_best_checkpoint=False, num_layers=1,
+    )
+    trainer = ModelTrainer(cfg)
+    assert trainer.use_lengths
+    val_loss, metrics = trainer.run()
+    assert np.isfinite(val_loss)
+
+
+def test_lstm_masking_final_state_correct(rng):
+    """The masked-scan biLSTM's final state must equal running the unpadded
+    sequence alone."""
+    import jax.numpy as jnp
+
+    from audio_tokens_tpu.models.lstm import SimpleLSTMTokenClassifier
+    from audio_tokens_tpu.utils.seeding import key_for
+
+    model = SimpleLSTMTokenClassifier(
+        vocab_size=11, embed_dim=8, hidden_dim=6, num_layers=1, num_classes=3
+    )
+    toks = rng.integers(0, 11, (1, 10)).astype(np.int32)
+    padded = np.zeros((1, 16), np.int32)
+    padded[0, :10] = toks[0]
+    params = model.init(
+        {"params": key_for(0, "m")}, jnp.asarray(padded),
+        lengths=jnp.asarray([10]), deterministic=True,
+    )["params"]
+    out_padded = model.apply(
+        {"params": params}, jnp.asarray(padded),
+        lengths=jnp.asarray([10]), deterministic=True,
+    )
+    out_exact = model.apply(
+        {"params": params}, jnp.asarray(toks),
+        lengths=jnp.asarray([10]), deterministic=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_padded), np.asarray(out_exact),
+                               atol=1e-5)
+
+
+def test_transformer_skip_tokenization_branch(ws):
+    """bert + use_precomputed_embeddings: raw mel frames -> transformer
+    (BASELINE config 4, no VQ involved)."""
+    cfg = fixtures.test_config(
+        ws, model_type="bert", dataset_type="RawSTFTDataset",
+        use_precomputed_embeddings=True, epochs=1, hidden_size=32,
+        num_layers=1, save_best_checkpoint=False,
+    )
+    from audio_tokens_tpu.models.registry import model_input_kind
+
+    assert model_input_kind(cfg) == "spec"
+    val_loss, metrics = ModelTrainer(cfg).run()
+    assert np.isfinite(val_loss)
