@@ -149,22 +149,29 @@ def kmeans_fit(
 ) -> Tuple[np.ndarray, float]:
     """Fit K-means; returns (centroids (k, d) float32, final objective).
 
-    ``x`` may be numpy or jax, any float dtype; padding/sharding handled here.
+    ``x`` may be numpy or a (device-resident) jax array, any float dtype;
+    padding/sharding handled here.  Device-resident inputs stay on device —
+    no host round-trip.
     """
-    x = np.asarray(x, dtype=np.float32)
+    on_device = isinstance(x, jax.Array)
+    xp = jnp if on_device else np
+    if not on_device:
+        x = np.asarray(x, dtype=np.float32)
+    elif x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
     n, d = x.shape
     rng = np.random.default_rng(seed)
 
     if max_points_per_centroid is not None and n > k * max_points_per_centroid:
         sel = rng.choice(n, size=k * max_points_per_centroid, replace=False)
-        x = x[sel]
+        x = x[xp.asarray(np.sort(sel))]
         n = x.shape[0]
 
     if init_centroids is None:
         if n < k:
             raise ValueError(f"need at least k={k} points, got {n}")
-        init_centroids = x[rng.choice(n, size=k, replace=False)]
-    init_centroids = np.asarray(init_centroids, dtype=np.float32).reshape(k, d)
+        init_centroids = x[xp.asarray(rng.choice(n, size=k, replace=False))]
+    init_centroids = xp.asarray(init_centroids, dtype=xp.float32).reshape(k, d)
 
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names])) if mesh else 1
     eff_chunk = min(chunk, _round_up(-(-n // n_dev), 8))
@@ -174,7 +181,7 @@ def kmeans_fit(
     mask = np.zeros(n_pad, dtype=np.float32)
     mask[:n] = 1.0
     if n_pad != n:
-        x = np.concatenate([x, np.zeros((n_pad - n, d), np.float32)], axis=0)
+        x = xp.concatenate([x, xp.zeros((n_pad - n, d), xp.float32)], axis=0)
 
     centroids, obj = _kmeans_jit(
         jnp.asarray(x),

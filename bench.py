@@ -121,19 +121,22 @@ def bench_torch_cpu(clips, centroids, tpu_tokens) -> float:
 
 def bench_kmeans(centroids) -> None:
     """Secondary metric (stderr only): k-means Lloyd throughput."""
-    import jax
-
     from audio_tokens_tpu.ops.kmeans import kmeans_fit
 
+    import jax
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(1)
-    n, niter = 262_144, 5
-    x = rng.standard_normal((n, N_MELS)).astype(np.float32)
-    kmeans_fit(x[: VOCAB * 4], VOCAB, 1, seed=0)  # warm the jit cache shape-free
+    n, niter = 262_144, 10
+    x = jax.device_put(
+        jnp.asarray(rng.standard_normal((n, N_MELS)).astype(np.float32))
+    )
+    kmeans_fit(x, VOCAB, niter, seed=0)  # compile this exact shape
     t0 = time.perf_counter()
     kmeans_fit(x, VOCAB, niter, seed=0)
     dt = time.perf_counter() - t0
-    log(f"kmeans: {n * niter / dt / 1e6:.1f}M point-iters/s "
-        f"({n} pts x {niter} iters x k={VOCAB} in {dt:.2f}s, incl compile)")
+    log(f"kmeans steady (device-resident): {n * niter / dt / 1e6:.1f}M point-iters/s "
+        f"({n} pts x {niter} iters x k={VOCAB} x d={N_MELS} in {dt:.2f}s)")
 
 
 def main() -> None:
