@@ -165,11 +165,16 @@ class MelFrontend:
         self._use_gemm = n_fft % hop_length == 0
 
     def prepare_batch(self, waves) -> Tuple[np.ndarray, np.ndarray]:
-        """Host: list of 1-D float arrays -> (padded (B, L), lengths (B,))."""
-        batch = np.zeros((len(waves), self.padded_len), dtype=np.float32)
+        """Host: list of 1-D float arrays -> (padded (B, L), lengths (B,)).
+
+        Rows are ``alloc_len`` long (>= padded_len; consumers like the Pallas
+        tokenizer kernel may request extra zero tail for aligned DMA windows).
+        """
+        alloc_len = getattr(self, "alloc_len", self.padded_len)
+        batch = np.zeros((len(waves), alloc_len), dtype=np.float32)
         lengths = np.zeros((len(waves),), dtype=np.int32)
         for i, w in enumerate(waves):
-            batch[i] = reflect_pad_clip(
+            batch[i, : self.padded_len] = reflect_pad_clip(
                 np.asarray(w, dtype=np.float32), self.clip_samples, self.n_fft
             )
             lengths[i] = min(len(w), self.clip_samples)
@@ -177,6 +182,8 @@ class MelFrontend:
 
     def _spectrum(self, padded_batch: jax.Array) -> jax.Array:
         """(B, L) -> (B, T, 2F) windowed real-DFT re/im, fp32 accumulation."""
+        if padded_batch.shape[1] > self.padded_len:  # alloc_len > padded_len
+            padded_batch = padded_batch[:, : self.padded_len]
         b = padded_batch.shape[0]
         t_max = self.frames_max
         if self._use_gemm:

@@ -50,9 +50,35 @@ class FusedTokenizer:
         self.compute_dtype = compute_dtype
         self.use_pallas = _on_tpu() if use_pallas is None else use_pallas
 
+        # Full wav->tokens megakernel (ops/pallas_tokenizer.py): engaged when
+        # on TPU with no conv front-end and hop | n_fft; the host buffer is
+        # over-allocated so every DMA window is in-bounds.
+        self.kernel = None
+        if self.use_pallas and conv is None and config.n_fft % config.hop_length == 0:
+            from audio_tokens_tpu.ops.pallas_tokenizer import (
+                TokenizerKernel,
+                alloc_blocks,
+            )
+
+            self.kernel = TokenizerKernel(
+                config.common_sr, config.n_mels, config.n_fft,
+                config.hop_length, self.frontend.frames_max,
+                np.asarray(centroids, np.float32),
+            )
+            self.frontend.alloc_len = max(
+                self.frontend.padded_len,
+                alloc_blocks(self.frontend.frames_max, config.hop_length,
+                             config.n_fft) * config.hop_length,
+            )
+
     @functools.partial(jax.jit, static_argnums=0)
     def tokens_from_padded(self, padded_batch: jax.Array) -> jax.Array:
         """(B, pad+T+pad) waveforms -> (B, frames_max) int32 token IDs."""
+        if (
+            self.kernel is not None
+            and padded_batch.shape[1] >= self.kernel.n_blocks * self.kernel.hop
+        ):
+            return self.kernel(padded_batch)
         return self._tokens_impl(padded_batch)
 
     @functools.partial(jax.jit, static_argnums=(0, 2))

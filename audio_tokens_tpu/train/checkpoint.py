@@ -20,6 +20,10 @@ import orbax.checkpoint as ocp
 
 logger = logging.getLogger(__name__)
 
+# Orbax floods INFO with internal save-thread chatter; keep stage logs readable.
+for _name in ("orbax", "absl", "orbax.checkpoint"):
+    logging.getLogger(_name).setLevel(logging.WARNING)
+
 
 def save_checkpoint(
     directory: str | Path,

@@ -33,7 +33,7 @@ CLIP_SECONDS = 10.0
 N_MELS, N_FFT, HOP = 64, 512, 128
 VOCAB = 500
 BATCH = 32
-ITERS = 10
+ITERS = 50  # enough to amortize per-dispatch RPC latency on tunneled setups
 
 
 def make_clips(n: int) -> list:

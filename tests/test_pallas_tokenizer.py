@@ -1,0 +1,47 @@
+"""Megakernel planning logic (CPU-testable parts; the kernel itself requires
+real TPU hardware — exercised by bench.py and the TPU-side verification)."""
+
+import numpy as np
+import pytest
+
+from audio_tokens_tpu.ops.pallas_tokenizer import alloc_blocks, plan_tiles
+
+
+@pytest.mark.parametrize("n_frames", [1723, 1728, 128, 345, 5000])
+def test_plan_tiles_covers_frames(n_frames):
+    tile_t, n_tiles = plan_tiles(n_frames, 128, 512)
+    assert tile_t % 128 == 0
+    assert n_tiles * tile_t >= n_frames
+    assert n_tiles * tile_t - n_frames < tile_t  # no gratuitous waste
+
+
+def test_alloc_blocks_covers_last_window():
+    hop, n_fft = 128, 512
+    for n_frames in (1723, 345, 128):
+        tile_t, n_tiles = plan_tiles(n_frames, hop, n_fft)
+        n_blocks = alloc_blocks(n_frames, hop, n_fft)
+        r = n_fft // hop
+        # last DMA window: rows (n_tiles-1)*tile_t .. + tile_t + r
+        assert (n_tiles - 1) * tile_t + tile_t + r <= n_blocks + r
+
+
+def test_fused_tokenizer_kernel_gating(rng):
+    """Off-TPU the megakernel must be disabled; conv front-end disables it."""
+    from audio_tokens_tpu.config import AudioTokensConfig
+    from audio_tokens_tpu.ops.conv_features import ConvFeatures
+    from audio_tokens_tpu.tokenizer import FusedTokenizer
+    from audio_tokens_tpu.utils.seeding import key_for
+
+    cfg = AudioTokensConfig(
+        common_sr=22050, n_mels=32, n_fft=256, hop_length=128,
+        clip_seconds=1.0, vocab_size=8,
+    )
+    cents = rng.standard_normal((8, 32)).astype(np.float32)
+    tok = FusedTokenizer(cfg, cents)  # CPU in tests
+    assert tok.kernel is None
+
+    tok2 = FusedTokenizer(
+        cfg, rng.standard_normal((8, 320)).astype(np.float32),
+        conv=ConvFeatures(10, 3, key_for(0, "c")), use_pallas=False,
+    )
+    assert tok2.kernel is None
