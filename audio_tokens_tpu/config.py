@@ -142,6 +142,8 @@ class AudioTokensConfig:
     # refinement (reference: processors/cluster_creator.py:49-56);
     # 'full' runs Lloyd once over the whole corpus (sharded).
     kmeans_mode: str = "batch_warm_start"
+    # 'random' (FAISS-style sample of k points) or 'kmeans++'
+    kmeans_init: str = "random"
 
     # Trainer extensions.
     resume_from: str = ""  # checkpoint name under checkpoint_dir to resume from

@@ -76,14 +76,27 @@ def _lloyd_stats(x_chunks, mask_chunks, centroids, precision, axis_name=None):
     return sums, counts, obj
 
 
-def _lloyd_loop(x_chunks, mask_chunks, centroids, niter, precision, axis_name):
+def _lloyd_loop(x_chunks, mask_chunks, centroids, niter, precision, axis_name,
+                use_pallas=False, interpret=False):
     """niter Lloyd iterations; runs per-device under shard_map (or unsharded)."""
+    if use_pallas:
+        from audio_tokens_tpu.ops.pallas_kmeans import lloyd_stats_pallas
+
+        n_chunks, chunk, d = x_chunks.shape
+        x_flat = x_chunks.reshape(n_chunks * chunk, d)
+        # masks are prefix masks by construction (padding at the tail)
+        n_valid = jnp.sum(mask_chunks).astype(jnp.int32)
 
     def step(_, carry):
         centroids, _ = carry
-        sums, counts, obj = _lloyd_stats(
-            x_chunks, mask_chunks, centroids, precision, axis_name
-        )
+        if use_pallas:
+            sums, counts, obj = lloyd_stats_pallas(
+                x_flat, n_valid, centroids, interpret=interpret
+            )
+        else:
+            sums, counts, obj = _lloyd_stats(
+                x_chunks, mask_chunks, centroids, precision, axis_name
+            )
         if axis_name is not None:
             sums = jax.lax.psum(sums, axis_name)
             counts = jax.lax.psum(counts, axis_name)
@@ -99,20 +112,25 @@ def _lloyd_loop(x_chunks, mask_chunks, centroids, niter, precision, axis_name):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("niter", "chunk", "precision", "mesh", "axis_name")
+    jax.jit,
+    static_argnames=("niter", "chunk", "precision", "mesh", "axis_name",
+                     "use_pallas", "interpret"),
 )
-def _kmeans_jit(x, mask, init_centroids, niter, chunk, precision, mesh, axis_name):
+def _kmeans_jit(x, mask, init_centroids, niter, chunk, precision, mesh,
+                axis_name, use_pallas=False, interpret=False):
     n, d = x.shape
 
     if mesh is None:
         xs = x.reshape(-1, chunk, d)
         ms = mask.reshape(-1, chunk)
-        return _lloyd_loop(xs, ms, init_centroids, niter, precision, None)
+        return _lloyd_loop(xs, ms, init_centroids, niter, precision, None,
+                           use_pallas, interpret)
 
     def sharded(x_local, mask_local, centroids):
         xs = x_local.reshape(-1, chunk, d)
         ms = mask_local.reshape(-1, chunk)
-        return _lloyd_loop(xs, ms, centroids, niter, precision, axis_name)
+        return _lloyd_loop(xs, ms, centroids, niter, precision, axis_name,
+                           use_pallas, interpret)
 
     return jax.shard_map(
         sharded,
@@ -124,6 +142,42 @@ def _kmeans_jit(x, mask, init_centroids, niter, chunk, precision, mesh, axis_nam
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _pp_init_jit(x, key, k):
+    """Entire k-means++ selection as one on-device fori_loop (one compile,
+    zero host syncs — per-step host round-trips cost ~70 ms each on tunneled
+    TPU backends)."""
+    n = x.shape[0]
+    first = jax.random.randint(jax.random.fold_in(key, 0), (), 0, n)
+    chosen = jnp.zeros((k,), jnp.int32).at[0].set(first)
+    c0 = jax.lax.dynamic_index_in_dim(x, first, keepdims=False)
+    min_d2 = jnp.sum((x - c0[None, :]) ** 2, axis=1)
+
+    def body(i, carry):
+        min_d2, chosen = carry
+        # D^2-weighted categorical draw (log-space; zero-distance points get
+        # -inf and are never drawn unless everything is degenerate)
+        logits = jnp.log(jnp.maximum(min_d2, 0.0))
+        idx = jax.random.categorical(jax.random.fold_in(key, i), logits)
+        c = jax.lax.dynamic_index_in_dim(x, idx, keepdims=False)
+        d2 = jnp.sum((x - c[None, :]) ** 2, axis=1)
+        return jnp.minimum(min_d2, d2), chosen.at[i].set(idx)
+
+    _, chosen = jax.lax.fori_loop(1, k, body, (min_d2, chosen))
+    return jnp.take(x, chosen, axis=0)
+
+
+def kmeans_plusplus_init(
+    x, k: int, seed: int = 1234, precision=jax.lax.Precision.HIGHEST
+) -> np.ndarray:
+    """Seeded k-means++ (D^2-weighted greedy) initialization, fully on-device."""
+    del precision  # elementwise path; kept for signature stability
+    x = jnp.asarray(x, jnp.float32)
+    if x.shape[0] < k:
+        raise ValueError(f"need at least k={k} points, got {x.shape[0]}")
+    return np.asarray(_pp_init_jit(x, jax.random.key(seed), k))
 
 
 def _bucket_chunks(n_chunks: int) -> int:
@@ -146,6 +200,8 @@ def kmeans_fit(
     chunk: int = 16384,
     precision=jax.lax.Precision.HIGHEST,
     max_points_per_centroid: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
+    init: str = "random",
 ) -> Tuple[np.ndarray, float]:
     """Fit K-means; returns (centroids (k, d) float32, final objective).
 
@@ -170,7 +226,13 @@ def kmeans_fit(
     if init_centroids is None:
         if n < k:
             raise ValueError(f"need at least k={k} points, got {n}")
-        init_centroids = x[xp.asarray(rng.choice(n, size=k, replace=False))]
+        if init == "kmeans++":
+            init_centroids = kmeans_plusplus_init(x, k, seed=seed,
+                                                  precision=precision)
+        elif init == "random":  # FAISS default: k distinct sample points
+            init_centroids = x[xp.asarray(rng.choice(n, size=k, replace=False))]
+        else:
+            raise ValueError(f"unknown init '{init}'")
     init_centroids = xp.asarray(init_centroids, dtype=xp.float32).reshape(k, d)
 
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names])) if mesh else 1
@@ -183,6 +245,12 @@ def kmeans_fit(
     if n_pad != n:
         x = xp.concatenate([x, xp.zeros((n_pad - n, d), xp.float32)], axis=0)
 
+    if use_pallas is None:
+        # The Lloyd iteration is VPU-bound (argmin/one-hot over (N, K)), so
+        # the pallas stats kernel measures ~parity with the scan path on v5e;
+        # scan is the default (no Mosaic compile), pallas stays opt-in.
+        use_pallas = False
+
     centroids, obj = _kmeans_jit(
         jnp.asarray(x),
         jnp.asarray(mask),
@@ -192,6 +260,8 @@ def kmeans_fit(
         precision,
         mesh,
         axis_name if mesh else None,
+        use_pallas,
+        False,
     )
     return np.asarray(centroids), float(obj)
 
@@ -216,6 +286,7 @@ class KMeans:
         chunk: int = 16384,
         max_points_per_centroid: Optional[int] = None,
         precision=jax.lax.Precision.HIGHEST,
+        init: str = "random",
     ):
         self.d = d
         self.k = k
@@ -225,6 +296,7 @@ class KMeans:
         self.chunk = chunk
         self.max_points_per_centroid = max_points_per_centroid
         self.precision = precision
+        self.init = init
         self.centroids: Optional[np.ndarray] = None
         self.obj: float = float("nan")
 
@@ -239,6 +311,7 @@ class KMeans:
             chunk=self.chunk,
             precision=self.precision,
             max_points_per_centroid=self.max_points_per_centroid,
+            init=self.init,
         )
         logger.info("kmeans objective: %.4f", self.obj)
         return self.obj

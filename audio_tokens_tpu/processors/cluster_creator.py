@@ -70,6 +70,7 @@ class ClusterCreator:
                 seed=self.config.random_seed,
                 mesh=self.mesh,
                 max_points_per_centroid=self.config.max_points_per_centroid,
+                init=self.config.kmeans_init,
             )
             logger.info("full kmeans over %d frames: obj=%.2f", len(frames), obj)
         else:  # batch_warm_start (reference schedule)
@@ -80,6 +81,7 @@ class ClusterCreator:
                 seed=self.config.random_seed,
                 mesh=self.mesh,
                 max_points_per_centroid=self.config.max_points_per_centroid,
+                init=self.config.kmeans_init,
             )
             for i, batch in enumerate(
                 self._batch_generator(self.config.clustering_batch_size)
