@@ -70,11 +70,14 @@ def bench_tpu(clips, centroids) -> tuple:
     tokens = np.asarray(tok.tokens_from_padded(x))
     log(f"tpu compile+first run: {time.perf_counter() - t0:.1f}s on {jax.devices()[0]}")
 
-    jax.block_until_ready(tok.tokens_from_padded(x))
+    np.asarray(tok.tokens_from_padded(x))  # warm + sync
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = tok.tokens_from_padded(x)
-    jax.block_until_ready(out)
+    # value fetch = true device sync (block_until_ready is unreliable on some
+    # experimental PJRT backends); programs execute in submission order, so
+    # fetching the last output proves all ITERS completed.
+    np.asarray(out)
     dt = time.perf_counter() - t0
     cps = BATCH * ITERS / dt
     log(f"tpu steady state: {dt / ITERS * 1e3:.1f} ms/batch of {BATCH} -> {cps:.1f} clips/s")
