@@ -1,0 +1,90 @@
+"""Training step-rate benchmark: full train step (fwd + bwd + AdamW) per
+model family at configurable shapes.  Reproduces the BASELINE.md table.
+
+Timing protocol (important on remote/experimental PJRT backends where
+block_until_ready can return early): steps are chained through params, N
+steps are queued, and ONE scalar value fetch of the final loss provides the
+sync — in-order execution guarantees all N completed.
+
+Usage: python -m audio_tokens_tpu.tools.bench_training
+       [--models simple,bert,lstm] [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from audio_tokens_tpu.config import AudioTokensConfig
+from audio_tokens_tpu.models import get_model
+from audio_tokens_tpu.utils.seeding import key_for
+
+# (model_type, batch, seq, config overrides)
+DEFAULT_CASES = [
+    ("simple", 64, 1728, dict(hidden_size=768)),
+    ("bert", 32, 512, dict(hidden_size=768, num_layers=2, dropout=0.0)),
+    ("lstm", 64, 1728, dict(lstm_embed_dim=256, lstm_hidden_dim=512, num_layers=1)),
+]
+
+
+def bench_case(model_type: str, batch: int, seq: int, iters: int, **overrides):
+    cfg = AudioTokensConfig(
+        model_type=model_type, vocab_size=500, num_classes=543,
+        max_seq_len=seq, **overrides,
+    )
+    model = get_model(cfg)
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq)), jnp.int32)
+    labels = jnp.asarray((rng.random((batch, cfg.num_classes)) < 0.05), jnp.float32)
+    params = model.init(
+        {"params": key_for(0, "bench")}, toks, lengths=None, deterministic=True
+    )["params"]
+    optimizer = optax.adamw(1e-4, weight_decay=0.01)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, toks, labels):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, toks, lengths=None,
+                                 deterministic=True)
+            return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.perf_counter()
+    params, opt_state, loss = step(params, opt_state, toks, labels)
+    float(loss)  # sync
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, toks, labels)
+    float(loss)  # single final sync; steps are chained through params
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    print(
+        f"{model_type:8s} B={batch} T={seq}: compile {compile_s:5.1f}s, "
+        f"{ms:7.1f} ms/step -> {batch / ms * 1000:8.0f} clips/s"
+    )
+    return ms
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--models", default="simple,bert,lstm")
+    parser.add_argument("--iters", type=int, default=20)
+    args = parser.parse_args()
+    wanted = set(args.models.split(","))
+    for model_type, batch, seq, overrides in DEFAULT_CASES:
+        if model_type in wanted:
+            bench_case(model_type, batch, seq, args.iters, **overrides)
+
+
+if __name__ == "__main__":
+    main()

@@ -70,14 +70,16 @@ def bench_tpu(clips, centroids) -> tuple:
     tokens = np.asarray(tok.tokens_from_padded(x))
     log(f"tpu compile+first run: {time.perf_counter() - t0:.1f}s on {jax.devices()[0]}")
 
-    np.asarray(tok.tokens_from_padded(x))  # warm + sync
+    # value fetch = true device sync (block_until_ready is unreliable on some
+    # experimental PJRT backends); programs execute in submission order, so
+    # fetching (a scalar of) the last output proves all ITERS completed
+    # without timing a bulk device->host transfer.
+    probe = jax.jit(lambda o: o[0, 0])
+    int(probe(tok.tokens_from_padded(x)))  # warm + sync (compiles probe too)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = tok.tokens_from_padded(x)
-    # value fetch = true device sync (block_until_ready is unreliable on some
-    # experimental PJRT backends); programs execute in submission order, so
-    # fetching the last output proves all ITERS completed.
-    np.asarray(out)
+    int(probe(out))
     dt = time.perf_counter() - t0
     cps = BATCH * ITERS / dt
     log(f"tpu steady state: {dt / ITERS * 1e3:.1f} ms/batch of {BATCH} -> {cps:.1f} clips/s")
