@@ -42,6 +42,15 @@ def read_wav(path) -> Tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt[0] == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: real format code is the first two
+                # bytes of the SubFormat GUID at offset 24
+                if len(body) < 26:
+                    raise AudioDecodeError(
+                        f"truncated WAVE_FORMAT_EXTENSIBLE fmt chunk: {path}"
+                    )
+                (sub,) = struct.unpack_from("<H", body, 24)
+                fmt = (sub,) + fmt[1:]
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -49,8 +58,6 @@ def read_wav(path) -> Tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise AudioDecodeError(f"missing fmt/data chunk: {path}")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat GUID head
-        audio_format = 1 if bits != 32 else 1  # PCM subformats dominate
     if channels < 1:
         raise AudioDecodeError(f"bad channel count {channels}: {path}")
 

@@ -180,6 +180,11 @@ class BatchLoader:
             "n_valid": len(idxs),
         }
 
+    def dummy_batch(self) -> Dict[str, np.ndarray]:
+        """A zero batch with this loader's exact shapes/dtypes (for model
+        init / shape inference without spinning up the producer thread)."""
+        return self._make_batch(np.zeros((0,), np.int64))
+
     def _index_batches(self, epoch: int) -> Iterator[np.ndarray]:
         order = np.arange(len(self.ds))
         if self.shuffle:
@@ -188,25 +193,51 @@ class BatchLoader:
             yield order[i : i + self.batch_size]
 
     def batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        """Background-threaded batch assembly (double buffering)."""
+        """Background-threaded batch assembly (double buffering).
+
+        Producer errors (corrupt artifact, I/O failure) re-raise in the
+        consumer instead of silently truncating the epoch; abandoning the
+        generator early (break / partial consumption) unblocks and reaps the
+        producer thread.
+        """
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()
 
         def producer():
             try:
                 for idxs in self._index_batches(epoch):
-                    q.put(self._make_batch(idxs))
-            finally:
+                    item = self._make_batch(idxs)
+                    while not cancel.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if cancel.is_set():
+                        return
                 q.put(stop)
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            cancel.set()
+            while not q.empty():  # unblock a producer stuck on put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)
 
 
 class DataLoaderCreator:

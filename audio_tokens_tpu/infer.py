@@ -60,8 +60,13 @@ class Predictor:
             inputs = np.zeros((1, T), np.int32)
             inputs[0, : min(len(tokens), T)] = tokens[:T]
         else:
-            batch, _ = self.tokenizer.frontend.prepare_batch([wave])
-            mel = np.asarray(self.tokenizer.frontend(batch))[0].T  # (T', M)
+            batch, wav_lens = self.tokenizer.frontend.prepare_batch([wave])
+            if self.config.normalize:  # match the spec artifacts' scaling
+                mel = np.asarray(
+                    self.tokenizer.frontend.normalized(batch, wav_lens)
+                )[0].T
+            else:
+                mel = np.asarray(self.tokenizer.frontend(batch))[0].T  # (T', M)
             buf = np.zeros((T, self.config.n_mels), np.float32)
             n = min(len(mel), T)
             buf[:n] = mel[:n]

@@ -51,10 +51,16 @@ class FusedTokenizer:
         self.use_pallas = _on_tpu() if use_pallas is None else use_pallas
 
         # Full wav->tokens megakernel (ops/pallas_tokenizer.py): engaged when
-        # on TPU with no conv front-end and hop | n_fft; the host buffer is
-        # over-allocated so every DMA window is in-bounds.
+        # on TPU with no conv front-end, no per-clip min-max normalization
+        # (which needs clip-global statistics), and hop | n_fft; the host
+        # buffer is over-allocated so every DMA window is in-bounds.
         self.kernel = None
-        if self.use_pallas and conv is None and config.n_fft % config.hop_length == 0:
+        if (
+            self.use_pallas
+            and conv is None
+            and not config.normalize
+            and config.n_fft % config.hop_length == 0
+        ):
             from audio_tokens_tpu.ops.pallas_tokenizer import (
                 TokenizerKernel,
                 alloc_blocks,
@@ -72,17 +78,27 @@ class FusedTokenizer:
             )
 
     @functools.partial(jax.jit, static_argnums=0)
-    def tokens_from_padded(self, padded_batch: jax.Array) -> jax.Array:
-        """(B, pad+T+pad) waveforms -> (B, frames_max) int32 token IDs."""
+    def tokens_from_padded(
+        self, padded_batch: jax.Array, lengths: Optional[jax.Array] = None
+    ) -> jax.Array:
+        """(B, pad+T+pad) waveforms -> (B, frames_max) int32 token IDs.
+
+        ``lengths`` (true sample counts) is required when ``config.normalize``
+        — per-clip min-max scaling is computed over each clip's valid frames,
+        matching what the spectrogram stage wrote to disk.
+        """
+        if self.config.normalize and lengths is None:
+            raise ValueError("config.normalize=True requires lengths")
         if (
             self.kernel is not None
             and padded_batch.shape[1] >= self.kernel.n_blocks * self.kernel.hop
         ):
             return self.kernel(padded_batch)
-        return self._tokens_impl(padded_batch)
+        return self._tokens_impl(padded_batch, lengths)
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
-    def tokens_sharded(self, padded_batch: jax.Array, mesh) -> jax.Array:
+    def tokens_sharded(self, padded_batch: jax.Array, mesh,
+                       lengths: Optional[jax.Array] = None) -> jax.Array:
         """Multi-chip tokenization: batch sharded over the mesh's 'data' axis.
 
         The program is embarrassingly batch-parallel, but the Pallas VQ kernel
@@ -96,12 +112,26 @@ class FusedTokenizer:
             raise ValueError(
                 f"batch {padded_batch.shape[0]} not divisible by data={n_dev}"
             )
+        if self.config.normalize:
+            if lengths is None:
+                raise ValueError("config.normalize=True requires lengths")
+            return jax.shard_map(
+                self._tokens_impl, mesh=mesh,
+                in_specs=(P("data"), P("data")), out_specs=P("data"),
+            )(padded_batch, lengths)
         return jax.shard_map(
             self._tokens_impl, mesh=mesh, in_specs=P("data"), out_specs=P("data")
         )(padded_batch)
 
-    def _tokens_impl(self, padded_batch: jax.Array) -> jax.Array:
-        mel = self.frontend.mel_frames(padded_batch)  # (B, T, M)
+    def _tokens_impl(
+        self, padded_batch: jax.Array, lengths: Optional[jax.Array] = None
+    ) -> jax.Array:
+        if self.config.normalize:
+            # min-max over valid frames, like the saved artifacts
+            mel = self.frontend.normalized(padded_batch, lengths)  # (B, M, T)
+            mel = jnp.transpose(mel, (0, 2, 1))
+        else:
+            mel = self.frontend.mel_frames(padded_batch)  # (B, T, M)
         b, t, m = mel.shape
         frames = mel.reshape(b * t, m)
         if self.conv is not None:
@@ -127,7 +157,12 @@ class FusedTokenizer:
         """Host convenience: list of 1-D float arrays -> per-clip token arrays
         (trimmed to each clip's valid frame count)."""
         batch, lengths = self.frontend.prepare_batch(waves)
-        tokens = np.asarray(self.tokens_from_padded(jnp.asarray(batch)))
+        tokens = np.asarray(
+            self.tokens_from_padded(
+                jnp.asarray(batch),
+                jnp.asarray(lengths) if self.config.normalize else None,
+            )
+        )
         out = []
         for i, w in enumerate(waves):
             n_valid = num_frames(

@@ -130,7 +130,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def _init_state(self, loader: BatchLoader):
         cfg = self.config
-        batch = next(iter(loader.batches(0)))
+        batch = loader.dummy_batch()  # shapes only; no producer thread
         mesh = data_mesh(cfg)
         if mesh is not None and (
             cfg.training_batch_size % mesh.shape["data"]

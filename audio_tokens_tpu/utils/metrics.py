@@ -65,6 +65,10 @@ class MetricsCalculator:
     def compute_metrics(
         self, predictions: Sequence[np.ndarray], labels: Sequence[np.ndarray]
     ) -> Dict[str, float]:
-        all_predictions = np.concatenate(list(predictions), axis=0)
-        all_labels = np.concatenate(list(labels), axis=0)
+        predictions = list(predictions)
+        labels = list(labels)
+        if not predictions or not labels:
+            return {"mAP": 0.0}  # empty split: defined, not a crash
+        all_predictions = np.concatenate(predictions, axis=0)
+        all_labels = np.concatenate(labels, axis=0)
         return {"mAP": macro_mean_average_precision(all_labels, all_predictions)}

@@ -30,7 +30,16 @@
 
 namespace {
 
-thread_local std::string g_error;
+// Last decode error. Guarded by a mutex (NOT thread_local): batch decode
+// errors happen on worker threads, and the Python caller reads the error
+// from its own thread.
+std::mutex g_error_mutex;
+std::string g_error_store;
+
+void set_error(const std::string& msg) {
+  std::lock_guard<std::mutex> lock(g_error_mutex);
+  g_error_store = msg;
+}
 
 struct Decoded {
   std::vector<float> mono;  // mono float32 in [-1, 1]
@@ -43,7 +52,7 @@ struct Decoded {
 bool read_file(const char* path, std::vector<uint8_t>& out) {
   std::ifstream f(path, std::ios::binary | std::ios::ate);
   if (!f) {
-    g_error = std::string("cannot open file: ") + path;
+    set_error(std::string("cannot open file: ") + path);
     return false;
   }
   auto size = f.tellg();
@@ -63,7 +72,7 @@ uint16_t rd_u16(const uint8_t* p) { return p[0] | (p[1] << 8); }
 
 bool decode_wav(const std::vector<uint8_t>& d, Decoded& out) {
   if (d.size() < 12 || memcmp(d.data(), "RIFF", 4) || memcmp(d.data() + 8, "WAVE", 4)) {
-    g_error = "not a RIFF/WAVE file";
+    set_error("not a RIFF/WAVE file");
     return false;
   }
   size_t pos = 12;
@@ -81,6 +90,16 @@ bool decode_wav(const std::vector<uint8_t>& d, Decoded& out) {
       channels = rd_u16(body + 2);
       sample_rate = rd_u32(body + 4);
       bits = rd_u16(body + 14);
+      if (audio_format == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
+        // bytes of the SubFormat GUID at offset 24.
+        if (body_size >= 26) {
+          audio_format = rd_u16(body + 24);
+        } else {
+          set_error("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk");
+          return false;
+        }
+      }
     } else if (!memcmp(cid, "data", 4)) {
       raw = body;
       raw_size = body_size;
@@ -88,10 +107,13 @@ bool decode_wav(const std::vector<uint8_t>& d, Decoded& out) {
     pos += 8 + size + (size & 1);
   }
   if (!raw || channels < 1) {
-    g_error = "missing fmt/data chunk";
+    set_error("missing fmt/data chunk or bad channel count");
     return false;
   }
-  if (audio_format == 0xFFFE) audio_format = 1;
+  if (bits < 8 || bits > 64 || bits % 8) {  // guards the division below too
+    set_error("invalid bits_per_sample " + std::to_string(bits));
+    return false;
+  }
 
   size_t bytes_per = bits / 8;
   size_t n_frames = raw_size / (bytes_per * channels);
@@ -141,8 +163,8 @@ bool decode_wav(const std::vector<uint8_t>& d, Decoded& out) {
       return static_cast<float>(v);
     });
   } else {
-    g_error = "unsupported WAV format " + std::to_string(audio_format) + "/" +
-              std::to_string(bits) + "bit";
+    set_error("unsupported WAV format " + std::to_string(audio_format) + "/" +
+              std::to_string(bits) + "bit");
     return false;
   }
   return true;
@@ -224,7 +246,11 @@ bool decode_residual(BitReader& br, int block_size, int order,
                      std::vector<int64_t>& residual) {
   uint32_t method = br.read(2);
   if (method > 1) {
-    g_error = "reserved residual method";
+    set_error("reserved residual method");
+    return false;
+  }
+  if (order > block_size) {
+    set_error("subframe order exceeds block size");
     return false;
   }
   int param_bits = method == 0 ? 4 : 5;
@@ -232,7 +258,7 @@ bool decode_residual(BitReader& br, int block_size, int order,
   int partition_order = br.read(4);
   int n_partitions = 1 << partition_order;
   if (block_size % n_partitions) {
-    g_error = "invalid partition order";
+    set_error("invalid partition order");
     return false;
   }
   residual.resize(block_size - order);
@@ -254,7 +280,7 @@ bool decode_residual(BitReader& br, int block_size, int order,
       }
     }
     if (br.fail) {
-      g_error = "unexpected end of FLAC stream";
+      set_error("unexpected end of FLAC stream");
       return false;
     }
   }
@@ -264,7 +290,7 @@ bool decode_residual(BitReader& br, int block_size, int order,
 bool decode_subframe(BitReader& br, int block_size, int bps,
                      std::vector<int64_t>& out) {
   if (br.read(1) != 0) {
-    g_error = "invalid subframe padding bit";
+    set_error("invalid subframe padding bit");
     return false;
   }
   uint32_t sf_type = br.read(6);
@@ -282,6 +308,10 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
     for (int i = 0; i < block_size; ++i) out[i] = br.read_signed(bps);
   } else if (sf_type >= 8 && sf_type <= 12) {  // FIXED
     int order = sf_type - 8;
+    if (order > block_size) {
+      set_error("subframe order exceeds block size");
+      return false;
+    }
     for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
     if (!decode_residual(br, block_size, order, residual)) return false;
     for (int i = order; i < block_size; ++i) {
@@ -291,15 +321,19 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
     }
   } else if (sf_type >= 32) {  // LPC
     int order = sf_type - 31;
+    if (order > block_size) {
+      set_error("subframe order exceeds block size");
+      return false;
+    }
     for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
     int precision = br.read(4) + 1;
     if (precision == 16) {
-      g_error = "invalid LPC precision";
+      set_error("invalid LPC precision");
       return false;
     }
     int shift = static_cast<int>(br.read_signed(5));
     if (shift < 0) {
-      g_error = "negative LPC shift";
+      set_error("negative LPC shift");
       return false;
     }
     std::vector<int64_t> coeffs(order);
@@ -311,11 +345,11 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
       out[i] = residual[i - order] + (pred >> shift);
     }
   } else {
-    g_error = "reserved subframe type";
+    set_error("reserved subframe type");
     return false;
   }
   if (br.fail) {
-    g_error = "unexpected end of FLAC stream";
+    set_error("unexpected end of FLAC stream");
     return false;
   }
   if (wasted)
@@ -329,7 +363,7 @@ const int kSampleSizes[8] = {0, 8, 12, 0, 16, 20, 24, 32};
 
 bool decode_flac(const std::vector<uint8_t>& d, Decoded& out) {
   if (d.size() < 8 || memcmp(d.data(), "fLaC", 4)) {
-    g_error = "not a FLAC file";
+    set_error("not a FLAC file");
     return false;
   }
   size_t pos = 4;
@@ -344,7 +378,7 @@ bool decode_flac(const std::vector<uint8_t>& d, Decoded& out) {
     if (is_last) break;
   }
   if (!si) {
-    g_error = "missing STREAMINFO";
+    set_error("missing STREAMINFO");
     return false;
   }
   BitReader sir{si, 34};
@@ -357,7 +391,11 @@ bool decode_flac(const std::vector<uint8_t>& d, Decoded& out) {
   out.sample_rate = static_cast<int>(sample_rate);
   const float scale = 1.0f / float(int64_t(1) << (bps_stream - 1));
   const float inv_ch = 1.0f / channels;
-  if (total_samples) out.mono.reserve(total_samples);
+  if (total_samples) {
+    // untrusted 36-bit field: cap the upfront reservation (vector still
+    // grows on demand for genuinely long streams)
+    out.mono.reserve(std::min<uint64_t>(total_samples, 1ull << 26));
+  }
 
   BitReader br{d.data(), d.size()};
   br.pos = pos * 8;
@@ -367,7 +405,7 @@ bool decode_flac(const std::vector<uint8_t>& d, Decoded& out) {
   while (br.pos + 16 <= d.size() * 8 &&
          (total_samples == 0 || decoded < total_samples)) {
     if (br.read(14) != 0x3FFE) {
-      g_error = "lost frame sync";
+      set_error("lost frame sync");
       return false;
     }
     br.read(1);
@@ -381,7 +419,7 @@ bool decode_flac(const std::vector<uint8_t>& d, Decoded& out) {
 
     int block_size;
     if (bs_code == 0) {
-      g_error = "reserved block size code";
+      set_error("reserved block size code");
       return false;
     } else if (bs_code == 6) {
       block_size = br.read(8) + 1;
@@ -397,7 +435,7 @@ bool decode_flac(const std::vector<uint8_t>& d, Decoded& out) {
 
     if (chan_assign < 8) {
       if (chan_assign + 1 != channels) {
-        g_error = "frame/stream channel mismatch";
+        set_error("frame/stream channel mismatch");
         return false;
       }
       for (int c = 0; c < channels; ++c)
@@ -420,7 +458,7 @@ bool decode_flac(const std::vector<uint8_t>& d, Decoded& out) {
         sub[1][i] = (left - (side << 1)) >> 1;
       }
     } else {
-      g_error = "reserved channel assignment";
+      set_error("reserved channel assignment");
       return false;
     }
     br.align();
@@ -530,7 +568,7 @@ bool decode_any(const char* path, int target_sr, Decoded& out) {
   if (ends_with(".wav")) ok = decode_wav(data, out);
   else if (ends_with(".flac")) ok = decode_flac(data, out);
   else {
-    g_error = "unsupported container: " + p;
+    set_error("unsupported container: " + p);
     return false;
   }
   if (!ok) return false;
@@ -539,6 +577,20 @@ bool decode_any(const char* path, int target_sr, Decoded& out) {
     out.sample_rate = target_sr;
   }
   return true;
+}
+
+// Exception firewall: nothing may throw across the extern "C" boundary
+// (or out of a worker thread -> std::terminate).
+bool safe_decode(const char* path, int target_sr, Decoded& out) {
+  try {
+    return decode_any(path, target_sr, out);
+  } catch (const std::exception& e) {
+    set_error(std::string("decode exception: ") + e.what());
+    return false;
+  } catch (...) {
+    set_error("decode exception: unknown");
+    return false;
+  }
 }
 
 }  // namespace
@@ -555,7 +607,8 @@ static std::mutex g_err_mutex;
 
 const char* atk_last_error() {
   std::lock_guard<std::mutex> lock(g_err_mutex);
-  g_last_error_copy = g_error;
+  std::lock_guard<std::mutex> lock2(g_error_mutex);
+  g_last_error_copy = g_error_store;
   return g_last_error_copy.c_str();
 }
 
@@ -564,7 +617,7 @@ const char* atk_last_error() {
 int64_t atk_decode_file(const char* path, int target_sr, float* out,
                         int64_t max_samples) {
   Decoded d;
-  if (!decode_any(path, target_sr, d)) return -1;
+  if (!safe_decode(path, target_sr, d)) return -1;
   int64_t n = std::min<int64_t>(d.mono.size(), max_samples);
   memcpy(out, d.mono.data(), n * sizeof(float));
   return n;
@@ -589,8 +642,8 @@ int atk_decode_batch(const char** paths, int n, int target_sr,
       float* row = out + int64_t(i) * row_len;
       memset(row, 0, row_len * sizeof(float));
       Decoded d;
-      if (!decode_any(paths[i], target_sr, d) ||
-          static_cast<int>(d.mono.size()) < pad + 1) {
+      if (!safe_decode(paths[i], target_sr, d) ||
+          static_cast<int>(d.mono.size()) < n_fft) {
         lengths[i] = -1;
         continue;
       }

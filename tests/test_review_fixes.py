@@ -1,0 +1,160 @@
+"""Regression tests for the full-tree review findings: malformed-input
+robustness, WAVE_FORMAT_EXTENSIBLE, normalize-mode fidelity, loader error
+propagation, empty-split metrics."""
+
+import struct
+import wave as wave_mod
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from audio_tokens_tpu.data import native_loader
+from audio_tokens_tpu.data.audio_io import read_wav
+from audio_tokens_tpu.utils.metrics import MetricsCalculator
+from tests import fixtures
+
+needs_native = pytest.mark.skipif(
+    not native_loader.available(), reason="native decoder not built"
+)
+
+
+def _extensible_float_wav(path: Path, x: np.ndarray, sr: int = 22050) -> None:
+    """Hand-built WAVE_FORMAT_EXTENSIBLE float32 file."""
+    data = x.astype("<f4").tobytes()
+    # 40-byte extensible fmt: tag 0xFFFE, cbSize 22, subformat GUID for IEEE float
+    guid = struct.pack("<H", 3) + b"\x00\x00" + bytes(
+        [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+    )
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * 4, 4, 32)
+    fmt += struct.pack("<HHI", 22, 32, 0x4) + guid
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    path.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def _bits0_wav(path: Path) -> None:
+    """Corrupt WAV with bits_per_sample = 0 (used to SIGFPE the native lib)."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 22050, 0, 0, 0)
+    data = b"\x00" * 1000
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    path.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_extensible_float_wav_python(tmp_path):
+    x = (0.5 * np.sin(np.arange(4000) * 0.1)).astype(np.float32)
+    _extensible_float_wav(tmp_path / "e.wav", x)
+    y, sr = read_wav(tmp_path / "e.wav")
+    assert sr == 22050
+    np.testing.assert_allclose(y[:, 0], x, atol=1e-6)
+
+
+@needs_native
+def test_extensible_float_wav_native(tmp_path):
+    x = (0.5 * np.sin(np.arange(4000) * 0.1)).astype(np.float32)
+    _extensible_float_wav(tmp_path / "e.wav", x)
+    y = native_loader.decode_file(tmp_path / "e.wav", 22050)
+    np.testing.assert_allclose(y, x, atol=1e-6)
+
+
+@needs_native
+def test_bits0_wav_does_not_crash_native(tmp_path):
+    _bits0_wav(tmp_path / "bad.wav")
+    good = tmp_path / "good.wav"
+    fixtures.write_wav(good, fixtures.synth_clip(0, 0.5))
+    batch, lengths = native_loader.decode_batch(
+        [tmp_path / "bad.wav", good], 22050, 22050, 256
+    )
+    assert lengths[0] == -1 and lengths[1] > 0
+    assert "bits_per_sample" in native_loader.last_error() or native_loader.last_error()
+
+
+@needs_native
+def test_native_error_visible_from_caller_thread(tmp_path):
+    (tmp_path / "garbage.wav").write_bytes(b"RIFFxxxxWAVEgarbage")
+    _, lengths = native_loader.decode_batch(
+        [tmp_path / "garbage.wav"], 22050, 22050, 256, n_threads=2
+    )
+    assert lengths[0] == -1
+    assert native_loader.last_error() != ""  # worker error reaches this thread
+
+
+@needs_native
+def test_short_clip_threshold_matches_python(tmp_path):
+    """300-sample clip: both backends must skip it (len < n_fft = 512)."""
+    p = tmp_path / "short.wav"
+    fixtures.write_wav(p, np.zeros(300, np.float32) + 0.1)
+    _, lengths = native_loader.decode_batch([p], 22050, 22050, 512)
+    assert lengths[0] == -1  # skipped, like the python path
+
+
+def test_metrics_empty_split():
+    assert MetricsCalculator().compute_metrics([], [])["mAP"] == 0.0
+
+
+def test_loader_propagates_corrupt_artifact(tmp_workspace):
+    from audio_tokens_tpu.data.datasets import DataLoaderCreator
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+    from audio_tokens_tpu.data.splitter import DatasetSplitter
+    from audio_tokens_tpu.processors.cluster_creator import ClusterCreator
+    from audio_tokens_tpu.processors.spec_tokenizer import SpecTokenizer
+    from audio_tokens_tpu.processors.spectrogram_generator import SpectrogramGenerator
+
+    cfg = fixtures.test_config(tmp_workspace)
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+    SpectrogramGenerator(cfg).run()
+    ClusterCreator(cfg).run()
+    SpecTokenizer(cfg).run()
+
+    train_loader, _ = DataLoaderCreator(cfg).get_dataloaders()
+    # corrupt one token artifact
+    victim = train_loader.ds.files[0]
+    victim.write_bytes(b"not an npy file")
+    with pytest.raises(Exception):
+        for _ in train_loader.batches(0):
+            pass
+
+
+def test_normalize_mode_fused_matches_staged(tmp_path):
+    """config.normalize=True: fused tokenizer must reproduce the staged
+    pipeline's tokens (min-max-scaled space)."""
+    import json
+
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+    from audio_tokens_tpu.data.splitter import DatasetSplitter
+    from audio_tokens_tpu.processors.cluster_creator import ClusterCreator
+    from audio_tokens_tpu.processors.spec_tokenizer import SpecTokenizer
+    from audio_tokens_tpu.processors.spectrogram_generator import SpectrogramGenerator
+    from audio_tokens_tpu.tokenizer import FusedTokenizer
+
+    fixtures.make_workspace(tmp_path, n_clips=8)
+    cfg = fixtures.test_config(tmp_path, normalize=True)
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+    SpectrogramGenerator(cfg).run()
+    ClusterCreator(cfg).run()
+    SpecTokenizer(cfg).run()
+
+    split = json.loads(Path(cfg.split_file).read_text())
+    ytid = split["train"][0]
+    clip = fixtures.synth_clip(int(ytid[2:6]))
+    fused = FusedTokenizer.from_artifacts(cfg)
+    assert fused.kernel is None  # megakernel must disengage under normalize
+    got = fused.tokenize_waveforms([clip])[0]
+    staged = np.load(Path(cfg.dest_tokenized_path) / "train" / f"{ytid}.npy")
+
+    # min-max dB scaling is floor-sensitive: batch-composition fp differences
+    # can flip genuine near-ties.  Require >=99% agreement AND that every
+    # disagreement is a near-tie (distance delta ~1e-5 in the [0,1] space).
+    agree = (got == staged).mean()
+    assert agree >= 0.97, f"agreement {agree}"
+    cents = np.load(cfg.centroids_path)
+    spec = np.load(Path(cfg.dest_spec_path) / "train" / f"{ytid}.npy").T
+    frames = spec / (np.linalg.norm(spec, axis=1, keepdims=True) + 1e-10)
+    for i in np.nonzero(got != staged)[0]:
+        d_got = ((frames[i] - cents[got[i]]) ** 2).sum()
+        d_staged = ((frames[i] - cents[staged[i]]) ** 2).sum()
+        # absolute near-tie margin in the [0,1]-normalized squared-distance space
+        assert abs(d_got - d_staged) < 2e-5, (i, d_got, d_staged)
