@@ -161,6 +161,16 @@ class AudioTokensConfig:
     # falling back to the pure-python reader.
     audio_backend: str = "auto"
 
+    # Observability: when set, stages run under jax.profiler.trace writing
+    # TensorBoard/Perfetto timelines to this directory.
+    profile_dir: str = ""
+
+    # Stage resumability: the reference wipes stage output dirs on every run
+    # (SURVEY.md §2.7.8). incremental=True keeps existing artifacts and only
+    # processes missing ones, so an interrupted spectrogram/tokenize run over
+    # the 2M-clip corpus resumes where it stopped.
+    incremental: bool = False
+
     def __post_init__(self) -> None:
         base = self.base_dir
         if not self.csv_index_files:

@@ -119,4 +119,20 @@ def vq_assign_pallas(
     if interpret is None:
         interpret = not _on_tpu()
     tile_n = min(tile_n, _round_up(frames.shape[0], 8))
+    if not fits_vmem(centroids.shape[0], centroids.shape[1], tile_n):
+        raise ValueError(
+            f"K={centroids.shape[0]} d={centroids.shape[1]} exceeds the VMEM "
+            "budget of the fused kernel — use ops.vq.vq_assign (chunked XLA)"
+        )
     return _vq_pallas_jit(frames, centroids, normalize, interpret, tile_n)
+
+
+def fits_vmem(k: int, d: int, tile_n: int = TILE_N,
+              budget_bytes: int = 12 * 1024 * 1024) -> bool:
+    """Whether the fused-VQ working set (centroids + frame tile + score tile)
+    fits the per-core VMEM budget; large vocabularies route to the chunked
+    XLA path instead."""
+    k_pad = _round_up(k, 128)
+    d_pad = _round_up(d, 128)
+    need = 4 * (d_pad * k_pad + tile_n * (d_pad + k_pad) + k_pad)
+    return need <= budget_bytes

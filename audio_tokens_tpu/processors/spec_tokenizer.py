@@ -25,6 +25,7 @@ import numpy as np
 from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.ops.vq import l2_normalize, vq_assign
 from audio_tokens_tpu.processors.cluster_creator import make_conv_features
+from audio_tokens_tpu.utils.profiling import StageTimer, maybe_trace
 from audio_tokens_tpu.utils.seeding import set_seed
 
 logger = logging.getLogger(__name__)
@@ -48,10 +49,16 @@ class SpecTokenizer:
         for split in ["train", "validation"]:
             source_dir = self.source_path / split
             tokenized_dir = self.dest_tokenized_path / split
-            shutil.rmtree(tokenized_dir, ignore_errors=True)
-            tokenized_dir.mkdir(parents=True)
+            if self.config.incremental:
+                tokenized_dir.mkdir(parents=True, exist_ok=True)
+            else:  # reference semantics: destructive restart
+                shutil.rmtree(tokenized_dir, ignore_errors=True)
+                tokenized_dir.mkdir(parents=True)
             logger.info("Tokenizing %s: %s --> %s", split, source_dir, tokenized_dir)
-            all_tokens = self.tokenize_directory(source_dir, tokenized_dir)
+            with maybe_trace(self.config.profile_dir), \
+                    StageTimer(f"tokenize/{split}") as timer:
+                all_tokens = self.tokenize_directory(source_dir, tokenized_dir)
+                timer.count("frames", len(all_tokens))
             if split == "train":
                 stats[split] = self.analyze_tokens(all_tokens)
                 self.plot_token_distribution(all_tokens)
@@ -60,6 +67,13 @@ class SpecTokenizer:
     def tokenize_directory(self, source_dir: Path, tokenized_dir: Path) -> np.ndarray:
         all_tokens: List[np.ndarray] = []
         spec_files = sorted(source_dir.glob("*.npy"))
+        if self.config.incremental:
+            before = len(spec_files)
+            spec_files = [
+                f for f in spec_files if not (tokenized_dir / f.name).exists()
+            ]
+            logger.info("incremental: %d/%d clips already tokenized",
+                        before - len(spec_files), before)
         bs = self.config.tokenizer_batch_size
         for i in range(0, len(spec_files), bs):
             all_tokens.append(self.process_batch(spec_files[i : i + bs], tokenized_dir))

@@ -28,6 +28,7 @@ from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.data import native_loader
 from audio_tokens_tpu.data.audio_io import AudioDecodeError, decode_audio
 from audio_tokens_tpu.ops.mel import MelFrontend, num_frames
+from audio_tokens_tpu.utils.profiling import StageTimer, maybe_trace
 
 logger = logging.getLogger(__name__)
 
@@ -61,12 +62,23 @@ class SpectrogramGenerator:
         for split in ["train", "validation"]:
             logger.info("Creating %s spectrograms", split)
             output_dir = Path(self.config.dest_spec_path) / split
-            shutil.rmtree(output_dir, ignore_errors=True)
-            output_dir.mkdir(parents=True)
-            n_ok = self.populate_specs(self.data_split[split], output_dir)
+            ytids = self.data_split[split]
+            if self.config.incremental:
+                output_dir.mkdir(parents=True, exist_ok=True)
+                before = len(ytids)
+                ytids = [y for y in ytids if not (output_dir / f"{y}.npy").exists()]
+                logger.info("incremental: %d/%d clips already done",
+                            before - len(ytids), before)
+            else:  # reference semantics: destructive restart
+                shutil.rmtree(output_dir, ignore_errors=True)
+                output_dir.mkdir(parents=True)
+            with maybe_trace(self.config.profile_dir), \
+                    StageTimer(f"spectrograms/{split}") as timer:
+                n_ok = self.populate_specs(ytids, output_dir)
+                timer.count("clips", n_ok)
             logger.info(
                 "%s: %d/%d spectrograms saved to %s",
-                split.capitalize(), n_ok, len(self.data_split[split]), output_dir,
+                split.capitalize(), n_ok, len(ytids), output_dir,
             )
 
     # ------------------------------------------------------------------

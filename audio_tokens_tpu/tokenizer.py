@@ -23,7 +23,7 @@ import numpy as np
 from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.ops.mel import MelFrontend, num_frames
 from audio_tokens_tpu.ops.conv_features import ConvFeatures
-from audio_tokens_tpu.ops.pallas_vq import _on_tpu, vq_assign_pallas
+from audio_tokens_tpu.ops.pallas_vq import _on_tpu, fits_vmem, vq_assign_pallas
 from audio_tokens_tpu.ops.vq import EPS
 
 
@@ -49,6 +49,12 @@ class FusedTokenizer:
         self.conv = conv
         self.compute_dtype = compute_dtype
         self.use_pallas = _on_tpu() if use_pallas is None else use_pallas
+        if self.use_pallas and not fits_vmem(
+            self.centroids.shape[0], config.feature_dim
+        ):
+            # huge vocabularies (e.g. 16k) exceed the fused kernel's VMEM
+            # working set; the chunked XLA path handles any K
+            self.use_pallas = False
 
         # Full wav->tokens megakernel (ops/pallas_tokenizer.py): engaged when
         # on TPU with no conv front-end, no per-clip min-max normalization

@@ -158,3 +158,41 @@ def test_normalize_mode_fused_matches_staged(tmp_path):
         d_staged = ((frames[i] - cents[staged[i]]) ** 2).sum()
         # absolute near-tie margin in the [0,1]-normalized squared-distance space
         assert abs(d_got - d_staged) < 2e-5, (i, d_got, d_staged)
+
+
+def test_incremental_stage_resume(tmp_path):
+    """incremental=True: stages keep existing artifacts and fill gaps."""
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+    from audio_tokens_tpu.data.splitter import DatasetSplitter
+    from audio_tokens_tpu.processors.spectrogram_generator import SpectrogramGenerator
+
+    fixtures.make_workspace(tmp_path, n_clips=8)
+    cfg = fixtures.test_config(tmp_path, incremental=True)
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+
+    gen = SpectrogramGenerator(cfg)
+    gen.run()
+    spec_dir = Path(cfg.dest_spec_path) / "train"
+    files = sorted(spec_dir.glob("*.npy"))
+    assert files
+    # delete one artifact, stamp another, rerun: gap refilled, stamp survives
+    victim, keeper = files[0], files[1]
+    victim.unlink()
+    keeper_mtime = keeper.stat().st_mtime_ns
+    import time as _time
+    _time.sleep(0.01)
+    gen.run()
+    assert victim.exists()
+    assert keeper.stat().st_mtime_ns == keeper_mtime  # not rewritten
+
+
+def test_stage_timer_counts(caplog):
+    import logging as _logging
+
+    from audio_tokens_tpu.utils.profiling import StageTimer
+
+    with caplog.at_level(_logging.INFO, logger="audio_tokens_tpu.utils.profiling"):
+        with StageTimer("unit-test") as t:
+            t.count("clips", 10)
+            t.count("clips", 5)
+    assert "clips=15" in caplog.text
