@@ -243,6 +243,21 @@ class Trainer:
         logger.info("Epoch %d (%.1fs)", epoch, seconds)
         logger.info("Train Loss: %.4f, Train mAP: %.4f", train_loss, train_metrics["mAP"])
         logger.info("Val Loss: %.4f, Val mAP: %.4f", val_loss, val_metrics["mAP"])
+        # durable metrics history next to the checkpoints (wandb-independent)
+        try:
+            metrics_path = Path(self.config.checkpoint_dir) / f"{self.run_name}-metrics.jsonl"
+            metrics_path.parent.mkdir(parents=True, exist_ok=True)
+            with metrics_path.open("a") as f:
+                f.write(json.dumps({
+                    "epoch": epoch,
+                    "train_loss": train_loss,
+                    "train_mAP": train_metrics["mAP"],
+                    "val_loss": val_loss,
+                    "val_mAP": val_metrics["mAP"],
+                    "seconds": round(seconds, 2),
+                }) + "\n")
+        except OSError as e:
+            logger.warning("could not append metrics history: %s", e)
         if self._wandb is not None:
             self._wandb.log(
                 {
