@@ -37,7 +37,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.data.datasets import BatchLoader, DataLoaderCreator
 from audio_tokens_tpu.models import get_model
-from audio_tokens_tpu.parallel.mesh import data_mesh
+from audio_tokens_tpu.parallel.mesh import data_mesh, make_mesh, tp_shardings
 from audio_tokens_tpu.train import checkpoint as ckpt
 from audio_tokens_tpu.utils.metrics import MetricsCalculator
 from audio_tokens_tpu.utils.seeding import key_for, set_seed
@@ -128,10 +128,32 @@ class Trainer:
         return val_loss, val_metrics
 
     # ------------------------------------------------------------------
+    def evaluate(
+        self, checkpoint_name: Optional[str] = None
+    ) -> Tuple[float, Dict[str, float]]:
+        """Evaluate a saved checkpoint on the validation split (no training)."""
+        cfg = self.config
+        train_loader, val_loader = DataLoaderCreator(cfg).get_dataloaders()
+        params, _ = self._init_state(train_loader)
+        params = ckpt.load_params(
+            cfg.checkpoint_dir, checkpoint_name or f"{self.run_name}-best", params
+        )
+        if self.mesh is not None:
+            params = jax.device_put(params, NamedSharding(self.mesh, P()))
+        _, eval_step = self._build_steps()
+        val_loss, val_metrics = self._eval_epoch(eval_step, params, val_loader)
+        logger.info("Eval: loss %.4f, mAP %.4f", val_loss, val_metrics["mAP"])
+        return val_loss, val_metrics
+
+    # ------------------------------------------------------------------
     def _init_state(self, loader: BatchLoader):
         cfg = self.config
         batch = loader.dummy_batch()  # shapes only; no producer thread
-        mesh = data_mesh(cfg)
+        if cfg.model_parallel > 1:
+            # DP x TP mesh; transformer weights shard via TP_RULES below
+            mesh = make_mesh(data=cfg.data_parallel, model=cfg.model_parallel)
+        else:
+            mesh = data_mesh(cfg)
         if mesh is not None and (
             cfg.training_batch_size % mesh.shape["data"]
             or cfg.eval_batch_size % mesh.shape["data"]
@@ -152,11 +174,21 @@ class Trainer:
         )["params"]
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         logger.info("model %s: %.2fM params", self.config.model_type, n_params / 1e6)
-        opt_state = self.optimizer.init(params)
         if mesh is not None:
-            rep = NamedSharding(mesh, P())
-            params = jax.device_put(params, rep)
-            opt_state = jax.device_put(opt_state, rep)
+            if "model" in mesh.axis_names and mesh.shape.get("model", 1) > 1:
+                if cfg.model_type != "bert":
+                    raise ValueError(
+                        "model_parallel > 1 is only meaningful for the "
+                        "transformer (model_type='bert')"
+                    )
+                from audio_tokens_tpu.models.transformer import TP_RULES
+
+                shardings = tp_shardings(mesh, params, TP_RULES)
+                params = jax.tree_util.tree_map(jax.device_put, params, shardings)
+            else:
+                params = jax.device_put(params, NamedSharding(mesh, P()))
+        # optimizer state mirrors params (zeros_like inherits shardings)
+        opt_state = self.optimizer.init(params)
         return params, opt_state
 
     def _build_steps(self):
