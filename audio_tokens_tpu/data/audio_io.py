@@ -145,6 +145,19 @@ def resample(x: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
     return out.reshape(-1)[:target_len]
 
 
+def find_audio_file(config, ytid: str) -> Optional[Path]:
+    """Probe ``{audio_source_path}/{set}/{ytid[:2]}/{ytid}.flac`` (then .wav)
+    across the configured source sets — the reference's file layout
+    (reference: processors/spectrogram_generator.py:87-95)."""
+    for source_set in config.audio_source_sets:
+        base = Path(config.audio_source_path) / source_set / ytid[:2]
+        for ext in (".flac", ".wav"):
+            p = base / f"{ytid}{ext}"
+            if p.exists():
+                return p
+    return None
+
+
 def decode_audio(path, target_sr: Optional[int] = None) -> Tuple[np.ndarray, int]:
     """Decode any supported container to mono float32, optionally resampled."""
     path = Path(path)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_tokens_tpu.config import AudioTokensConfig
-from audio_tokens_tpu.data.audio_io import decode_audio
+from audio_tokens_tpu.data.audio_io import decode_audio, find_audio_file
 from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
 from audio_tokens_tpu.models import get_model, model_input_kind
 from audio_tokens_tpu.tokenizer import FusedTokenizer
@@ -95,13 +95,7 @@ class ManualTester:
         self.predictor = Predictor(config, checkpoint_name)
 
     def find_audio_file(self, ytid: str) -> Optional[Path]:
-        for source_set in self.config.audio_source_sets:
-            base = Path(self.config.audio_source_path) / source_set / ytid[:2]
-            for ext in (".flac", ".wav"):
-                p = base / f"{ytid}{ext}"
-                if p.exists():
-                    return p
-        return None
+        return find_audio_file(self.config, ytid)
 
     def run(self, ytid: str, top_k: int = 30) -> List[dict]:
         path = self.find_audio_file(ytid)

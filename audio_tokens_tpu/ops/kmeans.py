@@ -39,6 +39,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from audio_tokens_tpu.ops.common import round_up as _round_up
+
 logger = logging.getLogger(__name__)
 
 
@@ -138,10 +140,6 @@ def _kmeans_jit(x, mask, init_centroids, niter, chunk, precision, mesh,
         in_specs=(P(axis_name), P(axis_name), P()),
         out_specs=(P(), P()),
     )(x, mask, init_centroids)
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -156,13 +156,18 @@ class MelFrontend:
         self.precision = precision
         self.frames_max = num_frames(clip_samples, hop_length)
         self.padded_len = n_fft // 2 + clip_samples + n_fft // 2
-        self._filters = jnp.asarray(dft_filters(n_fft))  # (2F, 1, n_fft)
-        # transposed basis for the shifted-GEMM path: (n_fft, 2F)
-        self._basis = jnp.asarray(dft_filters(n_fft)[:, 0, :].T)
+        self._use_gemm = n_fft % hop_length == 0
+        filters = dft_filters(n_fft)  # (2F, 1, n_fft)
+        if self._use_gemm:
+            # transposed basis for the frame-GEMM path: (n_fft, 2F)
+            self._basis = jnp.asarray(filters[:, 0, :].T)
+            self._filters = None
+        else:
+            self._filters = jnp.asarray(filters)
+            self._basis = None
         self._fbank = jnp.asarray(
             mel_filterbank(self.n_freq, n_mels, sample_rate)
         )
-        self._use_gemm = n_fft % hop_length == 0
 
     def prepare_batch(self, waves) -> Tuple[np.ndarray, np.ndarray]:
         """Host: list of 1-D float arrays -> (padded (B, L), lengths (B,)).

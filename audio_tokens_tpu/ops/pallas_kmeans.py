@@ -30,9 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from audio_tokens_tpu.ops.common import round_up as _round_up
 
 
 def _stats_kernel(nvalid_ref, x_ref, ct_ref, c2_ref,

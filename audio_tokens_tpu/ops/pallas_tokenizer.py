@@ -33,11 +33,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from audio_tokens_tpu.ops.common import round_up as _round_up
+
 EPS = 1e-10
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def plan_tiles(n_frames: int, hop: int, n_fft: int) -> Tuple[int, int]:

@@ -25,12 +25,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from audio_tokens_tpu.ops.common import round_up as _round_up
+
 EPS = 1e-10  # matches ops/vq.py / reference normalize_vectors
 TILE_N = 1024
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _vq_kernel(f_ref, ct_ref, c2_ref, out_ref, *, normalize: bool):

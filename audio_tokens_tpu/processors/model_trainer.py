@@ -12,8 +12,7 @@ from audio_tokens_tpu.train.trainer import Trainer
 
 
 class ModelTrainer(Trainer):
-    def __init__(self, config: AudioTokensConfig):
-        super().__init__(config)
+    pass
 
 
 if __name__ == "__main__":

@@ -26,7 +26,11 @@ import numpy as np
 
 from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.data import native_loader
-from audio_tokens_tpu.data.audio_io import AudioDecodeError, decode_audio
+from audio_tokens_tpu.data.audio_io import (
+    AudioDecodeError,
+    decode_audio,
+    find_audio_file,
+)
 from audio_tokens_tpu.ops.mel import MelFrontend, num_frames
 from audio_tokens_tpu.utils.profiling import StageTimer, maybe_trace
 
@@ -158,15 +162,10 @@ class SpectrogramGenerator:
         return wave
 
     def find_audio_file(self, ytid: str) -> Optional[Path]:
-        """Probe ``{source}/{set}/{ytid[:2]}/{ytid}.flac`` (then ``.wav``)."""
-        for source_set in self.config.audio_source_sets:
-            base = Path(self.config.audio_source_path) / source_set / ytid[:2]
-            for ext in (".flac", ".wav"):
-                p = base / f"{ytid}{ext}"
-                if p.exists():
-                    return p
-        logger.debug("Audio file not found: %s", ytid)
-        return None
+        path = find_audio_file(self.config, ytid)
+        if path is None:
+            logger.debug("Audio file not found: %s", ytid)
+        return path
 
     def _process_device_batch(
         self, items: List[Tuple[str, np.ndarray]], output_dir: Path

@@ -24,7 +24,7 @@ from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.ops.mel import MelFrontend, num_frames
 from audio_tokens_tpu.ops.conv_features import ConvFeatures
 from audio_tokens_tpu.ops.pallas_vq import _on_tpu, fits_vmem, vq_assign_pallas
-from audio_tokens_tpu.ops.vq import EPS
+from audio_tokens_tpu.ops.vq import l2_normalize
 
 
 class FusedTokenizer:
@@ -147,8 +147,7 @@ class FusedTokenizer:
                 frames, self.centroids, normalize=True, interpret=False
             )
             return tokens.reshape(b, t)
-        norms = jnp.sqrt(jnp.sum(frames * frames, axis=1, keepdims=True))
-        frames = frames / (norms + EPS)
+        frames = l2_normalize(frames)
         c = self.centroids
         c2 = jnp.sum(c * c, axis=1)[None, :]
         scores = c2 - 2.0 * jnp.dot(

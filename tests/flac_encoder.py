@@ -157,7 +157,6 @@ def encode_flac_fixed_order1(samples: np.ndarray, sr: int, rice_param: int,
     w.write(rice_param, 4)
     for i in range(1, n):
         res = int(samples[i]) - int(samples[i - 1])
-        zz = (res << 1) ^ (res >> 63) if res < 0 else res << 1
         zz = (abs(res) << 1) - 1 if res < 0 else res << 1  # zigzag
         w.write_unary(zz >> rice_param)
         if rice_param:

@@ -3,7 +3,6 @@ robustness, WAVE_FORMAT_EXTENSIBLE, normalize-mode fidelity, loader error
 propagation, empty-split metrics."""
 
 import struct
-import wave as wave_mod
 from pathlib import Path
 
 import numpy as np
