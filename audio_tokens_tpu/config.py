@@ -153,6 +153,9 @@ class AudioTokensConfig:
     log_every_steps: int = 50
     early_stopping_patience: int = 0  # 0 disables (reference stub never fired)
     max_train_steps: int = 0  # 0 = no cap (useful for smoke tests)
+    # Run gradient-flow diagnostics every N epochs (0 disables — the
+    # reference's hook existed but was disabled; see utils/diagnostics.py).
+    diagnostics_every: int = 0
     # Sequence capacity for token models (frames for 10 s @ hop 128 = 1723,
     # padded up to a lane-friendly multiple).
     max_seq_len: int = 1728

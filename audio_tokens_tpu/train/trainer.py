@@ -94,6 +94,8 @@ class Trainer:
                 train_step, params, opt_state, train_loader, epoch, step
             )
             val_loss, val_metrics = self._eval_epoch(eval_step, params, val_loader)
+            if cfg.diagnostics_every and epoch % cfg.diagnostics_every == 0:
+                self._run_diagnostics(params, train_loader, epoch)
             self._log_epoch_results(
                 epoch, train_loss, train_metrics, val_loss, val_metrics,
                 time.time() - t0,
@@ -267,6 +269,17 @@ class Trainer:
             labels.append(batch["labels"][:n])
         metrics = self.metrics_calculator.compute_metrics(preds, labels)
         return float(np.mean(losses)) if losses else float("nan"), metrics
+
+    # ------------------------------------------------------------------
+    def _run_diagnostics(self, params, loader, epoch: int) -> None:
+        """Gradient-flow report on one batch (the reference wired this hook
+        but left it disabled — reference: processors/model_trainer.py:56-58)."""
+        from audio_tokens_tpu.utils.diagnostics import gradient_flow, make_batch_loss
+
+        batch = next(iter(loader.batches(epoch)))
+        loss_fn = make_batch_loss(self.model, batch, self.use_lengths)
+        plot = Path(self.config.checkpoint_dir) / f"{self.run_name}-gradflow-e{epoch}.png"
+        gradient_flow(loss_fn, params, plot_path=plot)
 
     # ------------------------------------------------------------------
     def _log_epoch_results(

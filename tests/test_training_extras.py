@@ -144,3 +144,12 @@ def test_evaluate_checkpoint(ws):
     ev_loss, ev_metrics = ModelTrainer(cfg).evaluate("no-wandb-best")
     assert np.isfinite(ev_loss)
     assert 0.0 <= ev_metrics["mAP"] <= 1.0
+
+
+def test_diagnostics_hook_runs(ws):
+    cfg = fixtures.test_config(ws, model_type="simple", epochs=1,
+                               diagnostics_every=1, save_best_checkpoint=False)
+    ModelTrainer(cfg).run()
+    from pathlib import Path
+
+    assert list(Path(cfg.checkpoint_dir).glob("no-wandb-gradflow-e0.png"))
