@@ -95,6 +95,10 @@ class FusedTokenizer:
         """
         if self.config.normalize and lengths is None:
             raise ValueError("config.normalize=True requires lengths")
+        return self._tokens_dispatch(padded_batch, lengths)
+
+    def _tokens_dispatch(self, padded_batch, lengths=None):
+        """Megakernel when engaged and the buffer is kernel-sized, else XLA."""
         if (
             self.kernel is not None
             and padded_batch.shape[1] >= self.kernel.n_blocks * self.kernel.hop
@@ -126,7 +130,8 @@ class FusedTokenizer:
                 in_specs=(P("data"), P("data")), out_specs=P("data"),
             )(padded_batch, lengths)
         return jax.shard_map(
-            self._tokens_impl, mesh=mesh, in_specs=P("data"), out_specs=P("data")
+            self._tokens_dispatch, mesh=mesh, in_specs=P("data"),
+            out_specs=P("data"),
         )(padded_batch)
 
     def _tokens_impl(
