@@ -114,13 +114,17 @@ def bench_torch_cpu(clips, centroids, tpu_tokens) -> float:
     agree = (ref_tokens == tpu_tokens[0][:n]).mean()
     log(f"token agreement tpu vs torch-cpu reference: {agree * 100:.2f}%")
 
+    # best-of-3: the CPU baseline is load-sensitive; taking its fastest run
+    # gives the most conservative (smallest) reported speedup
     n_base = min(8, len(clips))
-    t0 = time.perf_counter()
-    for x in clips[:n_base]:
-        one_clip(x)
-    dt = time.perf_counter() - t0
-    cps = n_base / dt
-    log(f"torch-cpu baseline: {dt / n_base * 1e3:.1f} ms/clip -> {cps:.1f} clips/s")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for x in clips[:n_base]:
+            one_clip(x)
+        best = min(best, time.perf_counter() - t0)
+    cps = n_base / best
+    log(f"torch-cpu baseline (best of 3): {best / n_base * 1e3:.1f} ms/clip -> {cps:.1f} clips/s")
     return cps
 
 
