@@ -117,7 +117,10 @@ def vq_assign_pallas(
     if interpret is None:
         interpret = not _on_tpu()
     tile_n = min(tile_n, _round_up(frames.shape[0], 8))
-    if not fits_vmem(centroids.shape[0], centroids.shape[1], tile_n):
+    # interpret mode has no VMEM; the budget only binds on real hardware
+    if not interpret and not fits_vmem(
+        centroids.shape[0], centroids.shape[1], tile_n
+    ):
         raise ValueError(
             f"K={centroids.shape[0]} d={centroids.shape[1]} exceeds the VMEM "
             "budget of the fused kernel — use ops.vq.vq_assign (chunked XLA)"

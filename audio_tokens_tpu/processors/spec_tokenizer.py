@@ -25,10 +25,12 @@ import numpy as np
 from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.ops.vq import l2_normalize, vq_assign
 from audio_tokens_tpu.processors.cluster_creator import make_conv_features
+from audio_tokens_tpu.utils.npy_io import atomic_save_npy
 from audio_tokens_tpu.utils.profiling import StageTimer, maybe_trace
 from audio_tokens_tpu.utils.seeding import set_seed
 
 logger = logging.getLogger(__name__)
+
 
 
 class SpecTokenizer:
@@ -60,8 +62,12 @@ class SpecTokenizer:
                 all_tokens = self.tokenize_directory(source_dir, tokenized_dir)
                 timer.count("frames", len(all_tokens))
             if split == "train":
-                stats[split] = self.analyze_tokens(all_tokens)
-                self.plot_token_distribution(all_tokens)
+                if len(all_tokens) == 0:
+                    logger.info("no new tokens; keeping previous statistics/plots")
+                    stats[split] = {"total_tokens": 0, "unique_tokens": 0}
+                else:
+                    stats[split] = self.analyze_tokens(all_tokens)
+                    self.plot_token_distribution(all_tokens)
         return stats
 
     def tokenize_directory(self, source_dir: Path, tokenized_dir: Path) -> np.ndarray:
@@ -69,11 +75,22 @@ class SpecTokenizer:
         spec_files = sorted(source_dir.glob("*.npy"))
         if self.config.incremental:
             before = len(spec_files)
+            # an existing token file only counts if it was produced AFTER the
+            # current centroids — otherwise it encodes a stale codebook
+            cent_mtime = Path(self.config.centroids_path).stat().st_mtime
             spec_files = [
-                f for f in spec_files if not (tokenized_dir / f.name).exists()
+                f for f in spec_files
+                if not (tokenized_dir / f.name).exists()
+                or (tokenized_dir / f.name).stat().st_mtime < cent_mtime
             ]
+            n_skipped = before - len(spec_files)
             logger.info("incremental: %d/%d clips already tokenized",
-                        before - len(spec_files), before)
+                        n_skipped, before)
+            if n_skipped:
+                logger.warning(
+                    "incremental tokenize: token statistics / plots cover only "
+                    "the %d newly tokenized clips", len(spec_files),
+                )
         bs = self.config.tokenizer_batch_size
         for i in range(0, len(spec_files), bs):
             all_tokens.append(self.process_batch(spec_files[i : i + bs], tokenized_dir))
@@ -90,7 +107,7 @@ class SpecTokenizer:
         start = 0
         for spec_file, spec in zip(batch_files, batch_specs):
             end = start + len(spec)
-            np.save(tokenized_dir / f"{spec_file.stem}.npy", tokens[start:end])
+            atomic_save_npy(tokenized_dir / f"{spec_file.stem}.npy", tokens[start:end])
             start = end
         return tokens
 

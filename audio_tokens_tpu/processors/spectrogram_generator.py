@@ -32,9 +32,11 @@ from audio_tokens_tpu.data.audio_io import (
     find_audio_file,
 )
 from audio_tokens_tpu.ops.mel import MelFrontend, num_frames
+from audio_tokens_tpu.utils.npy_io import atomic_save_npy
 from audio_tokens_tpu.utils.profiling import StageTimer, maybe_trace
 
 logger = logging.getLogger(__name__)
+
 
 
 class SpectrogramGenerator:
@@ -143,7 +145,7 @@ class SpectrogramGenerator:
                 if not np.isfinite(spec).all():
                     logger.debug("Warning: NaN/Inf values found in spectrogram %s", ytid)
                     continue
-                np.save(output_dir / f"{ytid}.npy", spec)
+                atomic_save_npy(output_dir / f"{ytid}.npy", spec)
                 n_ok += 1
         return n_ok
 

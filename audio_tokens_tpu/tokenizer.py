@@ -50,7 +50,7 @@ class FusedTokenizer:
         self.compute_dtype = compute_dtype
         self.use_pallas = _on_tpu() if use_pallas is None else use_pallas
         if self.use_pallas and not fits_vmem(
-            self.centroids.shape[0], config.feature_dim
+            self.centroids.shape[0], self.centroids.shape[1]
         ):
             # huge vocabularies (e.g. 16k) exceed the fused kernel's VMEM
             # working set; the chunked XLA path handles any K

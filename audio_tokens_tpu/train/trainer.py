@@ -77,11 +77,16 @@ class Trainer:
             params, opt_state, step, best_metric = ckpt.load_checkpoint(
                 cfg.checkpoint_dir, cfg.resume_from, params, opt_state
             )
+            params = self._shard_params(params)
             if self.mesh is not None:
-                from audio_tokens_tpu.parallel.mesh import replicated
-
-                params = replicated(self.mesh, params)
-                opt_state = replicated(self.mesh, opt_state)
+                # opt_state mirrors the params tree structure; re-derive its
+                # placement by re-initializing shardings from the params and
+                # copying restored values in (zeros_like inherits placement)
+                template = self.optimizer.init(params)
+                opt_state = jax.tree_util.tree_map(
+                    lambda restored, t: jax.device_put(restored, t.sharding),
+                    opt_state, template,
+                )
             logger.info(
                 "resumed from %s at step %d (best mAP %.4f)",
                 cfg.resume_from, step, best_metric,
@@ -135,13 +140,17 @@ class Trainer:
     ) -> Tuple[float, Dict[str, float]]:
         """Evaluate a saved checkpoint on the validation split (no training)."""
         cfg = self.config
+        if checkpoint_name is None:
+            if cfg.use_wandb:
+                raise ValueError(
+                    "with use_wandb=True each run gets a fresh name — pass the "
+                    "training run's checkpoint name to evaluate() explicitly"
+                )
+            checkpoint_name = f"{self.run_name}-best"
         train_loader, val_loader = DataLoaderCreator(cfg).get_dataloaders()
         params, _ = self._init_state(train_loader)
-        params = ckpt.load_params(
-            cfg.checkpoint_dir, checkpoint_name or f"{self.run_name}-best", params
-        )
-        if self.mesh is not None:
-            params = jax.device_put(params, NamedSharding(self.mesh, P()))
+        params = ckpt.load_params(cfg.checkpoint_dir, checkpoint_name, params)
+        params = self._shard_params(params)
         _, eval_step = self._build_steps()
         val_loss, val_metrics = self._eval_epoch(eval_step, params, val_loader)
         logger.info("Eval: loss %.4f, mAP %.4f", val_loss, val_metrics["mAP"])
@@ -176,22 +185,28 @@ class Trainer:
         )["params"]
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         logger.info("model %s: %.2fM params", self.config.model_type, n_params / 1e6)
-        if mesh is not None:
-            if "model" in mesh.axis_names and mesh.shape.get("model", 1) > 1:
-                if cfg.model_type != "bert":
-                    raise ValueError(
-                        "model_parallel > 1 is only meaningful for the "
-                        "transformer (model_type='bert')"
-                    )
-                from audio_tokens_tpu.models.transformer import TP_RULES
-
-                shardings = tp_shardings(mesh, params, TP_RULES)
-                params = jax.tree_util.tree_map(jax.device_put, params, shardings)
-            else:
-                params = jax.device_put(params, NamedSharding(mesh, P()))
+        params = self._shard_params(params)
         # optimizer state mirrors params (zeros_like inherits shardings)
         opt_state = self.optimizer.init(params)
         return params, opt_state
+
+    def _shard_params(self, params):
+        """Place params on the mesh: TP_RULES shardings when a model axis is
+        active, replicated otherwise.  Used by init, resume and evaluate so
+        all entry points agree."""
+        if self.mesh is None:
+            return params
+        if "model" in self.mesh.axis_names and self.mesh.shape.get("model", 1) > 1:
+            if self.config.model_type != "bert":
+                raise ValueError(
+                    "model_parallel > 1 is only meaningful for the "
+                    "transformer (model_type='bert')"
+                )
+            from audio_tokens_tpu.models.transformer import TP_RULES
+
+            shardings = tp_shardings(self.mesh, params, TP_RULES)
+            return jax.tree_util.tree_map(jax.device_put, params, shardings)
+        return jax.device_put(params, NamedSharding(self.mesh, P()))
 
     def _build_steps(self):
         model, optimizer = self.model, self.optimizer

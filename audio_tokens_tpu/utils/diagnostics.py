@@ -33,15 +33,28 @@ def _path_str(path) -> str:
 def gradient_flow(
     loss_fn: Callable, params, plot_path: Optional[Path] = None
 ) -> Dict[str, Dict[str, float]]:
-    """Per-parameter mean/max absolute gradient (reference :52-99)."""
-    grads = jax.grad(loss_fn)(params)
+    """Per-parameter mean/max absolute gradient (reference :52-99).
+
+    One jitted program computes every stat and ONE device_get fetches the
+    whole tree — per-scalar fetches cost ~25 ms each on remote TPU setups.
+    """
+
+    @jax.jit
+    def stats(params):
+        grads = jax.grad(loss_fn)(params)
+        return jax.tree_util.tree_map(
+            lambda g: (jnp.abs(g).mean(), jnp.abs(g).max()), grads
+        )
+
+    host_stats = jax.device_get(stats(params))
     report: Dict[str, Dict[str, float]] = {}
-    for path, g in jax.tree_util.tree_flatten_with_path(grads)[0]:
+    for path, (mean_g, max_g) in jax.tree_util.tree_flatten_with_path(
+        host_stats, is_leaf=lambda x: isinstance(x, tuple)
+    )[0]:
         name = _path_str(path)
-        ag = jnp.abs(g)
         report[name] = {
-            "mean_abs_grad": float(ag.mean()),
-            "max_abs_grad": float(ag.max()),
+            "mean_abs_grad": float(mean_g),
+            "max_abs_grad": float(max_g),
         }
     for name, r in report.items():
         logger.info("grad %-50s mean=%.3e max=%.3e",
