@@ -192,7 +192,7 @@ class SpectrogramGenerator:
             if not np.isfinite(spec).all():
                 logger.debug("Warning: NaN/Inf values found in spectrogram %s", ytid)
                 continue
-            np.save(output_dir / f"{ytid}.npy", spec)
+            atomic_save_npy(output_dir / f"{ytid}.npy", spec)
             n_ok += 1
         return n_ok
 

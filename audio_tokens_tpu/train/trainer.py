@@ -74,11 +74,21 @@ class Trainer:
         epochs_since_best = 0
         step = 0
         if cfg.resume_from:
+            fresh_opt_state = opt_state
             params, opt_state, step, best_metric = ckpt.load_checkpoint(
                 cfg.checkpoint_dir, cfg.resume_from, params, opt_state
             )
             params = self._shard_params(params)
-            if self.mesh is not None:
+            if opt_state is None:
+                # checkpoint had no opt_state dir (e.g. params-only export):
+                # fall back to the freshly initialized optimizer state rather
+                # than failing later with an opaque tree-structure error
+                logger.warning(
+                    "checkpoint %s has no optimizer state; starting the "
+                    "optimizer fresh", cfg.resume_from,
+                )
+                opt_state = fresh_opt_state
+            elif self.mesh is not None:
                 # opt_state mirrors the params tree structure; re-derive its
                 # placement by re-initializing shardings from the params and
                 # copying restored values in (zeros_like inherits placement)
@@ -169,7 +179,16 @@ class Trainer:
             cfg.training_batch_size % mesh.shape["data"]
             or cfg.eval_batch_size % mesh.shape["data"]
         ):
-            logger.info(
+            if cfg.model_parallel > 1:
+                # the user explicitly asked for TP; silently dropping it would
+                # change memory/placement intent — fail loudly instead
+                raise ValueError(
+                    f"batch sizes ({cfg.training_batch_size} train / "
+                    f"{cfg.eval_batch_size} eval) must be divisible by the "
+                    f"data axis ({mesh.shape['data']}) when model_parallel="
+                    f"{cfg.model_parallel} is requested"
+                )
+            logger.warning(
                 "batch size %d not divisible by %d devices; training single-device",
                 cfg.training_batch_size, mesh.shape["data"],
             )

@@ -297,6 +297,13 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
   int wasted = 0;
   if (br.read(1)) wasted = 1 + br.read_unary();
   bps -= wasted;
+  // Reject out-of-range effective bit depths: a malformed wasted-bits code
+  // can drive bps <= 0 (negative shift UB in read_signed), and >32 (33-bit
+  // side channels of a 32-bit stream) overflows the 32-bit read accumulator.
+  if (bps < 1 || bps > 32) {
+    set_error("invalid effective bits-per-sample " + std::to_string(bps));
+    return false;
+  }
 
   out.resize(block_size);
   std::vector<int64_t> residual;
@@ -373,7 +380,15 @@ bool decode_flac(const std::vector<uint8_t>& d, Decoded& out) {
     bool is_last = header >> 7;
     uint8_t btype = header & 0x7F;
     uint32_t length = (d[pos + 1] << 16) | (d[pos + 2] << 8) | d[pos + 3];
-    if (btype == 0) si = d.data() + pos + 4;
+    if (btype == 0) {
+      // STREAMINFO is exactly 34 bytes; a truncated file or a lying block
+      // length must not let the BitReader run past the buffer.
+      if (length < 34 || pos + 4 + 34 > d.size()) {
+        set_error("truncated STREAMINFO");
+        return false;
+      }
+      si = d.data() + pos + 4;
+    }
     pos += 4 + length;
     if (is_last) break;
   }
@@ -572,6 +587,10 @@ bool decode_any(const char* path, int target_sr, Decoded& out) {
     return false;
   }
   if (!ok) return false;
+  if (out.sample_rate <= 0) {  // sr 0 would NaN the resampler ratio (UB cast)
+    set_error("invalid sample rate " + std::to_string(out.sample_rate));
+    return false;
+  }
   if (target_sr > 0 && out.sample_rate != target_sr) {
     resample(out.mono, out.sample_rate, target_sr);
     out.sample_rate = target_sr;

@@ -95,3 +95,41 @@ def test_native_truncates_long_clip(tmp_path):
     clip_samples = 11025
     batch, lengths = native_loader.decode_batch([p], 22050, clip_samples, 256)
     assert lengths[0] == clip_samples
+
+
+def test_native_truncated_streaminfo_rejected(tmp_path, rng):
+    """A FLAC truncated inside the 34-byte STREAMINFO block must error
+    cleanly, not read out of bounds (round-2 hardening)."""
+    pcm = (rng.random((512, 1)) * 60000 - 30000).astype(np.int32)
+    data = bytearray(encode_flac_verbatim(pcm, 22050, block_size=512))
+    truncated = bytes(data[: 4 + 4 + 20])  # magic + block header + partial SI
+    (tmp_path / "t.flac").write_bytes(truncated)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        native_loader.decode_file(tmp_path / "t.flac", 22050)
+
+
+def test_native_zero_sample_rate_rejected(tmp_path, rng):
+    """STREAMINFO sample_rate == 0 must be rejected before the resampler
+    divides by it."""
+    pcm = (rng.random((512, 1)) * 60000 - 30000).astype(np.int32)
+    data = bytearray(encode_flac_verbatim(pcm, 22050, block_size=512))
+    # STREAMINFO layout: 16+16+24+24 bits = 10 bytes, then 20 bits of
+    # sample rate starting at byte offset 8+10 in the file (magic=4,
+    # header=4). Zero those 20 bits.
+    off = 8 + 10
+    data[off] = 0
+    data[off + 1] = 0
+    data[off + 2] &= 0x0F  # keep channels/bps bits in the low nibble
+    (tmp_path / "z.flac").write_bytes(bytes(data))
+    with pytest.raises(RuntimeError, match="decode failed"):
+        native_loader.decode_file(tmp_path / "z.flac", 22050)
+
+
+def test_native_garbage_bytes_never_crash(tmp_path, rng):
+    """Random garbage with valid magics must error, never crash/hang."""
+    for i in range(16):
+        junk = rng.integers(0, 256, 400, dtype=np.uint8).tobytes()
+        f = tmp_path / f"g{i}.flac"
+        f.write_bytes(b"fLaC" + junk)
+        with pytest.raises(RuntimeError):
+            native_loader.decode_file(f, 22050)

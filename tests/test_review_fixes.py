@@ -185,6 +185,36 @@ def test_incremental_stage_resume(tmp_path):
     assert keeper.stat().st_mtime_ns == keeper_mtime  # not rewritten
 
 
+def test_incremental_resume_repairs_killed_mid_write(tmp_path):
+    """A run killed mid-write leaves only a .npy.tmp (atomic writes never
+    expose a truncated final artifact); incremental rerun must regenerate
+    the missing artifact and leave no stale tmp garbage behind."""
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+    from audio_tokens_tpu.data.splitter import DatasetSplitter
+    from audio_tokens_tpu.processors.spectrogram_generator import SpectrogramGenerator
+
+    fixtures.make_workspace(tmp_path, n_clips=8)
+    cfg = fixtures.test_config(tmp_path, incremental=True)
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+
+    gen = SpectrogramGenerator(cfg)
+    gen.run()
+    spec_dir = Path(cfg.dest_spec_path) / "train"
+    files = sorted(spec_dir.glob("*.npy"))
+    golden = np.load(files[0])
+    # simulate the kill: final artifact gone, truncated tmp left behind
+    tmp = files[0].with_suffix(".npy.tmp")
+    tmp.write_bytes(b"\x93NUMPY truncated")
+    files[0].unlink()
+
+    gen.run()
+    assert files[0].exists()
+    np.testing.assert_array_equal(np.load(files[0]), golden)
+    # every artifact in the dir must be loadable (no truncated survivors)
+    for f in spec_dir.glob("*.npy"):
+        np.load(f)
+
+
 def test_stage_timer_counts(caplog):
     import logging as _logging
 

@@ -153,3 +153,31 @@ def test_diagnostics_hook_runs(ws):
     from pathlib import Path
 
     assert list(Path(cfg.checkpoint_dir).glob("no-wandb-gradflow-e0.png"))
+
+
+def test_resume_params_only_checkpoint_falls_back_to_fresh_opt(ws):
+    """A params-only checkpoint (no opt_state dir) must resume with a fresh
+    optimizer instead of crashing on a tree-structure mismatch."""
+    import shutil
+
+    cfg = fixtures.test_config(ws, model_type="simple", epochs=1,
+                               learning_rate=3e-3)
+    ModelTrainer(cfg).run()
+    opt_dir = ws / "output" / "checkpoints" / "no-wandb-best" / "opt_state"
+    assert opt_dir.exists()
+    shutil.rmtree(opt_dir)
+
+    cfg2 = fixtures.test_config(ws, model_type="simple", epochs=1,
+                                learning_rate=3e-3, resume_from="no-wandb-best")
+    val_loss, _ = ModelTrainer(cfg2).run()
+    assert np.isfinite(val_loss)
+
+
+def test_tp_with_indivisible_batch_raises(ws):
+    """Requested tensor parallelism must never be silently dropped."""
+    cfg = fixtures.test_config(
+        ws, model_type="bert", model_parallel=2, data_parallel=4,
+        training_batch_size=3, epochs=1,
+    )
+    with pytest.raises(ValueError, match="model_parallel"):
+        ModelTrainer(cfg).run()
