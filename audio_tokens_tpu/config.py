@@ -176,12 +176,19 @@ class AudioTokensConfig:
 
     def __post_init__(self) -> None:
         base = self.base_dir
+        # Metadata assets resolve to {base_dir}/metadata when the user placed
+        # them there, falling back to the copies bundled at the repo root
+        # (the reference ships the same files in its metadata/ dir).
+        bundled = Path(__file__).resolve().parents[1] / "metadata"
+
+        def _meta(name: str) -> str:
+            user = Path(base) / "metadata" / name
+            return str(user if user.exists() else bundled / name)
+
         if not self.csv_index_files:
-            self.csv_index_files = [
-                f"{base}/metadata/balanced_train_segments.csv",
-            ]
+            self.csv_index_files = [_meta("balanced_train_segments.csv")]
         if not self.ontology_json_file:
-            self.ontology_json_file = f"{base}/metadata/ontology.json"
+            self.ontology_json_file = _meta("ontology.json")
         if not self.split_file:
             self.split_file = f"{base}/output/bal_train_data_split.json"
         if not self.audio_source_path:
