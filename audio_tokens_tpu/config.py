@@ -174,6 +174,14 @@ class AudioTokensConfig:
     # the 2M-clip corpus resumes where it stopped.
     incremental: bool = False
 
+    # Fused pipeline: stages read audio directly and compute mel frames on
+    # device instead of round-tripping spectrogram ``.npy`` artifacts through
+    # disk — clustering streams wav->frames and tokenization runs the fused
+    # wav->tokens program (the Pallas megakernel on TPU).  Token artifacts
+    # are byte-identical to the staged pipeline (tested); the spectrogram
+    # stage is skipped entirely by run_pipeline.
+    fused_pipeline: bool = False
+
     def __post_init__(self) -> None:
         base = self.base_dir
         # Metadata assets resolve to {base_dir}/metadata when the user placed

@@ -111,7 +111,16 @@ class ClusterCreator:
     def _batch_generator(self, batch_size: int) -> Iterator[np.ndarray]:
         """Yield (frames, feature_dim) float32 matrices, L2-normalized, per
         file-batch — the reference's frame pipeline (:83-102) with the conv
-        + normalize applied on device."""
+        + normalize applied on device.
+
+        ``config.fused_pipeline=True`` streams the same frames from audio via
+        the device mel frontend instead of reading ``.npy`` artifacts; the
+        clip order (sorted ytids) and batch grouping match the staged glob,
+        and the frontend math is row-independent, so the Lloyd trajectory is
+        identical."""
+        if self.config.fused_pipeline:
+            yield from self._fused_batch_generator(batch_size)
+            return
         spec_dir = Path(self.config.source_spec_path) / "train"
         files = sorted(spec_dir.glob("*.npy"))
         if not files:
@@ -122,6 +131,38 @@ class ClusterCreator:
             if self.conv is not None:
                 frames = np.asarray(self.conv(frames))
             yield np.asarray(l2_normalize(frames))
+
+    def _fused_batch_generator(self, batch_size: int) -> Iterator[np.ndarray]:
+        from audio_tokens_tpu.processors.spectrogram_generator import (
+            SpectrogramGenerator,
+        )
+
+        gen = SpectrogramGenerator(self.config)
+        ytids = sorted(gen.data_split["train"])
+
+        def finish(specs):
+            frames = np.concatenate(
+                [s.T for s in specs], axis=0
+            ).astype(np.float32)
+            if self.conv is not None:
+                frames = np.asarray(self.conv(frames))
+            return np.asarray(l2_normalize(frames))
+
+        buf: list = []
+        produced = False
+        for _, spec in gen.iter_specs(ytids):
+            buf.append(spec)
+            if len(buf) == batch_size:
+                produced = True
+                yield finish(buf)
+                buf = []
+        if buf:
+            produced = True
+            yield finish(buf)
+        if not produced:
+            raise FileNotFoundError(
+                f"no decodable training audio under {self.config.audio_source_path}"
+            )
 
     def visualize_centroids(self, centroids: np.ndarray) -> None:
         """2-D PCA scatter (reference :104-113), PCA via numpy SVD."""

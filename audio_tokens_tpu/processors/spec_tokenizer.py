@@ -7,23 +7,32 @@ Same artifact contract as the reference
 output dirs per run, and on the train split reports token statistics with
 distribution + Zipf plots.
 
-The FAISS ``IndexFlatL2`` search is replaced by the chunked MXU argmin in
-``ops/vq.py``; the conv front-end (when enabled) shares weights with the
+The FAISS ``IndexFlatL2`` search is replaced by the fused VQ router in
+``ops/vq.py`` (Pallas VMEM kernel on TPU, file-batches sharded over the
+device mesh); the conv front-end (when enabled) shares weights with the
 cluster stage by construction instead of by RNG coincidence.
+
+``config.fused_pipeline=True`` skips the spectrogram artifacts entirely:
+clips go wav -> mel -> token IDs in one on-device program per batch (the
+Pallas megakernel on TPU) while still emitting the same per-clip token
+``.npy`` contract.
 """
 
 from __future__ import annotations
 
+import json
 import logging
 import shutil
 from collections import Counter
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Dict, List
 
 import numpy as np
 
 from audio_tokens_tpu.config import AudioTokensConfig
-from audio_tokens_tpu.ops.vq import l2_normalize, vq_assign
+from audio_tokens_tpu.ops.vq import vq_assign_fused
+from audio_tokens_tpu.parallel.mesh import data_mesh
 from audio_tokens_tpu.processors.cluster_creator import make_conv_features
 from audio_tokens_tpu.utils.npy_io import atomic_save_npy
 from audio_tokens_tpu.utils.profiling import StageTimer, maybe_trace
@@ -40,6 +49,7 @@ class SpecTokenizer:
         self.source_path = Path(config.source_spec_path)
         self.dest_tokenized_path = Path(config.dest_tokenized_path)
         self.centroids = np.load(config.centroids_path).astype(np.float32)
+        self.mesh = data_mesh(config)
         self.conv = make_conv_features(config)
         if self.conv is not None:
             conv_state = Path(config.centroids_path).with_suffix(".conv.npz")
@@ -47,6 +57,8 @@ class SpecTokenizer:
                 self.conv.load_state_dict(dict(np.load(conv_state)))
 
     def run(self) -> Dict[str, dict]:
+        if self.config.fused_pipeline:
+            return self._run_fused()
         stats = {}
         for split in ["train", "validation"]:
             source_dir = self.source_path / split
@@ -101,8 +113,9 @@ class SpecTokenizer:
         frames = np.concatenate(batch_specs, axis=0).astype(np.float32)
         if self.conv is not None:
             frames = np.asarray(self.conv(frames))
-        frames = np.asarray(l2_normalize(frames))
-        tokens = vq_assign(frames, self.centroids).astype(np.int64)
+        tokens = vq_assign_fused(
+            frames, self.centroids, mesh=self.mesh, normalize=True
+        ).astype(np.int64)
 
         start = 0
         for spec_file, spec in zip(batch_files, batch_specs):
@@ -110,6 +123,143 @@ class SpecTokenizer:
             atomic_save_npy(tokenized_dir / f"{spec_file.stem}.npy", tokens[start:end])
             start = end
         return tokens
+
+    # ------------------------------------------------------------------
+    # Fused mode: wav -> tokens on-device, no mel artifacts
+    # ------------------------------------------------------------------
+    def _run_fused(self) -> Dict[str, dict]:
+        """Tokenize straight from audio (config.fused_pipeline=True).
+
+        Same artifact/stat contract as the staged path; the compute is the
+        flagship fused program (``tokenizer.FusedTokenizer``): framing + DFT
+        + mel + dB + normalize + VQ argmin in one XLA/Pallas program per
+        ``device_batch_size`` clips, megakernel-fused on TPU.
+        """
+        from audio_tokens_tpu.data import native_loader
+        from audio_tokens_tpu.data.audio_io import (
+            AudioDecodeError,
+            decode_audio,
+            find_audio_file,
+        )
+        from audio_tokens_tpu.ops.mel import num_frames
+        from audio_tokens_tpu.tokenizer import FusedTokenizer
+
+        cfg = self.config
+        with open(cfg.split_file) as f:
+            split_map = json.load(f)
+        ft = FusedTokenizer(cfg, self.centroids, self.conv)
+        use_native = cfg.audio_backend in ("auto", "native") and (
+            native_loader.available()
+        )
+        stats: Dict[str, dict] = {}
+        for split in ["train", "validation"]:
+            tokenized_dir = self.dest_tokenized_path / split
+            if cfg.incremental:
+                tokenized_dir.mkdir(parents=True, exist_ok=True)
+            else:
+                shutil.rmtree(tokenized_dir, ignore_errors=True)
+                tokenized_dir.mkdir(parents=True)
+            # sorted like the staged glob, so batch composition matches
+            ytids = sorted(split_map[split])
+            if cfg.incremental:
+                cent_mtime = Path(cfg.centroids_path).stat().st_mtime
+                before = len(ytids)
+                ytids = [
+                    y for y in ytids
+                    if not (tokenized_dir / f"{y}.npy").exists()
+                    or (tokenized_dir / f"{y}.npy").stat().st_mtime < cent_mtime
+                ]
+                logger.info("incremental: %d/%d clips already tokenized",
+                            before - len(ytids), before)
+            logger.info("Fused-tokenizing %s: audio --> %s", split, tokenized_dir)
+            found = [(y, p) for y in ytids
+                     if (p := find_audio_file(cfg, y)) is not None]
+            all_tokens: List[np.ndarray] = []
+            bs = cfg.device_batch_size
+            with maybe_trace(cfg.profile_dir), \
+                    StageTimer(f"tokenize-fused/{split}") as timer:
+                n_clips = 0
+                for i in range(0, len(found), bs):
+                    chunk = found[i : i + bs]
+                    if use_native:
+                        per_clip = self._fused_tokens_native(ft, chunk, bs)
+                    else:
+                        per_clip = self._fused_tokens_python(
+                            ft, chunk, decode_audio, AudioDecodeError
+                        )
+                    for ytid, toks in per_clip:
+                        atomic_save_npy(tokenized_dir / f"{ytid}.npy", toks)
+                        all_tokens.append(toks)
+                        n_clips += 1
+                timer.count("clips", n_clips)
+                timer.count("frames", sum(len(t) for t in all_tokens))
+            logger.info("%s: %d/%d clips tokenized (fused)", split, n_clips,
+                        len(ytids))
+            if split == "train":
+                if not all_tokens:
+                    logger.info("no new tokens; keeping previous statistics/plots")
+                    stats[split] = {"total_tokens": 0, "unique_tokens": 0}
+                else:
+                    flat = np.concatenate(all_tokens)
+                    stats[split] = self.analyze_tokens(flat)
+                    self.plot_token_distribution(flat)
+        return stats
+
+    def _fused_tokens_native(self, ft, chunk, bs):
+        """C++ threaded decode into the device layout -> fused program."""
+        from audio_tokens_tpu.data import native_loader
+        from audio_tokens_tpu.ops.mel import num_frames
+
+        cfg = self.config
+        batch, lengths = native_loader.decode_batch(
+            [p for _, p in chunk], cfg.common_sr, cfg.clip_samples,
+            cfg.n_fft, n_threads=cfg.num_workers,
+        )
+        alloc = getattr(ft.frontend, "alloc_len", ft.frontend.padded_len)
+        pad_rows = bs - len(chunk)
+        pad_cols = max(0, alloc - batch.shape[1])
+        if pad_rows or pad_cols:  # keep the compiled shape / engage the kernel
+            batch = np.pad(batch, ((0, pad_rows), (0, pad_cols)))
+            lengths = np.concatenate(
+                [lengths, np.full(pad_rows, -1, np.int32)]
+            ) if pad_rows else lengths
+        import jax.numpy as jnp
+
+        tokens = np.asarray(ft.tokens_from_padded(
+            jnp.asarray(batch),
+            jnp.asarray(np.maximum(lengths, 0)) if cfg.normalize else None,
+        ))
+        out = []
+        for row, (ytid, path) in enumerate(chunk):
+            if lengths[row] < 0:
+                logger.info("skipping %s: %s", path, native_loader.last_error())
+                continue
+            n_valid = num_frames(int(lengths[row]), cfg.hop_length)
+            out.append((ytid, tokens[row, :n_valid].astype(np.int64)))
+        return out
+
+    def _fused_tokens_python(self, ft, chunk, decode_audio, AudioDecodeError):
+        """Pure-python decode (thread pool) -> fused program."""
+        cfg = self.config
+
+        def decode_one(item):
+            ytid, path = item
+            try:
+                wave, _ = decode_audio(path, target_sr=cfg.common_sr)
+            except (AudioDecodeError, Exception) as e:
+                logger.info("skipping %s: %s", path, e)
+                return None
+            if len(wave) < cfg.n_fft:
+                logger.info("skipping %s: too short (%d samples)", path, len(wave))
+                return None
+            return ytid, wave
+
+        with ThreadPoolExecutor(max_workers=cfg.num_workers) as pool:
+            decoded = [d for d in pool.map(decode_one, chunk) if d is not None]
+        if not decoded:
+            return []
+        token_lists = ft.tokenize_waveforms([w for _, w in decoded])
+        return [(ytid, toks) for (ytid, _), toks in zip(decoded, token_lists)]
 
     # ------------------------------------------------------------------
     # Reporting (reference :129-240)

@@ -90,33 +90,40 @@ class SpectrogramGenerator:
     # ------------------------------------------------------------------
     def populate_specs(self, ytids: List[str], output_dir: Path) -> int:
         """Decode (threaded) -> batch -> device frontend -> save. Returns count."""
-        if self.use_native:
-            return self._populate_specs_native(ytids, output_dir)
-        bs = self.config.device_batch_size
         n_ok = 0
+        for ytid, spec in self.iter_specs(ytids):
+            atomic_save_npy(output_dir / f"{ytid}.npy", spec)
+            n_ok += 1
+        return n_ok
+
+    def iter_specs(self, ytids: List[str]):
+        """Yield (ytid, (n_mels, frames) float32 spec) without touching disk.
+
+        Same values the staged pipeline writes to ``.npy`` (the frontend math
+        is row-independent, so batch composition doesn't change a clip's
+        spectrogram); skip-and-log semantics for missing/undecodable/NaN
+        clips are identical.  Consumed by the save path above and by the
+        fused pipeline's streaming cluster stage.
+        """
+        if self.use_native:
+            yield from self._iter_specs_native(ytids)
+            return
+        bs = self.config.device_batch_size
         pending: List[Tuple[str, np.ndarray]] = []
-
-        def flush():
-            nonlocal n_ok
-            if not pending:
-                return
-            n_ok += self._process_device_batch(pending, output_dir)
-            pending.clear()
-
         for ytid, wave in zip(ytids, self._decode_pool.map(self._decode_one, ytids)):
             if wave is None:
                 continue
             pending.append((ytid, wave))
             if len(pending) == bs:
-                flush()
-        flush()
-        return n_ok
+                yield from self._specs_for_batch(pending)
+                pending = []
+        if pending:
+            yield from self._specs_for_batch(pending)
 
-    def _populate_specs_native(self, ytids: List[str], output_dir: Path) -> int:
+    def _iter_specs_native(self, ytids: List[str]):
         """C++ threaded decode straight into the device-ready padded layout."""
         cfg = self.config
         bs = cfg.device_batch_size
-        n_ok = 0
         found = [(y, p) for y in ytids if (p := self.find_audio_file(y)) is not None]
         for i in range(0, len(found), bs):
             chunk = found[i : i + bs]
@@ -145,9 +152,7 @@ class SpectrogramGenerator:
                 if not np.isfinite(spec).all():
                     logger.debug("Warning: NaN/Inf values found in spectrogram %s", ytid)
                     continue
-                atomic_save_npy(output_dir / f"{ytid}.npy", spec)
-                n_ok += 1
-        return n_ok
+                yield ytid, spec
 
     def _decode_one(self, ytid: str) -> Optional[np.ndarray]:
         path = self.find_audio_file(ytid)
@@ -169,9 +174,8 @@ class SpectrogramGenerator:
             logger.debug("Audio file not found: %s", ytid)
         return path
 
-    def _process_device_batch(
-        self, items: List[Tuple[str, np.ndarray]], output_dir: Path
-    ) -> int:
+    def _specs_for_batch(self, items: List[Tuple[str, np.ndarray]]):
+        """One device program over a padded batch -> (ytid, trimmed spec)."""
         bs = self.config.device_batch_size
         waves = [w for _, w in items]
         batch, lengths = self.frontend.prepare_batch(waves)
@@ -184,7 +188,6 @@ class SpectrogramGenerator:
         else:
             specs = np.asarray(self.frontend(batch))
 
-        n_ok = 0
         for i, (ytid, wave) in enumerate(items):
             n_valid = num_frames(min(len(wave), self.config.clip_samples),
                                  self.config.hop_length)
@@ -192,9 +195,7 @@ class SpectrogramGenerator:
             if not np.isfinite(spec).all():
                 logger.debug("Warning: NaN/Inf values found in spectrogram %s", ytid)
                 continue
-            atomic_save_npy(output_dir / f"{ytid}.npy", spec)
-            n_ok += 1
-        return n_ok
+            yield ytid, spec
 
 
 if __name__ == "__main__":

@@ -128,10 +128,11 @@ class FusedTokenizer:
             return jax.shard_map(
                 self._tokens_impl, mesh=mesh,
                 in_specs=(P("data"), P("data")), out_specs=P("data"),
+                check_vma=False,  # pallas outputs carry no vma info
             )(padded_batch, lengths)
         return jax.shard_map(
             self._tokens_dispatch, mesh=mesh, in_specs=P("data"),
-            out_specs=P("data"),
+            out_specs=P("data"), check_vma=False,
         )(padded_batch)
 
     def _tokens_impl(

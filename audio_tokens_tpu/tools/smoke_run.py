@@ -75,6 +75,8 @@ def main() -> None:
     parser.add_argument("--n_clips", type=int, default=100)
     parser.add_argument("--epochs", type=int, default=5)
     parser.add_argument("--model_type", default="simple")
+    parser.add_argument("--fused", action="store_true",
+                        help="fused pipeline: wav->tokens, no mel artifacts")
     args, rest = parser.parse_known_args()
 
     import tempfile
@@ -101,6 +103,7 @@ def main() -> None:
         training_batch_size=8,
         learning_rate=1e-3,
         device_batch_size=32,
+        fused_pipeline=args.fused,
     )
     del rest  # stage flags are fixed for the smoke config
 
@@ -109,11 +112,14 @@ def main() -> None:
     DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
     timings["split"] = time.perf_counter() - t0
 
-    for name, stage in [
+    stages = [
         ("spectrograms", SpectrogramGenerator),
         ("clustering", ClusterCreator),
         ("tokenization", SpecTokenizer),
-    ]:
+    ]
+    if args.fused:
+        stages = stages[1:]
+    for name, stage in stages:
         t0 = time.perf_counter()
         stage(cfg).run()
         timings[name] = time.perf_counter() - t0

@@ -21,7 +21,13 @@ logger = logging.getLogger(__name__)
 
 def main(config: AudioTokensConfig | None = None):
     config = config or AudioTokensConfig.from_args()
-    SpectrogramGenerator(config).run()
+    if config.fused_pipeline:
+        # clips never round-trip through mel .npy artifacts: clustering
+        # streams wav->frames and the tokenizer runs the fused wav->tokens
+        # program (token artifacts are byte-identical to the staged path)
+        logger.info("fused pipeline: skipping the spectrogram artifact stage")
+    else:
+        SpectrogramGenerator(config).run()
     ClusterCreator(config).run()
     SpecTokenizer(config).run()
     val_loss, val_metrics = ModelTrainer(config).run()

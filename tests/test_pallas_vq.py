@@ -45,3 +45,29 @@ def test_pallas_tie_break_low_index():
     c = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]], np.float32)
     x = np.array([[1.0, 0.0]], np.float32)
     assert int(vq_assign_pallas(x, c, tile_n=8)[0]) == 0
+
+
+def test_vq_assign_fused_sharded_matches_unsharded(rng):
+    """The pipeline's VQ router: sharded (8-dev mesh) == unsharded == manual,
+    through both the XLA and (interpreted) Pallas local paths."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from audio_tokens_tpu.ops.vq import l2_normalize, vq_assign, vq_assign_fused
+
+    x = (rng.random((1001, 24)) - 0.5).astype(np.float32)  # non-divisible N
+    c = (rng.random((17, 24)) - 0.5).astype(np.float32)
+    expect = vq_assign(np.asarray(l2_normalize(jnp.asarray(x))), c)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    got_xla = vq_assign_fused(x, c, mesh=mesh, normalize=True,
+                              use_pallas=False, chunk=32)
+    np.testing.assert_array_equal(got_xla, expect)
+
+    got_pallas = vq_assign_fused(x, c, mesh=mesh, normalize=True,
+                                 use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(got_pallas, expect)
+
+    got_single = vq_assign_fused(x, c, mesh=None, normalize=True)
+    np.testing.assert_array_equal(got_single, expect)

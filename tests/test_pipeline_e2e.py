@@ -130,3 +130,31 @@ def test_zipf_stats_present(pipeline_ws):
     assert s["total_tokens"] > 0
     assert 0 < s["unique_tokens"] <= cfg.vocab_size
     assert "zipf_slope" in s
+
+
+def test_fused_pipeline_byte_identical_to_staged(tmp_path_factory):
+    """config.fused_pipeline=True skips mel artifacts entirely; centroids and
+    token artifacts must be byte-identical to the staged pipeline."""
+    staged = tmp_path_factory.mktemp("staged_pl")
+    fused = tmp_path_factory.mktemp("fused_pl")
+    for base, fused_flag in ((staged, False), (fused, True)):
+        fixtures.make_workspace(base)
+        cfg = fixtures.test_config(base, fused_pipeline=fused_flag)
+        DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+        if not fused_flag:
+            SpectrogramGenerator(cfg).run()
+        ClusterCreator(cfg).run()
+        SpecTokenizer(cfg).run()
+        if fused_flag:  # no mel artifacts were written
+            assert not (Path(cfg.dest_spec_path) / "train").exists()
+
+    np.testing.assert_array_equal(
+        np.load(staged / "output" / "centroids.npy"),
+        np.load(fused / "output" / "centroids.npy"),
+    )
+    for split in ("train", "validation"):
+        a = sorted((staged / "tokenized_audio" / split).glob("*.npy"))
+        b = sorted((fused / "tokenized_audio" / split).glob("*.npy"))
+        assert [f.name for f in a] == [f.name for f in b] and a
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(np.load(fa), np.load(fb))
