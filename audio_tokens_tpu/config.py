@@ -144,6 +144,12 @@ class AudioTokensConfig:
     kmeans_mode: str = "batch_warm_start"
     # 'random' (FAISS-style sample of k points) or 'kmeans++'
     kmeans_init: str = "random"
+    # kmeans_mode='full' at corpus scale: 'auto' streams super-batches when
+    # the estimated frame matrix exceeds kmeans_inmemory_budget_mb (host
+    # memory stays bounded by one super-batch); 'always'/'never' force it.
+    kmeans_streaming: str = "auto"
+    kmeans_inmemory_budget_mb: int = 4096
+    kmeans_superbatch_rows: int = 1 << 20
 
     # Trainer extensions.
     resume_from: str = ""  # checkpoint name under checkpoint_dir to resume from

@@ -135,6 +135,7 @@ class BatchLoader:
         seed: int = 0,
         max_seq_len: Optional[int] = None,
         prefetch: int = 2,
+        num_workers: int = 1,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -142,6 +143,7 @@ class BatchLoader:
         self.seed = seed
         self.max_seq_len = max_seq_len or dataset.config.max_seq_len
         self.prefetch = prefetch
+        self.num_workers = max(1, num_workers)
         self.n_mels = dataset.config.n_mels
 
     def __len__(self) -> int:
@@ -193,7 +195,44 @@ class BatchLoader:
             yield order[i : i + self.batch_size]
 
     def batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        """Background-threaded batch assembly (double buffering).
+        """Background batch assembly overlapping the training step.
+
+        ``num_workers > 1`` assembles batches in a thread pool with ordered
+        reassembly (the reference used 8 DataLoader worker processes,
+        reference: datasets/data_loader_creator.py:24; np.load releases the
+        GIL during file reads so threads scale on real hosts).  Batch order,
+        error propagation and early-abandon cleanup are identical to the
+        single-producer path.
+        """
+        if self.num_workers > 1:
+            yield from self._batches_parallel(epoch)
+            return
+        yield from self._batches_single(epoch)
+
+    def _batches_parallel(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = self.num_workers + self.prefetch  # bounds host memory
+        ex = ThreadPoolExecutor(max_workers=self.num_workers)
+        inflight: deque = deque()
+        it = self._index_batches(epoch)
+        try:
+            for idxs in it:
+                inflight.append(ex.submit(self._make_batch, idxs))
+                if len(inflight) >= window:
+                    break
+            while inflight:
+                item = inflight.popleft().result()  # re-raises worker errors
+                nxt = next(it, None)
+                if nxt is not None:
+                    inflight.append(ex.submit(self._make_batch, nxt))
+                yield item
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+
+    def _batches_single(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """One producer thread (double buffering).
 
         Producer errors (corrupt artifact, I/O failure) re-raise in the
         consumer instead of silently truncating the epoch; abandoning the
@@ -254,9 +293,11 @@ class DataLoaderCreator:
         train_loader = BatchLoader(
             train, self.config.training_batch_size, shuffle=True,
             seed=self.config.random_seed,
+            num_workers=self.config.num_workers,
         )
         val_loader = BatchLoader(
             val, self.config.eval_batch_size, shuffle=False,
             seed=self.config.random_seed,
+            num_workers=self.config.num_workers,
         )
         return train_loader, val_loader

@@ -7,7 +7,9 @@ Design, TPU-first:
     (d, K) distance matmul and the (K, chunk) x (chunk, d) one-hot
     centroid-sum matmul — both MXU-shaped; everything else is elementwise.
   * Points are chunked with ``lax.scan`` so HBM never holds an (N, K)
-    intermediate; N scales to the 2M-clip corpus (~3.4B frames sharded).
+    intermediate; beyond HBM/host-RAM scale, ``kmeans_fit_streaming`` feeds
+    fixed-capacity super-batches per Lloyd iteration (host memory bounded by
+    one super-batch), which is how the 2M-clip corpus (~3.4B frames) runs.
   * Multi-chip: the whole Lloyd loop runs under ``jax.shard_map`` with points
     sharded over the ``data`` mesh axis; per-device centroid sums/counts are
     combined with a single fused ``psum`` pair per iteration (ICI traffic is
@@ -262,6 +264,173 @@ def kmeans_fit(
         False,
     )
     return np.asarray(centroids), float(obj)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "precision", "mesh", "axis_name")
+)
+def _stats_superbatch_jit(x, fill, centroids, chunk, precision, mesh, axis_name):
+    """One assignment pass over a fixed-capacity super-batch: centroid sums,
+    counts, objective — psum-reduced over the mesh when sharded.
+
+    ``fill`` (traced scalar) marks the number of valid leading rows; the
+    prefix mask is built on device (an 8 MB host mask per feed would swamp
+    slow host<->device links)."""
+    d = x.shape[1]
+
+    def prefix_mask(n_local, offset):
+        idx = offset + jnp.arange(n_local, dtype=jnp.int32)
+        return (idx < fill).astype(jnp.float32)
+
+    if mesh is None:
+        xs = x.reshape(-1, chunk, d)
+        ms = prefix_mask(x.shape[0], 0).reshape(-1, chunk)
+        return _lloyd_stats(xs, ms, centroids, precision, None)
+
+    def sharded(xl, fl, c):
+        n_local = xl.shape[0]
+        offset = jax.lax.axis_index(axis_name).astype(jnp.int32) * n_local
+        idx = offset + jnp.arange(n_local, dtype=jnp.int32)
+        ml = (idx < fl).astype(jnp.float32)  # varying via axis_index
+        s, cnt, o = _lloyd_stats(
+            xl.reshape(-1, chunk, d), ml.reshape(-1, chunk), c, precision,
+            axis_name,
+        )
+        return (jax.lax.psum(s, axis_name), jax.lax.psum(cnt, axis_name),
+                jax.lax.psum(o, axis_name))
+
+    return jax.shard_map(
+        sharded, mesh=mesh,
+        in_specs=(P(axis_name), P(), P()),
+        out_specs=(P(), P(), P()),
+    )(x, fill, centroids)
+
+
+class _SuperbatchFeeder:
+    """Packs an iterator of (m_i, d) arrays into fixed-capacity super-batches.
+
+    The stats program compiles once for the (capacity, d) shape; partial
+    final feeds are zero-padded and masked.  Host memory is bounded by one
+    super-batch buffer (device-resident inputs pass through untouched)."""
+
+    def __init__(self, capacity: int, d: int):
+        self.capacity = capacity
+        self.d = d
+        self.buf = np.zeros((capacity, d), np.float32)
+
+    def feeds(self, batches):
+        fill = 0
+        for batch in batches:
+            if isinstance(batch, jax.Array) and batch.shape[0] == self.capacity \
+                    and fill == 0:
+                # device-resident, exactly one super-batch: zero-copy path
+                yield batch, self.capacity
+                continue
+            batch = np.asarray(batch, np.float32)
+            if batch.shape[1] != self.d:
+                raise ValueError(
+                    f"feed dim {batch.shape[1]} != expected {self.d}"
+                )
+            pos = 0
+            while pos < len(batch):
+                take = min(self.capacity - fill, len(batch) - pos)
+                self.buf[fill : fill + take] = batch[pos : pos + take]
+                fill += take
+                pos += take
+                if fill == self.capacity:
+                    yield self.buf, fill
+                    fill = 0
+        if fill:
+            self.buf[fill:] = 0.0
+            yield self.buf, fill
+
+
+def kmeans_fit_streaming(
+    batches_fn,
+    k: int,
+    niter: int = 20,
+    *,
+    d: Optional[int] = None,
+    seed: int = 1234,
+    init_centroids: Optional[np.ndarray] = None,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "data",
+    chunk: int = 16384,
+    superbatch_rows: int = 1 << 20,
+    precision=jax.lax.Precision.HIGHEST,
+    init: str = "random",
+) -> Tuple[np.ndarray, float, int]:
+    """Full-corpus Lloyd over a data stream too large for host RAM / HBM.
+
+    ``batches_fn() -> iterator of (m_i, d) float32 arrays`` is called once
+    per Lloyd iteration (niter passes over the data).  Per iteration, points
+    are packed into fixed-capacity super-batches; each super-batch runs one
+    compiled assignment pass (sharded over ``mesh`` with a psum pair when
+    given) and its (sums, counts, objective) are accumulated; centroids
+    update once per iteration.  Host memory is bounded by ONE super-batch
+    (``superbatch_rows * d * 4`` bytes) regardless of corpus size — the
+    capability FAISS gave the reference (processors/cluster_creator.py:42-56)
+    without its 10k-file batching crutch.
+
+    Init without explicit centroids draws from the FIRST super-batch
+    (seeded sample / k-means++), mirroring FAISS's subsampled training.
+    Returns (centroids, final objective, total points seen).
+    """
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names])) if mesh else 1
+    if d is None:
+        probe = next(iter(batches_fn()), None)
+        if probe is None:
+            raise ValueError("empty stream")
+        d = int(np.asarray(probe).shape[1])
+    per_dev_chunks = max(1, superbatch_rows // (n_dev * chunk))
+    capacity = n_dev * per_dev_chunks * chunk
+    feeder = _SuperbatchFeeder(capacity, d)
+    rng = np.random.default_rng(seed)
+
+    centroids = None
+    if init_centroids is not None:
+        centroids = np.asarray(init_centroids, np.float32).reshape(k, d)
+
+    n_total = 0
+    obj = float("nan")
+    for it in range(niter):
+        sums = np.zeros((k, d), np.float32)
+        counts = np.zeros((k,), np.float32)
+        obj_acc = np.float32(0.0)
+        n_seen = 0
+        for buf, fill in feeder.feeds(batches_fn()):
+            if centroids is None:  # init from the first super-batch
+                if fill < k:
+                    raise ValueError(
+                        f"first super-batch has {fill} points < k={k}"
+                    )
+                sample = np.asarray(buf[:fill])
+                if init == "kmeans++":
+                    centroids = kmeans_plusplus_init(sample, k, seed=seed)
+                elif init == "random":
+                    centroids = sample[rng.choice(fill, size=k, replace=False)]
+                else:
+                    raise ValueError(f"unknown init '{init}'")
+                centroids = np.asarray(centroids, np.float32)
+            s, c, o = _stats_superbatch_jit(
+                jnp.asarray(buf), jnp.int32(fill), jnp.asarray(centroids),
+                chunk, precision, mesh, axis_name if mesh else None,
+            )
+            sums += np.asarray(s)
+            counts += np.asarray(c)
+            obj_acc += np.float32(o)
+            n_seen += fill
+        if n_seen == 0:
+            raise ValueError("empty stream")
+        n_total = n_seen
+        nonempty = counts > 0
+        centroids = np.where(
+            nonempty[:, None], sums / np.maximum(counts, 1.0)[:, None], centroids
+        ).astype(np.float32)
+        obj = float(obj_acc)
+        logger.info("streaming kmeans iter %d/%d: %d pts, obj=%.4f",
+                    it + 1, niter, n_seen, obj)
+    return centroids, obj, n_total
 
 
 class KMeans:

@@ -30,7 +30,7 @@ import numpy as np
 
 from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.ops.conv_features import ConvFeatures
-from audio_tokens_tpu.ops.kmeans import KMeans, kmeans_fit
+from audio_tokens_tpu.ops.kmeans import KMeans, kmeans_fit, kmeans_fit_streaming
 from audio_tokens_tpu.ops.vq import l2_normalize
 from audio_tokens_tpu.parallel.mesh import data_mesh
 from audio_tokens_tpu.utils.seeding import key_for, set_seed
@@ -61,18 +61,35 @@ class ClusterCreator:
     def run(self) -> np.ndarray:
         logger.info("starting clustering (mode=%s)", self.config.kmeans_mode)
         if self.config.kmeans_mode == "full":
-            batches = list(self._batch_generator(self.config.clustering_batch_size))
-            frames = np.concatenate(batches, axis=0)
-            centroids, obj = kmeans_fit(
-                frames,
-                self.config.vocab_size,
-                self.config.niter,
-                seed=self.config.random_seed,
-                mesh=self.mesh,
-                max_points_per_centroid=self.config.max_points_per_centroid,
-                init=self.config.kmeans_init,
-            )
-            logger.info("full kmeans over %d frames: obj=%.2f", len(frames), obj)
+            if self._should_stream():
+                centroids, obj, n = kmeans_fit_streaming(
+                    lambda: self._batch_generator(
+                        self.config.clustering_batch_size
+                    ),
+                    self.config.vocab_size,
+                    self.config.niter,
+                    seed=self.config.random_seed,
+                    mesh=self.mesh,
+                    superbatch_rows=self.config.kmeans_superbatch_rows,
+                    init=self.config.kmeans_init,
+                )
+                logger.info("streaming kmeans over %d frames: obj=%.2f", n, obj)
+            else:
+                batches = list(
+                    self._batch_generator(self.config.clustering_batch_size)
+                )
+                frames = np.concatenate(batches, axis=0)
+                centroids, obj = kmeans_fit(
+                    frames,
+                    self.config.vocab_size,
+                    self.config.niter,
+                    seed=self.config.random_seed,
+                    mesh=self.mesh,
+                    max_points_per_centroid=self.config.max_points_per_centroid,
+                    init=self.config.kmeans_init,
+                )
+                logger.info("full kmeans over %d frames: obj=%.2f",
+                            len(frames), obj)
         else:  # batch_warm_start (reference schedule)
             km = KMeans(
                 self.feature_dim,
@@ -107,6 +124,37 @@ class ClusterCreator:
     @property
     def feature_dim(self) -> int:
         return self.config.feature_dim
+
+    def _should_stream(self) -> bool:
+        """Whether full-mode k-means must stream super-batches (bounded host
+        memory) instead of concatenating every frame in RAM."""
+        mode = self.config.kmeans_streaming
+        if mode in ("always", "never"):
+            return mode == "always"
+        if mode != "auto":
+            raise ValueError(f"unknown kmeans_streaming '{mode}'")
+        budget = self.config.kmeans_inmemory_budget_mb * (1 << 20)
+        expansion = (self.config.num_kernels
+                     if self.config.use_convolution else 1)
+        if self.config.fused_pipeline:
+            import json as _json
+
+            with open(self.config.split_file) as f:
+                n_clips = len(_json.load(f)["train"])
+            frames_max = 1 + self.config.clip_samples // self.config.hop_length
+            est = n_clips * frames_max * self.config.n_mels * expansion * 4
+        else:
+            spec_dir = Path(self.config.source_spec_path) / "train"
+            est = sum(f.stat().st_size for f in spec_dir.glob("*.npy"))
+            est *= expansion
+        if est > budget:
+            logger.info(
+                "full kmeans: ~%.1f GB of frames exceeds the %.1f GB in-memory "
+                "budget -> streaming super-batches",
+                est / 2**30, budget / 2**30,
+            )
+            return True
+        return False
 
     def _batch_generator(self, batch_size: int) -> Iterator[np.ndarray]:
         """Yield (frames, feature_dim) float32 matrices, L2-normalized, per

@@ -35,6 +35,20 @@ VOCAB = 500
 BATCH = 64  # throughput saturates at B>=64 on v5e (measured 32/64/128)
 ITERS = 50  # enough to amortize per-dispatch RPC latency on tunneled setups
 
+# v5e per-chip peak: 197 TFLOP/s bf16 (f32-HIGHEST GEMMs decompose into
+# multiple bf16 MXU passes, so bf16 peak is the stable MFU denominator).
+PEAK_BF16 = 197e12
+
+
+def tokenizer_flops_per_clip(t_frames: int) -> float:
+    """FLOP model of the fused wav->tokens program (GEMMs only; VPU
+    elementwise work is negligible next to these)."""
+    n_freq = N_FFT // 2 + 1
+    dft = 2.0 * t_frames * N_FFT * (2 * n_freq)   # framing GEMM
+    mel = 2.0 * t_frames * n_freq * N_MELS        # filterbank GEMM
+    vq = 2.0 * t_frames * N_MELS * VOCAB          # distance GEMM
+    return dft + mel + vq
+
 
 def make_clips(n: int) -> list:
     rng = np.random.default_rng(0)
@@ -82,7 +96,12 @@ def bench_tpu(clips, centroids) -> tuple:
     int(probe(out))
     dt = time.perf_counter() - t0
     cps = BATCH * ITERS / dt
+    t_frames = tok.frontend.frames_max
+    tflops = cps * tokenizer_flops_per_clip(t_frames) / 1e12
     log(f"tpu steady state: {dt / ITERS * 1e3:.1f} ms/batch of {BATCH} -> {cps:.1f} clips/s")
+    log(f"tokenizer effective compute: {tflops:.1f} TFLOP/s "
+        f"= {tflops * 1e12 / PEAK_BF16 * 100:.1f}% MFU (vs bf16 peak; "
+        f"GEMMs run f32-HIGHEST for token parity)")
     return cps, tokens
 
 
@@ -144,8 +163,69 @@ def bench_kmeans(centroids) -> None:
     t0 = time.perf_counter()
     kmeans_fit(x, VOCAB, niter, seed=0)
     dt = time.perf_counter() - t0
-    log(f"kmeans steady (device-resident): {n * niter / dt / 1e6:.1f}M point-iters/s "
+    pips = n * niter / dt
+    # per point-iter: distance GEMM (2Kd) + one-hot sum GEMM (2Kd)
+    tflops = pips * 4.0 * VOCAB * N_MELS / 1e12
+    log(f"kmeans steady (device-resident): {pips / 1e6:.1f}M point-iters/s "
         f"({n} pts x {niter} iters x k={VOCAB} x d={N_MELS} in {dt:.2f}s)")
+    log(f"kmeans effective compute: {tflops:.1f} TFLOP/s "
+        f"= {tflops * 1e12 / PEAK_BF16 * 100:.1f}% MFU (vs bf16 peak)")
+
+
+def bench_streaming_kmeans() -> None:
+    """Corpus-scale full-mode k-means (stderr only): >=1e8 frames streamed
+    through fixed-capacity super-batches, host RSS flat.  Super-batches are
+    generated on device (jax PRNG) so the sandbox's slow host<->TPU tunnel
+    doesn't mask compute throughput; production hosts overlap the feed."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
+
+    def rss_mb() -> float:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+        return float("nan")
+
+    superbatch = 1 << 21  # 2M rows x 64 dims x 4B = 512 MB per feed, on device
+    n_feeds = 48          # 100.7M frames per Lloyd pass
+    niter = 3
+    key = jax.random.key(0)
+
+    @jax.jit
+    def gen(i):
+        return jax.random.normal(
+            jax.random.fold_in(key, i), (superbatch, N_MELS), jnp.float32
+        )
+
+    def batches():
+        for i in range(n_feeds):
+            yield gen(i)
+
+    n_total = superbatch * n_feeds
+    # random-init = k sample points; the first k rows of an iid feed are one
+    # (and only k*d floats cross the slow tunnel)
+    init = np.asarray(gen(0)[:VOCAB])
+    # warm pass compiles gen + the stats program (remote compile can be ~20 s)
+    kmeans_fit_streaming(
+        lambda: (gen(i) for i in range(2)), VOCAB, 1, init_centroids=init,
+        superbatch_rows=superbatch, chunk=16384,
+    )
+    rss0 = rss_mb()
+    t0 = time.perf_counter()
+    _, obj, n_seen = kmeans_fit_streaming(
+        batches, VOCAB, niter, init_centroids=init,
+        superbatch_rows=superbatch, chunk=16384,
+    )
+    dt = time.perf_counter() - t0
+    rss1 = rss_mb()
+    pips = n_seen * niter / dt
+    log(f"streaming kmeans at scale: {n_total / 1e6:.0f}M frames x {niter} iters "
+        f"in {dt:.1f}s -> {pips / 1e6:.1f}M point-iters/s "
+        f"(obj={obj:.3e}; host RSS {rss0:.0f} -> {rss1:.0f} MB, "
+        f"corpus would be {n_total * N_MELS * 4 / 2**30:.0f} GB)")
 
 
 def main() -> None:
@@ -160,6 +240,10 @@ def main() -> None:
         bench_kmeans(centroids)
     except Exception as e:
         log(f"kmeans bench skipped: {e}")
+    try:
+        bench_streaming_kmeans()
+    except Exception as e:
+        log(f"streaming kmeans bench skipped: {e}")
 
     print(json.dumps({
         "metric": "wav_to_tokens_throughput",

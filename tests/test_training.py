@@ -117,3 +117,47 @@ def test_partial_batch_masked(artifacts_ws):
     trainer = ModelTrainer(cfg)
     val_loss, val_metrics = trainer.run()
     assert np.isfinite(val_loss)
+
+
+def test_parallel_loader_matches_single_threaded(artifacts_ws):
+    """num_workers>1 must yield byte-identical batches in identical order."""
+    from audio_tokens_tpu.data.datasets import BatchLoader, TokenizedSpecDataset
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+
+    cfg = fixtures.test_config(artifacts_ws)
+    meta = AudiosetMetadataProcessor(cfg)
+    ds = TokenizedSpecDataset(cfg, meta, split="train")
+    single = BatchLoader(ds, 4, shuffle=True, seed=1, num_workers=1)
+    multi = BatchLoader(ds, 4, shuffle=True, seed=1, num_workers=4)
+    got_s = list(single.batches(epoch=2))
+    got_m = list(multi.batches(epoch=2))
+    assert len(got_s) == len(got_m) > 0
+    for bs, bm in zip(got_s, got_m):
+        assert bs["n_valid"] == bm["n_valid"]
+        np.testing.assert_array_equal(bs["inputs"], bm["inputs"])
+        np.testing.assert_array_equal(bs["lengths"], bm["lengths"])
+        np.testing.assert_array_equal(bs["labels"], bm["labels"])
+
+
+def test_parallel_loader_propagates_errors_and_cleans_up(artifacts_ws):
+    from audio_tokens_tpu.data.datasets import BatchLoader, TokenizedSpecDataset
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+
+    cfg = fixtures.test_config(artifacts_ws)
+    meta = AudiosetMetadataProcessor(cfg)
+    ds = TokenizedSpecDataset(cfg, meta, split="train")
+    loader = BatchLoader(ds, 4, shuffle=False, num_workers=4)
+
+    orig = ds.load_features
+    def boom(idx):
+        if idx == 5:
+            raise OSError("corrupt artifact")
+        return orig(idx)
+    ds.load_features = boom
+    with pytest.raises(OSError, match="corrupt artifact"):
+        list(loader.batches(epoch=0))
+    ds.load_features = orig
+    # early abandon must not deadlock
+    it = loader.batches(epoch=0)
+    next(it)
+    it.close()

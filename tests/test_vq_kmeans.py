@@ -148,3 +148,125 @@ def test_kmeans_plusplus_init(rng):
     _, obj_pp = kmeans_fit(x, 4, niter=3, seed=0, init="kmeans++")
     _, obj_rand = kmeans_fit(x, 4, niter=3, seed=0, init="random")
     assert obj_pp <= obj_rand * 1.5
+
+
+class TestStreamingKMeans:
+    """kmeans_fit_streaming: bounded-memory full-corpus Lloyd."""
+
+    @staticmethod
+    def _blobs(rng, n=6000, d=16, k=8):
+        centers = rng.standard_normal((k, d)).astype(np.float32) * 5
+        idx = rng.integers(0, k, n)
+        return (centers[idx] + 0.1 * rng.standard_normal((n, d))).astype(
+            np.float32
+        )
+
+    def test_matches_inmemory_fit(self, rng):
+        from audio_tokens_tpu.ops.kmeans import kmeans_fit, kmeans_fit_streaming
+        from audio_tokens_tpu.ops.vq import vq_assign
+
+        x = self._blobs(rng)
+        k = 8
+        init = x[rng.choice(len(x), k, replace=False)].copy()
+
+        mem_c, mem_obj = kmeans_fit(x, k, niter=5, init_centroids=init)
+        # stream in awkward feed sizes; several super-batches per pass
+        feeds = [x[i : i + 700] for i in range(0, len(x), 700)]
+        st_c, st_obj, n_total = kmeans_fit_streaming(
+            lambda: iter(feeds), k, niter=5, init_centroids=init,
+            superbatch_rows=1024, chunk=256,
+        )
+        assert n_total == len(x)
+        # accumulation association differs (super-batch partials vs one scan):
+        # centroids agree to fp-reassociation noise, tokens exactly
+        np.testing.assert_allclose(st_c, mem_c, rtol=2e-3, atol=2e-3)
+        assert abs(st_obj - mem_obj) / abs(mem_obj) < 1e-3
+        # the codebooks tokenize near-identically (boundary points may flip
+        # under fp reassociation; cluster structure must be unchanged)
+        agree = np.mean(vq_assign(x, st_c) == vq_assign(x, mem_c))
+        assert agree >= 0.999, f"token agreement {agree:.4f}"
+
+    def test_sharded_matches_unsharded(self, rng):
+        import jax
+        from jax.sharding import Mesh
+
+        from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
+
+        x = self._blobs(rng, n=4096)
+        k = 8
+        init = x[rng.choice(len(x), k, replace=False)].copy()
+        feeds = [x[i : i + 1000] for i in range(0, len(x), 1000)]
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+        c1, o1, _ = kmeans_fit_streaming(
+            lambda: iter(feeds), k, niter=4, init_centroids=init,
+            superbatch_rows=2048, chunk=128,
+        )
+        c2, o2, _ = kmeans_fit_streaming(
+            lambda: iter(feeds), k, niter=4, init_centroids=init,
+            superbatch_rows=2048, chunk=128, mesh=mesh,
+        )
+        np.testing.assert_allclose(c2, c1, rtol=1e-6, atol=1e-6)
+        assert abs(o2 - o1) / abs(o1) < 1e-6
+
+    def test_host_memory_bounded_to_one_superbatch(self, rng):
+        """The feeder must reuse ONE fixed buffer regardless of stream size."""
+        from audio_tokens_tpu.ops.kmeans import _SuperbatchFeeder
+
+        d = 8
+        feeder = _SuperbatchFeeder(512, d)
+        seen_ids = set()
+        total = 0
+        chunks = [rng.standard_normal((337, d)).astype(np.float32)
+                  for _ in range(11)]
+        for buf, fill in feeder.feeds(iter(chunks)):
+            seen_ids.add(id(buf))
+            total += fill
+            assert buf.shape == (512, d)
+        assert len(seen_ids) == 1  # single reused buffer
+        assert total == 337 * 11
+
+    def test_feeder_preserves_order_and_values(self, rng):
+        from audio_tokens_tpu.ops.kmeans import _SuperbatchFeeder
+
+        d = 4
+        chunks = [rng.standard_normal((n, d)).astype(np.float32)
+                  for n in (5, 900, 3, 250)]
+        ref = np.concatenate(chunks)
+        feeder = _SuperbatchFeeder(256, d)
+        out = []
+        for buf, fill in feeder.feeds(iter(chunks)):
+            out.append(buf[:fill].copy())
+        np.testing.assert_array_equal(np.concatenate(out), ref)
+
+    def test_init_from_first_superbatch(self, rng):
+        from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
+
+        x = self._blobs(rng, n=2000, k=6)
+        c, obj, n = kmeans_fit_streaming(
+            lambda: iter([x[:1200], x[1200:]]), 6, niter=3,
+            superbatch_rows=1024, chunk=128, seed=3,
+        )
+        assert c.shape == (6, x.shape[1]) and np.isfinite(obj) and n == 2000
+
+    def test_cluster_stage_streaming_matches_inmemory(self, tmp_path):
+        """kmeans_streaming='always' through the pipeline stage produces a
+        usable codebook on the same corpus as the in-memory full mode."""
+        from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+        from audio_tokens_tpu.data.splitter import DatasetSplitter
+        from audio_tokens_tpu.processors.cluster_creator import ClusterCreator
+        from audio_tokens_tpu.processors.spectrogram_generator import (
+            SpectrogramGenerator,
+        )
+        from tests import fixtures
+
+        fixtures.make_workspace(tmp_path, n_clips=10)
+        cfg = fixtures.test_config(tmp_path, kmeans_mode="full",
+                                   kmeans_streaming="always",
+                                   kmeans_superbatch_rows=1024)
+        DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+        SpectrogramGenerator(cfg).run()
+        ClusterCreator(cfg).run()
+        c = np.load(cfg.centroids_path)
+        assert c.shape == (cfg.vocab_size, cfg.n_mels)
+        assert np.isfinite(c).all()
