@@ -144,6 +144,11 @@ class AudioTokensConfig:
     kmeans_mode: str = "batch_warm_start"
     # 'random' (FAISS-style sample of k points) or 'kmeans++'
     kmeans_init: str = "random"
+    # Empty-cluster handling per Lloyd iteration: 'keep' retains the previous
+    # centroid (round-1 default); 'split_largest' is a deterministic variant
+    # of FAISS's repair (copy the largest cluster's centroid with a symmetric
+    # +-1/1024 perturbation) — matters for large vocabularies on narrow data.
+    kmeans_empty_policy: str = "keep"
     # kmeans_mode='full' at corpus scale: 'auto' streams super-batches when
     # the estimated frame matrix exceeds kmeans_inmemory_budget_mb (host
     # memory stays bounded by one super-batch); 'always'/'never' force it.

@@ -18,9 +18,11 @@ Design, TPU-first:
 
 Semantics choices (documented vs. FAISS):
   * init = k distinct points sampled from the data (FAISS default);
-  * empty clusters keep their previous centroid (FAISS instead splits the
-    largest cluster; at AudioSet frame counts empties are vanishingly rare and
-    keep-previous is deterministic under sharding);
+  * empty clusters keep their previous centroid by default (deterministic
+    under sharding; empties are vanishingly rare at AudioSet frame counts),
+    or ``empty_policy='split_largest'`` applies a deterministic variant of
+    FAISS's split-largest repair (argmax-size donor, symmetric +-1/1024
+    perturbation) for large vocabularies on narrow data;
   * ``max_points_per_centroid`` subsampling is available but defaults to None
     (use every frame) rather than FAISS's 256.
 
@@ -80,8 +82,61 @@ def _lloyd_stats(x_chunks, mask_chunks, centroids, precision, axis_name=None):
     return sums, counts, obj
 
 
+_SPLIT_EPS = 1.0 / 1024.0  # FAISS's symmetric perturbation magnitude
+
+
+def _split_empty_clusters(centroids, counts):
+    """Deterministic FAISS-style empty-cluster repair: each empty centroid
+    becomes a copy of the current largest cluster's centroid with a
+    symmetric +-eps perturbation (alternating by dimension parity), and the
+    donor's count is split in half so successive empties pick new donors.
+
+    FAISS picks the donor probabilistically by size (faiss
+    Clustering::split_clusters); argmax-by-size is the deterministic variant
+    (stable under sharding — runs on replicated post-psum values).
+    """
+    k, d = centroids.shape
+    parity = jnp.arange(d) % 2 == 0
+    up = jnp.where(parity, 1.0 + _SPLIT_EPS, 1.0 - _SPLIT_EPS)
+    dn = jnp.where(parity, 1.0 - _SPLIT_EPS, 1.0 + _SPLIT_EPS)
+
+    def body(i, carry):
+        def split(args):
+            cents, cnts = args
+            donor = jnp.argmax(cnts)
+            c = jax.lax.dynamic_index_in_dim(cents, donor, keepdims=False)
+            half = cnts[donor] / 2.0
+            cents = cents.at[i].set(c * up).at[donor].set(c * dn)
+            cnts = cnts.at[i].set(half).at[donor].set(half)
+            return cents, cnts
+
+        cents, cnts = carry
+        return jax.lax.cond(cnts[i] == 0, split, lambda a: a, (cents, cnts))
+
+    return jax.lax.fori_loop(0, k, body, (centroids, counts))
+
+
+def _split_empty_clusters_np(centroids, counts):
+    """Host mirror of :func:`_split_empty_clusters` (streaming path)."""
+    centroids = centroids.copy()
+    counts = counts.copy()
+    d = centroids.shape[1]
+    parity = np.arange(d) % 2 == 0
+    up = np.where(parity, 1.0 + _SPLIT_EPS, 1.0 - _SPLIT_EPS).astype(np.float32)
+    dn = np.where(parity, 1.0 - _SPLIT_EPS, 1.0 + _SPLIT_EPS).astype(np.float32)
+    for i in np.flatnonzero(counts == 0):
+        donor = int(np.argmax(counts))
+        c = centroids[donor].copy()
+        half = counts[donor] / 2.0
+        centroids[i] = c * up
+        centroids[donor] = c * dn
+        counts[i] = half
+        counts[donor] = half
+    return centroids, counts
+
+
 def _lloyd_loop(x_chunks, mask_chunks, centroids, niter, precision, axis_name,
-                use_pallas=False, interpret=False):
+                use_pallas=False, interpret=False, empty_policy="keep"):
     """niter Lloyd iterations; runs per-device under shard_map (or unsharded)."""
     if use_pallas:
         from audio_tokens_tpu.ops.pallas_kmeans import lloyd_stats_pallas
@@ -108,6 +163,8 @@ def _lloyd_loop(x_chunks, mask_chunks, centroids, niter, precision, axis_name,
         new_centroids = jnp.where(
             (counts > 0)[:, None], sums / jnp.maximum(counts, 1.0)[:, None], centroids
         )
+        if empty_policy == "split_largest":
+            new_centroids, _ = _split_empty_clusters(new_centroids, counts)
         return new_centroids, obj
 
     return jax.lax.fori_loop(
@@ -118,23 +175,24 @@ def _lloyd_loop(x_chunks, mask_chunks, centroids, niter, precision, axis_name,
 @functools.partial(
     jax.jit,
     static_argnames=("niter", "chunk", "precision", "mesh", "axis_name",
-                     "use_pallas", "interpret"),
+                     "use_pallas", "interpret", "empty_policy"),
 )
 def _kmeans_jit(x, mask, init_centroids, niter, chunk, precision, mesh,
-                axis_name, use_pallas=False, interpret=False):
+                axis_name, use_pallas=False, interpret=False,
+                empty_policy="keep"):
     n, d = x.shape
 
     if mesh is None:
         xs = x.reshape(-1, chunk, d)
         ms = mask.reshape(-1, chunk)
         return _lloyd_loop(xs, ms, init_centroids, niter, precision, None,
-                           use_pallas, interpret)
+                           use_pallas, interpret, empty_policy)
 
     def sharded(x_local, mask_local, centroids):
         xs = x_local.reshape(-1, chunk, d)
         ms = mask_local.reshape(-1, chunk)
         return _lloyd_loop(xs, ms, centroids, niter, precision, axis_name,
-                           use_pallas, interpret)
+                           use_pallas, interpret, empty_policy)
 
     return jax.shard_map(
         sharded,
@@ -202,6 +260,7 @@ def kmeans_fit(
     max_points_per_centroid: Optional[int] = None,
     use_pallas: Optional[bool] = None,
     init: str = "random",
+    empty_policy: str = "keep",
 ) -> Tuple[np.ndarray, float]:
     """Fit K-means; returns (centroids (k, d) float32, final objective).
 
@@ -262,6 +321,7 @@ def kmeans_fit(
         axis_name if mesh else None,
         use_pallas,
         False,
+        empty_policy,
     )
     return np.asarray(centroids), float(obj)
 
@@ -359,6 +419,7 @@ def kmeans_fit_streaming(
     superbatch_rows: int = 1 << 20,
     precision=jax.lax.Precision.HIGHEST,
     init: str = "random",
+    empty_policy: str = "keep",
 ) -> Tuple[np.ndarray, float, int]:
     """Full-corpus Lloyd over a data stream too large for host RAM / HBM.
 
@@ -427,6 +488,8 @@ def kmeans_fit_streaming(
         centroids = np.where(
             nonempty[:, None], sums / np.maximum(counts, 1.0)[:, None], centroids
         ).astype(np.float32)
+        if empty_policy == "split_largest":
+            centroids, _ = _split_empty_clusters_np(centroids, counts)
         obj = float(obj_acc)
         logger.info("streaming kmeans iter %d/%d: %d pts, obj=%.4f",
                     it + 1, niter, n_seen, obj)
@@ -454,6 +517,7 @@ class KMeans:
         max_points_per_centroid: Optional[int] = None,
         precision=jax.lax.Precision.HIGHEST,
         init: str = "random",
+        empty_policy: str = "keep",
     ):
         self.d = d
         self.k = k
@@ -464,6 +528,7 @@ class KMeans:
         self.max_points_per_centroid = max_points_per_centroid
         self.precision = precision
         self.init = init
+        self.empty_policy = empty_policy
         self.centroids: Optional[np.ndarray] = None
         self.obj: float = float("nan")
 
@@ -479,6 +544,7 @@ class KMeans:
             precision=self.precision,
             max_points_per_centroid=self.max_points_per_centroid,
             init=self.init,
+            empty_policy=self.empty_policy,
         )
         logger.info("kmeans objective: %.4f", self.obj)
         return self.obj

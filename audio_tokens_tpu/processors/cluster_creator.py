@@ -72,6 +72,7 @@ class ClusterCreator:
                     mesh=self.mesh,
                     superbatch_rows=self.config.kmeans_superbatch_rows,
                     init=self.config.kmeans_init,
+                    empty_policy=self.config.kmeans_empty_policy,
                 )
                 logger.info("streaming kmeans over %d frames: obj=%.2f", n, obj)
             else:
@@ -87,6 +88,7 @@ class ClusterCreator:
                     mesh=self.mesh,
                     max_points_per_centroid=self.config.max_points_per_centroid,
                     init=self.config.kmeans_init,
+                    empty_policy=self.config.kmeans_empty_policy,
                 )
                 logger.info("full kmeans over %d frames: obj=%.2f",
                             len(frames), obj)
@@ -99,6 +101,7 @@ class ClusterCreator:
                 mesh=self.mesh,
                 max_points_per_centroid=self.config.max_points_per_centroid,
                 init=self.config.kmeans_init,
+                empty_policy=self.config.kmeans_empty_policy,
             )
             for i, batch in enumerate(
                 self._batch_generator(self.config.clustering_batch_size)

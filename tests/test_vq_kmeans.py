@@ -270,3 +270,92 @@ class TestStreamingKMeans:
         c = np.load(cfg.centroids_path)
         assert c.shape == (cfg.vocab_size, cfg.n_mels)
         assert np.isfinite(c).all()
+
+
+class TestEmptyClusterSplit:
+    """empty_policy='split_largest': deterministic FAISS-style repair."""
+
+    @staticmethod
+    def _dead_centroid_setup(rng):
+        """Two blobs + an init centroid far from all data: under 'keep' it
+        stays dead forever; 'split_largest' must recycle it."""
+        a = rng.standard_normal((300, 4)).astype(np.float32)
+        b = rng.standard_normal((100, 4)).astype(np.float32) + 10.0
+        x = np.concatenate([a, b])
+        init = np.array(
+            [[0, 0, 0, 0], [10, 10, 10, 10], [99, 99, 99, 99]], np.float32
+        )
+        return x, init
+
+    def _nonempty_count(self, x, c):
+        from audio_tokens_tpu.ops.vq import vq_assign
+
+        return len(np.unique(vq_assign(x, c)))
+
+    def test_dead_centroid_recycled(self, rng):
+        from audio_tokens_tpu.ops.kmeans import kmeans_fit
+
+        x, init = self._dead_centroid_setup(rng)
+        keep_c, keep_obj = kmeans_fit(x, 3, niter=6, init_centroids=init,
+                                      empty_policy="keep")
+        np.testing.assert_allclose(keep_c[2], [99, 99, 99, 99], atol=1e-6)
+        assert self._nonempty_count(x, keep_c) == 2
+
+        split_c, split_obj = kmeans_fit(x, 3, niter=6, init_centroids=init,
+                                        empty_policy="split_largest")
+        assert self._nonempty_count(x, split_c) == 3  # no cluster stays empty
+        assert np.abs(split_c[2]).max() < 15  # re-seeded into the data
+        assert split_obj < keep_obj  # extra effective centroid helps
+
+    def test_deterministic(self, rng):
+        from audio_tokens_tpu.ops.kmeans import kmeans_fit
+
+        x, init = self._dead_centroid_setup(rng)
+        c1, o1 = kmeans_fit(x, 3, niter=6, init_centroids=init,
+                            empty_policy="split_largest")
+        c2, o2 = kmeans_fit(x, 3, niter=6, init_centroids=init,
+                            empty_policy="split_largest")
+        np.testing.assert_array_equal(c1, c2)
+        assert o1 == o2
+
+    def test_sharded_matches_unsharded(self, rng):
+        import jax
+        from jax.sharding import Mesh
+
+        from audio_tokens_tpu.ops.kmeans import kmeans_fit
+
+        x, init = self._dead_centroid_setup(rng)
+        c1, _ = kmeans_fit(x, 3, niter=6, init_centroids=init,
+                           empty_policy="split_largest", chunk=64)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        c2, _ = kmeans_fit(x, 3, niter=6, init_centroids=init, mesh=mesh,
+                           empty_policy="split_largest", chunk=64)
+        np.testing.assert_allclose(c2, c1, rtol=1e-4, atol=1e-4)
+
+    def test_streaming_applies_split(self, rng):
+        from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
+
+        x, init = self._dead_centroid_setup(rng)
+        c, obj, _ = kmeans_fit_streaming(
+            lambda: iter([x[:150], x[150:]]), 3, niter=6,
+            init_centroids=init, superbatch_rows=256, chunk=64,
+            empty_policy="split_largest",
+        )
+        assert self._nonempty_count(x, c) == 3
+        assert np.abs(c[2]).max() < 15
+
+    def test_split_helper_host_device_agree(self, rng):
+        import jax.numpy as jnp
+
+        from audio_tokens_tpu.ops.kmeans import (
+            _split_empty_clusters, _split_empty_clusters_np,
+        )
+
+        c = rng.standard_normal((10, 6)).astype(np.float32)
+        counts = rng.integers(0, 50, 10).astype(np.float32)
+        counts[[2, 5, 7]] = 0.0
+        dc, dn = _split_empty_clusters(jnp.asarray(c), jnp.asarray(counts))
+        hc, hn = _split_empty_clusters_np(c, counts)
+        np.testing.assert_allclose(np.asarray(dc), hc, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(dn), hn)
+        assert (hn > 0).all()
