@@ -1,0 +1,91 @@
+"""Torch mirror of the reference's LSTM training algorithm, for parity tests.
+
+Rebuilds exactly what the reference trained (reference:
+models/simple_lstm_token_classifier.py:10-43 + processors/model_trainer.py:
+99-144): Embedding -> bidirectional nn.LSTM -> concat last fwd/bwd hidden ->
+ReLU -> dropout -> Linear, BCEWithLogitsLoss, AdamW at torch defaults.
+Weights can be transplanted from the JAX model's params so forward passes and
+training trajectories are directly comparable (same function, same init).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+
+class TorchLSTMClassifier(nn.Module):
+    """reference SimpleLSTMTokenClassifier, single layer wiring identical."""
+
+    def __init__(self, vocab_size, embed_dim, hidden_dim, num_layers,
+                 num_classes):
+        super().__init__()
+        self.embedding = nn.Embedding(vocab_size, embed_dim)
+        self.lstm = nn.LSTM(
+            embed_dim, hidden_dim, num_layers=num_layers, batch_first=True,
+            bidirectional=True,
+        )
+        self.fc = nn.Linear(hidden_dim * 2, num_classes)
+
+    def forward(self, x):
+        emb = self.embedding(x)
+        # all-ones masks (reference quirk SURVEY §2.7.1): no packing needed,
+        # every sequence runs full length
+        _, (h_n, _) = self.lstm(emb)
+        last = torch.cat([h_n[-2], h_n[-1]], dim=1)  # fwd, bwd of top layer
+        return self.fc(torch.relu(last))
+
+
+def transplant_from_flax(model: TorchLSTMClassifier, params: dict) -> None:
+    """Copy the JAX model's params into the torch mirror (same function).
+
+    JAX layout (models/lstm.py): w_ih (E, 4H), w_hh (H, 4H), one bias (4H,);
+    torch layout: weight_ih_l0 (4H, E), weight_hh_l0 (4H, H), two biases
+    (summed by torch) -> b_ih gets the JAX bias, b_hh zero. Gate order (i,
+    f, g, o) matches by construction.
+    """
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32))
+
+    with torch.no_grad():
+        model.embedding.weight.copy_(t(params["embedding"]["embedding"]))
+        n_layers = model.lstm.num_layers
+        for layer in range(n_layers):
+            for direction, suffix in ((f"lstm_l{layer}_fwd", ""),
+                                      (f"lstm_l{layer}_bwd", "_reverse")):
+                p = params[direction]
+                getattr(model.lstm, f"weight_ih_l{layer}{suffix}").copy_(
+                    t(p["w_ih"]).T.contiguous())
+                getattr(model.lstm, f"weight_hh_l{layer}{suffix}").copy_(
+                    t(p["w_hh"]).T.contiguous())
+                getattr(model.lstm, f"bias_ih_l{layer}{suffix}").copy_(
+                    t(p["bias"]))
+                getattr(model.lstm, f"bias_hh_l{layer}{suffix}").zero_()
+        model.fc.weight.copy_(t(params["fc"]["kernel"]).T.contiguous())
+        model.fc.bias.copy_(t(params["fc"]["bias"]))
+
+
+def train_reference_mirror(
+    model: TorchLSTMClassifier,
+    batches,
+    lr: float,
+    epochs: int = 1,
+) -> list:
+    """The reference's training loop over pre-built (tokens, labels) numpy
+    batches; returns the per-step losses.  AdamW at torch defaults matches
+    processors/model_trainer.py:143-144."""
+    criterion = nn.BCEWithLogitsLoss()
+    optimizer = torch.optim.AdamW(model.parameters(), lr=lr)
+    losses = []
+    model.train()
+    for _ in range(epochs):
+        for tokens, labels in batches:
+            inputs = torch.from_numpy(tokens.astype(np.int64))
+            target = torch.from_numpy(labels.astype(np.float32))
+            optimizer.zero_grad()
+            loss = criterion(model(inputs), target)
+            loss.backward()
+            optimizer.step()
+            losses.append(float(loss))
+    return losses
