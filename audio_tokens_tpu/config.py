@@ -167,6 +167,11 @@ class AudioTokensConfig:
     # Run gradient-flow diagnostics every N epochs (0 disables — the
     # reference's hook existed but was disabled; see utils/diagnostics.py).
     diagnostics_every: int = 0
+    # Epoch-mAP accumulation: 0 keeps every sigmoid in host RAM (exact,
+    # reference semantics; ~4.3 GB/epoch at 2M clips); >0 switches to the
+    # constant-memory histogram estimator with this many score buckets
+    # (error ~1/bins; see utils/metrics.StreamingMAP).
+    streaming_map_bins: int = 0
     # Sequence capacity for token models (frames for 10 s @ hop 128 = 1723,
     # padded up to a lane-friendly multiple).
     max_seq_len: int = 1728

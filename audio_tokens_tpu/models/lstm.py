@@ -28,10 +28,18 @@ import jax.numpy as jnp
 
 
 class LSTMLayer(nn.Module):
-    """One direction, one layer; returns (all hidden states, final (h, c))."""
+    """One direction, one layer; returns (all hidden states, final (h, c)).
+
+    ``unroll=8``: the per-step work (one (B, H) x (H, 4H) gate GEMM + VPU
+    activations) is small enough that XLA while-loop per-iteration overhead
+    dominates; unrolling 8 steps per loop iteration measured 92 -> 70 ms per
+    B=64, T=1728 train step on v5e (unroll 16/32, bf16 gates, and fusing
+    both directions into one scan all measured slower — see BASELINE.md).
+    """
 
     hidden_dim: int
     reverse: bool = False
+    unroll: int = 8
 
     @nn.compact
     def __call__(self, x, mask):
@@ -72,7 +80,8 @@ class LSTMLayer(nn.Module):
             jnp.zeros((b, h), x.dtype),
         )
         (h_last, _), hs = jax.lax.scan(
-            step, init_carry, (xg, m), reverse=self.reverse
+            step, init_carry, (xg, m), reverse=self.reverse,
+            unroll=self.unroll,
         )
         return jnp.swapaxes(hs, 0, 1), h_last  # (B, T, H), (B, H)
 

@@ -274,8 +274,19 @@ class Trainer:
             )
         return inputs, lengths, labels, row_w
 
+    def _metric_accumulator(self):
+        """Exact mAP by default (reference semantics); constant-memory
+        histogram mAP when config.streaming_map_bins > 0 (corpus scale)."""
+        from audio_tokens_tpu.utils.metrics import ExactMAP, StreamingMAP
+
+        if self.config.streaming_map_bins > 0:
+            return StreamingMAP(self.config.num_classes,
+                                bins=self.config.streaming_map_bins)
+        return ExactMAP()
+
     def _train_epoch(self, train_step, params, opt_state, loader, epoch, step):
-        losses, preds, labels = [], [], []
+        losses = []
+        acc = self._metric_accumulator()
         for batch in loader.batches(epoch):
             key = jax.random.fold_in(self._root_key, step)
             inputs, lengths, lab, row_w = self._put_batch(batch)
@@ -284,24 +295,22 @@ class Trainer:
             )
             n = batch["n_valid"]
             losses.append(float(loss))
-            preds.append(np.asarray(p)[:n])
-            labels.append(batch["labels"][:n])
+            acc.update(batch["labels"][:n], np.asarray(p)[:n])
             step += 1
             if self.config.max_train_steps and step >= self.config.max_train_steps:
                 break
-        metrics = self.metrics_calculator.compute_metrics(preds, labels)
-        return params, opt_state, step, float(np.mean(losses)), metrics
+        return params, opt_state, step, float(np.mean(losses)), acc.result()
 
     def _eval_epoch(self, eval_step, params, loader):
-        losses, preds, labels = [], [], []
+        losses = []
+        acc = self._metric_accumulator()
         for batch in loader.batches(0):
             inputs, lengths, lab, row_w = self._put_batch(batch)
             loss, p = eval_step(params, inputs, lengths, lab, row_w)
             n = batch["n_valid"]
             losses.append(float(loss))
-            preds.append(np.asarray(p)[:n])
-            labels.append(batch["labels"][:n])
-        metrics = self.metrics_calculator.compute_metrics(preds, labels)
+            acc.update(batch["labels"][:n], np.asarray(p)[:n])
+        metrics = acc.result()
         return float(np.mean(losses)) if losses else float("nan"), metrics
 
     # ------------------------------------------------------------------
