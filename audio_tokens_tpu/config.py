@@ -144,6 +144,11 @@ class AudioTokensConfig:
     kmeans_mode: str = "batch_warm_start"
     # 'random' (FAISS-style sample of k points) or 'kmeans++'
     kmeans_init: str = "random"
+    # Matmul precision of the Lloyd loop: 'highest' (f32, reproducibility
+    # default), 'high' (bf16x3), 'default' (bf16 — ~2x faster iterations on
+    # v5e; objective drift ~4e-5, boundary-point assignment churn only; see
+    # BASELINE.md).  Tokenization always runs f32-HIGHEST for token parity.
+    kmeans_precision: str = "highest"
     # Empty-cluster handling per Lloyd iteration: 'keep' retains the previous
     # centroid (round-1 default); 'split_largest' is a deterministic variant
     # of FAISS's repair (copy the largest cluster's centroid with a symmetric

@@ -177,29 +177,36 @@ def _lloyd_loop(x_chunks, mask_chunks, centroids, niter, precision, axis_name,
     static_argnames=("niter", "chunk", "precision", "mesh", "axis_name",
                      "use_pallas", "interpret", "empty_policy"),
 )
-def _kmeans_jit(x, mask, init_centroids, niter, chunk, precision, mesh,
+def _kmeans_jit(x, fill, init_centroids, niter, chunk, precision, mesh,
                 axis_name, use_pallas=False, interpret=False,
                 empty_policy="keep"):
+    """``fill`` (traced scalar): number of valid leading rows.  The prefix
+    mask is built on device — a host-built mask array would cross the
+    host<->device link on every call."""
     n, d = x.shape
 
     if mesh is None:
         xs = x.reshape(-1, chunk, d)
-        ms = mask.reshape(-1, chunk)
+        ms = (jnp.arange(n, dtype=jnp.int32) < fill).astype(
+            jnp.float32).reshape(-1, chunk)
         return _lloyd_loop(xs, ms, init_centroids, niter, precision, None,
                            use_pallas, interpret, empty_policy)
 
-    def sharded(x_local, mask_local, centroids):
+    def sharded(x_local, fl, centroids):
+        n_local = x_local.shape[0]
         xs = x_local.reshape(-1, chunk, d)
-        ms = mask_local.reshape(-1, chunk)
+        offset = jax.lax.axis_index(axis_name).astype(jnp.int32) * n_local
+        idx = offset + jnp.arange(n_local, dtype=jnp.int32)
+        ms = (idx < fl).astype(jnp.float32).reshape(-1, chunk)
         return _lloyd_loop(xs, ms, centroids, niter, precision, axis_name,
                            use_pallas, interpret, empty_policy)
 
     return jax.shard_map(
         sharded,
         mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P()),
+        in_specs=(P(axis_name), P(), P()),
         out_specs=(P(), P()),
-    )(x, mask, init_centroids)
+    )(x, fill, init_centroids)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -244,6 +251,21 @@ def _bucket_chunks(n_chunks: int) -> int:
     while b < n_chunks:
         b *= 2
     return b
+
+
+def precision_from_str(name: str):
+    """Config-string -> lax.Precision ('highest'|'high'|'default')."""
+    table = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }
+    try:
+        return table[name.lower()]
+    except KeyError:
+        raise ValueError(
+            f"unknown kmeans_precision '{name}' (use highest|high|default)"
+        ) from None
 
 
 def kmeans_fit(
@@ -299,8 +321,6 @@ def kmeans_fit(
     per_dev_chunks = _bucket_chunks(-(-n // (n_dev * eff_chunk)))
     n_pad = per_dev_chunks * eff_chunk * n_dev
 
-    mask = np.zeros(n_pad, dtype=np.float32)
-    mask[:n] = 1.0
     if n_pad != n:
         x = xp.concatenate([x, xp.zeros((n_pad - n, d), xp.float32)], axis=0)
 
@@ -312,7 +332,7 @@ def kmeans_fit(
 
     centroids, obj = _kmeans_jit(
         jnp.asarray(x),
-        jnp.asarray(mask),
+        jnp.int32(n),
         jnp.asarray(init_centroids),
         niter,
         eff_chunk,

@@ -30,7 +30,12 @@ import numpy as np
 
 from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.ops.conv_features import ConvFeatures
-from audio_tokens_tpu.ops.kmeans import KMeans, kmeans_fit, kmeans_fit_streaming
+from audio_tokens_tpu.ops.kmeans import (
+    KMeans,
+    kmeans_fit,
+    kmeans_fit_streaming,
+    precision_from_str,
+)
 from audio_tokens_tpu.ops.vq import l2_normalize
 from audio_tokens_tpu.parallel.mesh import data_mesh
 from audio_tokens_tpu.utils.seeding import key_for, set_seed
@@ -73,6 +78,7 @@ class ClusterCreator:
                     superbatch_rows=self.config.kmeans_superbatch_rows,
                     init=self.config.kmeans_init,
                     empty_policy=self.config.kmeans_empty_policy,
+                    precision=precision_from_str(self.config.kmeans_precision),
                 )
                 logger.info("streaming kmeans over %d frames: obj=%.2f", n, obj)
             else:
@@ -89,6 +95,7 @@ class ClusterCreator:
                     max_points_per_centroid=self.config.max_points_per_centroid,
                     init=self.config.kmeans_init,
                     empty_policy=self.config.kmeans_empty_policy,
+                    precision=precision_from_str(self.config.kmeans_precision),
                 )
                 logger.info("full kmeans over %d frames: obj=%.2f",
                             len(frames), obj)
@@ -102,6 +109,7 @@ class ClusterCreator:
                 max_points_per_centroid=self.config.max_points_per_centroid,
                 init=self.config.kmeans_init,
                 empty_policy=self.config.kmeans_empty_policy,
+                precision=precision_from_str(self.config.kmeans_precision),
             )
             for i, batch in enumerate(
                 self._batch_generator(self.config.clustering_batch_size)

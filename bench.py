@@ -154,22 +154,37 @@ def bench_kmeans(centroids) -> None:
     import jax
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(1)
-    n, niter = 262_144, 10
-    x = jax.device_put(
-        jnp.asarray(rng.standard_normal((n, N_MELS)).astype(np.float32))
-    )
-    kmeans_fit(x, VOCAB, niter, seed=0)  # compile this exact shape
-    t0 = time.perf_counter()
-    kmeans_fit(x, VOCAB, niter, seed=0)
-    dt = time.perf_counter() - t0
-    pips = n * niter / dt
-    # per point-iter: distance GEMM (2Kd) + one-hot sum GEMM (2Kd)
-    tflops = pips * 4.0 * VOCAB * N_MELS / 1e12
-    log(f"kmeans steady (device-resident): {pips / 1e6:.1f}M point-iters/s "
-        f"({n} pts x {niter} iters x k={VOCAB} x d={N_MELS} in {dt:.2f}s)")
-    log(f"kmeans effective compute: {tflops:.1f} TFLOP/s "
-        f"= {tflops * 1e12 / PEAK_BF16 * 100:.1f}% MFU (vs bf16 peak)")
+    # 1M points amortizes this sandbox's ~25 ms-per-fetch RPC latency;
+    # generated on device (host->device link is a slow tunnel here)
+    n, niter = 1 << 20, 10
+    x = jax.jit(
+        lambda: jax.random.normal(jax.random.key(1), (n, N_MELS), jnp.float32)
+    )()
+    import jax as _jax
+
+    from audio_tokens_tpu.ops.vq import vq_assign
+
+    results = {}
+    for name, prec in (("f32-HIGHEST", _jax.lax.Precision.HIGHEST),
+                       ("bf16-DEFAULT", _jax.lax.Precision.DEFAULT)):
+        init = np.asarray(x[:VOCAB])
+        kmeans_fit(x, VOCAB, niter, init_centroids=init, precision=prec)
+        t0 = time.perf_counter()
+        c, obj = kmeans_fit(x, VOCAB, niter, init_centroids=init,
+                            precision=prec)
+        dt = time.perf_counter() - t0
+        pips = n * niter / dt
+        # per point-iter: distance GEMM (2Kd) + one-hot sum GEMM (2Kd)
+        tflops = pips * 4.0 * VOCAB * N_MELS / 1e12
+        results[name] = (c, obj)
+        log(f"kmeans {name}: {pips / 1e6:.1f}M point-iters/s, "
+            f"{tflops:.1f} TFLOP/s = {tflops * 1e12 / PEAK_BF16 * 100:.1f}% "
+            f"MFU ({n} pts x {niter} iters x k={VOCAB} x d={N_MELS} in {dt:.2f}s)")
+    (c_hi, o_hi), (c_lo, o_lo) = results["f32-HIGHEST"], results["bf16-DEFAULT"]
+    drift = float(np.mean(vq_assign(x, c_lo) != vq_assign(x, c_hi)))
+    log(f"kmeans bf16-DEFAULT vs f32-HIGHEST: obj rel diff "
+        f"{abs(o_lo - o_hi) / o_hi:.1e}, boundary assignment churn "
+        f"{drift * 100:.2f}% (kmeans_precision config selects the tier)")
 
 
 def bench_streaming_kmeans() -> None:

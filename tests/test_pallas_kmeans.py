@@ -46,9 +46,8 @@ def test_kmeans_pallas_backend_matches_scan(rng):
 
     n_pad = 768
     xp = np.concatenate([x, np.zeros((n_pad - 700, 32), np.float32)])
-    mask = np.zeros(n_pad, np.float32); mask[:700] = 1.0
     c_pl, o_pl = km._kmeans_jit(
-        jnp.asarray(xp), jnp.asarray(mask), jnp.asarray(init),
+        jnp.asarray(xp), jnp.int32(700), jnp.asarray(init),
         4, 256, None, None, None, True, True,
     )
     np.testing.assert_allclose(np.asarray(c_pl), c_scan, atol=1e-4)
