@@ -172,6 +172,9 @@ class AudioTokensConfig:
     # Run gradient-flow diagnostics every N epochs (0 disables — the
     # reference's hook existed but was disabled; see utils/diagnostics.py).
     diagnostics_every: int = 0
+    # LSTM recurrence backend: 'auto' (Pallas sequence kernel on TPU, XLA
+    # scan elsewhere), 'xla', or 'pallas' (see ops/pallas_lstm.py).
+    lstm_backend: str = "auto"
     # Epoch-mAP accumulation: 0 keeps every sigmoid in host RAM (exact,
     # reference semantics; ~4.3 GB/epoch at 2M clips); >0 switches to the
     # constant-memory histogram estimator with this many score buckets

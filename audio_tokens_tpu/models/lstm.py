@@ -40,6 +40,7 @@ class LSTMLayer(nn.Module):
     hidden_dim: int
     reverse: bool = False
     unroll: int = 8
+    backend: str = "xla"  # 'xla' scan | 'pallas' sequence kernel | 'pallas_interpret'
 
     @nn.compact
     def __call__(self, x, mask):
@@ -59,6 +60,21 @@ class LSTMLayer(nn.Module):
 
         xg = jnp.einsum("bte,eg->btg", x, w_ih) + bias  # precompute input gates
         xg = jnp.swapaxes(xg, 0, 1)  # time-major (T, B, 4H)
+
+        # hardware-tile alignment: oddly-shaped configs fall back to the scan
+        aligned = b % 8 == 0 and h % 128 == 0
+        if self.backend == "pallas_interpret" or (
+            self.backend == "pallas" and aligned
+        ):
+            from audio_tokens_tpu.ops.pallas_lstm import lstm_sequence
+
+            hs, h_last = lstm_sequence(
+                xg, jnp.swapaxes(mask, 0, 1), w_hh, self.reverse,
+                jax.lax.Precision.DEFAULT,  # matches the scan's gate GEMMs
+                self.backend == "pallas_interpret",
+            )
+            return jnp.swapaxes(hs, 0, 1), h_last
+
         m = jnp.swapaxes(mask, 0, 1)[:, :, None]  # (T, B, 1)
 
         def step(carry, inp):
@@ -93,6 +109,7 @@ class SimpleLSTMTokenClassifier(nn.Module):
     num_layers: int
     num_classes: int
     dropout: float = 0.0
+    lstm_backend: str = "xla"
 
     @nn.compact
     def __call__(self, x, lengths: Optional[jnp.ndarray] = None,
@@ -111,8 +128,10 @@ class SimpleLSTMTokenClassifier(nn.Module):
         inp = emb
         for layer in range(self.num_layers):
             fwd_hs, h_fwd = LSTMLayer(self.hidden_dim, reverse=False,
+                                      backend=self.lstm_backend,
                                       name=f"lstm_l{layer}_fwd")(inp, mask)
             bwd_hs, h_bwd = LSTMLayer(self.hidden_dim, reverse=True,
+                                      backend=self.lstm_backend,
                                       name=f"lstm_l{layer}_bwd")(inp, mask)
             inp = jnp.concatenate([fwd_hs, bwd_hs], axis=-1)
 

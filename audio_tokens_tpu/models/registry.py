@@ -33,6 +33,19 @@ def model_input_kind(config: AudioTokensConfig) -> str:
         raise ValueError(f"Unknown model type: {config.model_type}") from None
 
 
+def _resolve_lstm_backend(config: AudioTokensConfig) -> str:
+    """'auto' -> the Pallas sequence kernel on TPU, XLA scan elsewhere."""
+    backend = getattr(config, "lstm_backend", "auto")
+    if backend != "auto":
+        return backend
+    try:
+        import jax
+
+        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
 def get_model(config: AudioTokensConfig) -> nn.Module:
     compute_dtype = jnp.dtype(config.compute_dtype)
     if config.model_type == "lstm":
@@ -43,6 +56,7 @@ def get_model(config: AudioTokensConfig) -> nn.Module:
             num_layers=config.num_layers,
             num_classes=config.num_classes,
             dropout=config.dropout,
+            lstm_backend=_resolve_lstm_backend(config),
         )
     elif config.model_type == "simple":
         return SimpleTokenClassifier(
