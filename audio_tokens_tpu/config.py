@@ -147,7 +147,7 @@ class AudioTokensConfig:
     # Matmul precision of the Lloyd loop: 'highest' (f32, reproducibility
     # default), 'high' (bf16x3), 'default' (bf16 — ~2x faster iterations on
     # v5e; objective drift ~4e-5, boundary-point assignment churn only; see
-    # BASELINE.md).  Tokenization always runs f32-HIGHEST for token parity.
+    # BASELINE.md).  Tokenization has its own tier: tokenizer_precision.
     kmeans_precision: str = "highest"
     # Empty-cluster handling per Lloyd iteration: 'keep' retains the previous
     # centroid (round-1 default); 'split_largest' is a deterministic variant
@@ -175,6 +175,10 @@ class AudioTokensConfig:
     # LSTM recurrence backend: 'auto' (Pallas sequence kernel on TPU, XLA
     # scan elsewhere), 'xla', or 'pallas' (see ops/pallas_lstm.py).
     lstm_backend: str = "auto"
+    # Megakernel DFT/mel GEMM tier: 'highest' (f32, bit-exact tokens,
+    # ~16.0k clips/s on v5e), 'bf16x3' (~23.6k, 99.997% agreement),
+    # 'default' (bf16, ~28-36k, 99.3%).  VQ distances always run f32.
+    tokenizer_precision: str = "highest"
     # Epoch-mAP accumulation: 0 keeps every sigmoid in host RAM (exact,
     # reference semantics; ~4.3 GB/epoch at 2M clips); >0 switches to the
     # constant-memory histogram estimator with this many score buckets

@@ -76,6 +76,7 @@ class FusedTokenizer:
                 config.common_sr, config.n_mels, config.n_fft,
                 config.hop_length, self.frontend.frames_max,
                 np.asarray(centroids, np.float32),
+                tier=getattr(config, "tokenizer_precision", "highest"),
             )
             self.frontend.alloc_len = max(
                 self.frontend.padded_len,

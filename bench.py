@@ -84,6 +84,30 @@ def bench_tpu(clips, centroids) -> tuple:
     tokens = np.asarray(tok.tokens_from_padded(x))
     log(f"tpu compile+first run: {time.perf_counter() - t0:.1f}s on {jax.devices()[0]}")
 
+    # fast GEMM tiers (serving option): clips/s + agreement vs bit-exact
+    try:
+        from audio_tokens_tpu.ops.pallas_tokenizer import TokenizerKernel
+
+        probe0 = jax.jit(lambda o: o[0, 0])
+        for tier in ("bf16x3", "default"):
+            k = TokenizerKernel(
+                SR, N_MELS, N_FFT, HOP, tok.frontend.frames_max,
+                centroids, tier=tier,
+            )
+            t_toks = np.asarray(k(x))
+            agree = (t_toks == tokens).mean()
+            int(probe0(k(x)))
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                out = k(x)
+            int(probe0(out))
+            cps_t = BATCH * ITERS / (time.perf_counter() - t0)
+            log(f"tokenizer tier {tier}: {cps_t:.0f} clips/s, "
+                f"{agree * 100:.3f}% agreement vs highest "
+                f"(config tokenizer_precision)")
+    except Exception as e:
+        log(f"tier benchmarks skipped: {e}")
+
     # value fetch = true device sync (block_until_ready is unreliable on some
     # experimental PJRT backends); programs execute in submission order, so
     # fetching (a scalar of) the last output proves all ITERS completed

@@ -45,3 +45,31 @@ def test_fused_tokenizer_kernel_gating(rng):
         conv=ConvFeatures(10, 3, key_for(0, "c")), use_pallas=False,
     )
     assert tok2.kernel is None
+
+
+def test_precision_tiers_validated():
+    """Tier knob exists and rejects junk; the tiers' token agreement vs
+    'highest' (99.997% bf16x3 / 99.3% default) is measured on real TPU by
+    bench.py and documented in BASELINE.md — the kernel needs hardware."""
+    from audio_tokens_tpu.ops.pallas_tokenizer import TIERS, TokenizerKernel
+
+    assert TIERS == ("highest", "bf16x3", "default")
+    cent = np.zeros((8, 32), np.float32)
+    for tier in TIERS:
+        TokenizerKernel(22050, 32, 256, 128, 100, cent, tier=tier)
+    with pytest.raises(ValueError, match="tier"):
+        TokenizerKernel(22050, 32, 256, 128, 100, cent, tier="fp8")
+
+
+def test_dot_tier_bf16x3_near_f32(rng):
+    """The manual hi/lo decomposition reproduces f32 GEMMs to ~1e-6 rel."""
+    from audio_tokens_tpu.ops.pallas_tokenizer import _dot_tier
+    import jax
+
+    a = rng.standard_normal((64, 128)).astype(np.float32)
+    b = rng.standard_normal((128, 96)).astype(np.float32)
+    dims = (((1,), (0,)), ((), ()))
+    exact = np.asarray(_dot_tier(a, b, dims, "highest"))
+    approx = np.asarray(_dot_tier(a, b, dims, "bf16x3"))
+    scale = np.abs(exact).max()
+    assert np.abs(approx - exact).max() / scale < 2e-5
