@@ -172,8 +172,9 @@ class AudioTokensConfig:
     # Run gradient-flow diagnostics every N epochs (0 disables — the
     # reference's hook existed but was disabled; see utils/diagnostics.py).
     diagnostics_every: int = 0
-    # LSTM recurrence backend: 'auto' (Pallas sequence kernel on TPU, XLA
-    # scan elsewhere), 'xla', or 'pallas' (see ops/pallas_lstm.py).
+    # LSTM recurrence backend: 'auto' (Pallas sequence kernel on a single
+    # TPU chip; XLA scan elsewhere — pallas_call is not GSPMD-partitionable,
+    # so multi-chip DP training uses the scan), 'xla', or 'pallas'.
     lstm_backend: str = "auto"
     # Megakernel DFT/mel GEMM tier: 'highest' (f32, bit-exact tokens,
     # ~16.0k clips/s on v5e), 'bf16x3' (~23.6k, 99.997% agreement),

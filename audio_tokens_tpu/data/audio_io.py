@@ -24,6 +24,28 @@ class AudioDecodeError(RuntimeError):
     pass
 
 
+def decode_clip(config, path) -> Optional[np.ndarray]:
+    """Decode one clip for a pipeline stage with the shared skip-and-log
+    semantics: undecodable, too-short, or non-finite waveforms return None
+    (the reference skips such clips; a NaN/Inf waveform would otherwise
+    produce a NaN spectrogram that the staged pipeline's screen drops)."""
+    import logging
+
+    logger = logging.getLogger(__name__)
+    try:
+        wave, _ = decode_audio(path, target_sr=config.common_sr)
+    except Exception as e:  # skip-and-log, like the reference
+        logger.info("skipping %s: %s", path, e)
+        return None
+    if len(wave) < config.n_fft:
+        logger.info("skipping %s: too short (%d samples)", path, len(wave))
+        return None
+    if not np.isfinite(wave).all():
+        logger.info("skipping %s: non-finite samples", path)
+        return None
+    return wave
+
+
 def read_wav(path) -> Tuple[np.ndarray, int]:
     """Minimal RIFF/WAVE reader: PCM 8/16/24/32-bit and IEEE float 32/64.
 

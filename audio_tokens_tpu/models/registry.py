@@ -34,14 +34,21 @@ def model_input_kind(config: AudioTokensConfig) -> str:
 
 
 def _resolve_lstm_backend(config: AudioTokensConfig) -> str:
-    """'auto' -> the Pallas sequence kernel on TPU, XLA scan elsewhere."""
+    """'auto' -> the Pallas sequence kernel on a SINGLE TPU chip, XLA scan
+    elsewhere.  pallas_call cannot be auto-partitioned by GSPMD, so under a
+    multi-device DP mesh the jitted train step must use the scan (every
+    other Pallas kernel here runs under an explicit shard_map instead)."""
     backend = getattr(config, "lstm_backend", "auto")
     if backend != "auto":
         return backend
     try:
         import jax
 
-        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        return (
+            "pallas"
+            if jax.devices()[0].platform == "tpu" and jax.device_count() == 1
+            else "xla"
+        )
     except Exception:
         return "xla"
 

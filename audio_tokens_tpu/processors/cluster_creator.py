@@ -67,12 +67,20 @@ class ClusterCreator:
         logger.info("starting clustering (mode=%s)", self.config.kmeans_mode)
         if self.config.kmeans_mode == "full":
             if self._should_stream():
+                if self.config.max_points_per_centroid is not None:
+                    logger.warning(
+                        "kmeans streaming uses every frame: "
+                        "max_points_per_centroid=%d is ignored in the "
+                        "streaming path",
+                        self.config.max_points_per_centroid,
+                    )
                 centroids, obj, n = kmeans_fit_streaming(
                     lambda: self._batch_generator(
                         self.config.clustering_batch_size
                     ),
                     self.config.vocab_size,
                     self.config.niter,
+                    d=self.feature_dim,
                     seed=self.config.random_seed,
                     mesh=self.mesh,
                     superbatch_rows=self.config.kmeans_superbatch_rows,
@@ -147,6 +155,14 @@ class ClusterCreator:
         budget = self.config.kmeans_inmemory_budget_mb * (1 << 20)
         expansion = (self.config.num_kernels
                      if self.config.use_convolution else 1)
+        if self.config.max_points_per_centroid is not None:
+            # the in-memory fit subsamples to k*cap points BEFORE clustering,
+            # so only the subsample needs to fit the budget
+            cap_bytes = (self.config.vocab_size
+                         * self.config.max_points_per_centroid
+                         * self.feature_dim * 4)
+            if cap_bytes <= budget:
+                return False
         if self.config.fused_pipeline:
             import json as _json
 

@@ -23,7 +23,6 @@ from __future__ import annotations
 import json
 import logging
 import shutil
-from collections import Counter
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Dict, List
@@ -71,19 +70,21 @@ class SpecTokenizer:
             logger.info("Tokenizing %s: %s --> %s", split, source_dir, tokenized_dir)
             with maybe_trace(self.config.profile_dir), \
                     StageTimer(f"tokenize/{split}") as timer:
-                all_tokens = self.tokenize_directory(source_dir, tokenized_dir)
-                timer.count("frames", len(all_tokens))
+                counts = self.tokenize_directory(source_dir, tokenized_dir)
+                timer.count("frames", int(counts.sum()))
             if split == "train":
-                if len(all_tokens) == 0:
+                if counts.sum() == 0:
                     logger.info("no new tokens; keeping previous statistics/plots")
                     stats[split] = {"total_tokens": 0, "unique_tokens": 0}
                 else:
-                    stats[split] = self.analyze_tokens(all_tokens)
-                    self.plot_token_distribution(all_tokens)
+                    stats[split] = self.analyze_token_counts(counts)
+                    self.plot_token_counts(counts)
         return stats
 
     def tokenize_directory(self, source_dir: Path, tokenized_dir: Path) -> np.ndarray:
-        all_tokens: List[np.ndarray] = []
+        """Tokenize every spec file; returns per-token counts (vocab,) —
+        O(vocab) host memory regardless of corpus size."""
+        counts = np.zeros(self.centroids.shape[0], np.int64)
         spec_files = sorted(source_dir.glob("*.npy"))
         if self.config.incremental:
             before = len(spec_files)
@@ -105,8 +106,9 @@ class SpecTokenizer:
                 )
         bs = self.config.tokenizer_batch_size
         for i in range(0, len(spec_files), bs):
-            all_tokens.append(self.process_batch(spec_files[i : i + bs], tokenized_dir))
-        return np.concatenate(all_tokens) if all_tokens else np.zeros(0, np.int64)
+            batch_tokens = self.process_batch(spec_files[i : i + bs], tokenized_dir)
+            counts += np.bincount(batch_tokens, minlength=len(counts))
+        return counts
 
     def process_batch(self, batch_files: List[Path], tokenized_dir: Path) -> np.ndarray:
         batch_specs = [np.load(f).T for f in batch_files]  # (T_i, n_mels) each
@@ -136,12 +138,7 @@ class SpecTokenizer:
         ``device_batch_size`` clips, megakernel-fused on TPU.
         """
         from audio_tokens_tpu.data import native_loader
-        from audio_tokens_tpu.data.audio_io import (
-            AudioDecodeError,
-            decode_audio,
-            find_audio_file,
-        )
-        from audio_tokens_tpu.ops.mel import num_frames
+        from audio_tokens_tpu.data.audio_io import decode_clip, find_audio_file
         from audio_tokens_tpu.tokenizer import FusedTokenizer
 
         cfg = self.config
@@ -171,10 +168,18 @@ class SpecTokenizer:
                 ]
                 logger.info("incremental: %d/%d clips already tokenized",
                             before - len(ytids), before)
+                if before - len(ytids):
+                    logger.warning(
+                        "incremental tokenize: token statistics / plots cover "
+                        "only the %d newly tokenized clips", len(ytids),
+                    )
             logger.info("Fused-tokenizing %s: audio --> %s", split, tokenized_dir)
             found = [(y, p) for y in ytids
                      if (p := find_audio_file(cfg, y)) is not None]
-            all_tokens: List[np.ndarray] = []
+            # bounded stats accumulation (O(vocab), not O(corpus)): the train
+            # split's reports only need per-token counts
+            counts = np.zeros(self.centroids.shape[0], np.int64)
+            n_frames_total = 0
             bs = cfg.device_batch_size
             with maybe_trace(cfg.profile_dir), \
                     StageTimer(f"tokenize-fused/{split}") as timer:
@@ -184,25 +189,24 @@ class SpecTokenizer:
                     if use_native:
                         per_clip = self._fused_tokens_native(ft, chunk, bs)
                     else:
-                        per_clip = self._fused_tokens_python(
-                            ft, chunk, decode_audio, AudioDecodeError
-                        )
+                        per_clip = self._fused_tokens_python(ft, chunk, decode_clip)
                     for ytid, toks in per_clip:
                         atomic_save_npy(tokenized_dir / f"{ytid}.npy", toks)
-                        all_tokens.append(toks)
+                        if split == "train":
+                            counts += np.bincount(toks, minlength=len(counts))
+                        n_frames_total += len(toks)
                         n_clips += 1
                 timer.count("clips", n_clips)
-                timer.count("frames", sum(len(t) for t in all_tokens))
+                timer.count("frames", n_frames_total)
             logger.info("%s: %d/%d clips tokenized (fused)", split, n_clips,
                         len(ytids))
             if split == "train":
-                if not all_tokens:
+                if counts.sum() == 0:
                     logger.info("no new tokens; keeping previous statistics/plots")
                     stats[split] = {"total_tokens": 0, "unique_tokens": 0}
                 else:
-                    flat = np.concatenate(all_tokens)
-                    stats[split] = self.analyze_tokens(flat)
-                    self.plot_token_distribution(flat)
+                    stats[split] = self.analyze_token_counts(counts)
+                    self.plot_token_counts(counts)
         return stats
 
     def _fused_tokens_native(self, ft, chunk, bs):
@@ -234,25 +238,23 @@ class SpecTokenizer:
             if lengths[row] < 0:
                 logger.info("skipping %s: %s", path, native_loader.last_error())
                 continue
+            if not np.isfinite(batch[row]).all():
+                # matches the staged pipeline's NaN/Inf screen (there a NaN
+                # waveform surfaces as a NaN spectrogram and is dropped)
+                logger.info("skipping %s: non-finite samples", path)
+                continue
             n_valid = num_frames(int(lengths[row]), cfg.hop_length)
             out.append((ytid, tokens[row, :n_valid].astype(np.int64)))
         return out
 
-    def _fused_tokens_python(self, ft, chunk, decode_audio, AudioDecodeError):
+    def _fused_tokens_python(self, ft, chunk, decode_clip):
         """Pure-python decode (thread pool) -> fused program."""
         cfg = self.config
 
         def decode_one(item):
             ytid, path = item
-            try:
-                wave, _ = decode_audio(path, target_sr=cfg.common_sr)
-            except (AudioDecodeError, Exception) as e:
-                logger.info("skipping %s: %s", path, e)
-                return None
-            if len(wave) < cfg.n_fft:
-                logger.info("skipping %s: too short (%d samples)", path, len(wave))
-                return None
-            return ytid, wave
+            wave = decode_clip(cfg, path)
+            return None if wave is None else (ytid, wave)
 
         with ThreadPoolExecutor(max_workers=cfg.num_workers) as pool:
             decoded = [d for d in pool.map(decode_one, chunk) if d is not None]
@@ -262,27 +264,34 @@ class SpecTokenizer:
         return [(ytid, toks) for (ytid, _), toks in zip(decoded, token_lists)]
 
     # ------------------------------------------------------------------
-    # Reporting (reference :129-240)
+    # Reporting (reference :129-240) — computed from per-token counts so
+    # host memory stays O(vocab) at corpus scale
     # ------------------------------------------------------------------
-    def analyze_tokens(self, all_tokens: np.ndarray) -> dict:
-        counts = Counter(all_tokens.tolist())
-        most = counts.most_common(1)
-        least = counts.most_common()[-1] if counts else None
+    def analyze_token_counts(self, counts: np.ndarray) -> dict:
+        present = np.flatnonzero(counts)
+        most_tok = int(counts.argmax())
+        least_tok = int(present[np.argmin(counts[present])]) if len(present) else None
         stats = {
-            "total_tokens": int(len(all_tokens)),
-            "unique_tokens": int(len(counts)),
-            "most_common": most[0] if most else None,
-            "least_common": least,
+            "total_tokens": int(counts.sum()),
+            "unique_tokens": int(len(present)),
+            "most_common": (most_tok, int(counts[most_tok])) if len(present) else None,
+            "least_common": (least_tok, int(counts[least_tok]))
+            if least_tok is not None else None,
         }
         logger.info("Total tokens: %d", stats["total_tokens"])
         logger.info("Unique tokens: %d", stats["unique_tokens"])
         logger.info("Most common token: %s", stats["most_common"])
         logger.info("Least common token: %s", stats["least_common"])
-        zipf = self.analyze_zipf_and_tail(
-            np.sort(np.asarray(list(counts.values())))[::-1]
-        )
+        zipf = self.analyze_zipf_and_tail(np.sort(counts[present])[::-1])
         stats.update(zipf)
         return stats
+
+    def analyze_tokens(self, all_tokens: np.ndarray) -> dict:
+        """Array-based convenience wrapper (small corpora / tests)."""
+        return self.analyze_token_counts(
+            np.bincount(np.asarray(all_tokens, np.int64),
+                        minlength=self.centroids.shape[0])
+        )
 
     def analyze_zipf_and_tail(self, frequencies: np.ndarray) -> dict:
         """Zipf slope by closed-form least squares over the 10-90% rank band
@@ -305,15 +314,14 @@ class SpecTokenizer:
                     slope, r * r, tail_start)
         return {"zipf_slope": slope, "zipf_r2": r * r, "tail_start": tail_start}
 
-    def plot_token_distribution(self, all_tokens: np.ndarray) -> None:
+    def plot_token_counts(self, counts: np.ndarray) -> None:
         try:
             import matplotlib
 
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
 
-            counts = Counter(all_tokens.tolist())
-            freqs = np.sort(np.asarray(list(counts.values())))[::-1]
+            freqs = np.sort(counts[counts > 0])[::-1]
             ranks = np.arange(1, len(freqs) + 1)
             fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(15, 10))
             ax1.plot(ranks, freqs)

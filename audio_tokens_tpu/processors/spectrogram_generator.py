@@ -26,11 +26,7 @@ import numpy as np
 
 from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.data import native_loader
-from audio_tokens_tpu.data.audio_io import (
-    AudioDecodeError,
-    decode_audio,
-    find_audio_file,
-)
+from audio_tokens_tpu.data.audio_io import decode_clip, find_audio_file
 from audio_tokens_tpu.ops.mel import MelFrontend, num_frames
 from audio_tokens_tpu.utils.npy_io import atomic_save_npy
 from audio_tokens_tpu.utils.profiling import StageTimer, maybe_trace
@@ -158,15 +154,7 @@ class SpectrogramGenerator:
         path = self.find_audio_file(ytid)
         if path is None:
             return None
-        try:
-            wave, _ = decode_audio(path, target_sr=self.config.common_sr)
-        except (AudioDecodeError, Exception) as e:  # skip-and-log, like reference
-            logger.info("skipping %s: %s", path, e)
-            return None
-        if len(wave) < self.config.n_fft:
-            logger.info("skipping %s: too short (%d samples)", path, len(wave))
-            return None
-        return wave
+        return decode_clip(self.config, path)
 
     def find_audio_file(self, ytid: str) -> Optional[Path]:
         path = find_audio_file(self.config, ytid)

@@ -21,8 +21,6 @@ import numpy as np
 
 
 def make_corpus(base: Path, n_clips: int, seq_len: int, n_classes: int) -> None:
-    from tests.fixtures import make_ontology, make_segments_csv  # noqa: F401
-
     rng = np.random.default_rng(0)
     tok_dir = base / "tokenized_audio" / "train"
     tok_dir.mkdir(parents=True, exist_ok=True)

@@ -25,6 +25,15 @@ def main(config: AudioTokensConfig | None = None):
         # clips never round-trip through mel .npy artifacts: clustering
         # streams wav->frames and the tokenizer runs the fused wav->tokens
         # program (token artifacts are byte-identical to the staged path)
+        if (config.dataset_type != "TokenizedSpecDataset"
+                or config.use_precomputed_embeddings):
+            raise ValueError(
+                "fused_pipeline=True writes no spectrogram artifacts, but "
+                f"dataset_type={config.dataset_type!r} / "
+                f"use_precomputed_embeddings={config.use_precomputed_embeddings} "
+                "trains on raw spectrograms — run the staged pipeline for "
+                "spec-consuming models (cnn/baseline/raw-embedding)"
+            )
         logger.info("fused pipeline: skipping the spectrogram artifact stage")
     else:
         SpectrogramGenerator(config).run()

@@ -225,3 +225,51 @@ def test_stage_timer_counts(caplog):
             t.count("clips", 10)
             t.count("clips", 5)
     assert "clips=15" in caplog.text
+
+
+def test_fused_pipeline_rejects_spec_consuming_models(tmp_path):
+    """fused_pipeline writes no spectrograms; cnn/baseline configs must fail
+    loudly instead of training on an empty dataset."""
+    import run_pipeline
+
+    fixtures.make_workspace(tmp_path, n_clips=4)
+    cfg = fixtures.test_config(tmp_path, fused_pipeline=True,
+                               model_type="cnn", dataset_type="RawSTFTDataset")
+    with pytest.raises(ValueError, match="fused_pipeline"):
+        run_pipeline.main(cfg)
+
+
+def test_fused_pipeline_skips_nonfinite_clips_like_staged(tmp_path):
+    """A clip whose waveform contains NaN must be dropped by BOTH pipelines
+    (the staged path drops it via the NaN-spectrogram screen)."""
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+    from audio_tokens_tpu.data.splitter import DatasetSplitter
+    from audio_tokens_tpu.processors.cluster_creator import ClusterCreator
+    from audio_tokens_tpu.processors.spec_tokenizer import SpecTokenizer
+    from audio_tokens_tpu.processors.spectrogram_generator import (
+        SpectrogramGenerator,
+    )
+
+    results = {}
+    for mode in ("staged", "fused"):
+        base = tmp_path / mode
+        fixtures.make_workspace(base, n_clips=8)
+        # poison one clip with NaN samples (float32 extensible WAV)
+        victim = fixtures.ytid_for(3)
+        wav = base / "audioset" / "bal_train" / victim[:2] / f"{victim}.wav"
+        bad = np.zeros(30000, np.float32)
+        bad[1000] = np.nan
+        _extensible_float_wav(wav, bad)
+
+        cfg = fixtures.test_config(base, fused_pipeline=(mode == "fused"))
+        DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+        if mode == "staged":
+            SpectrogramGenerator(cfg).run()
+        ClusterCreator(cfg).run()
+        SpecTokenizer(cfg).run()
+        results[mode] = {
+            f.name for split in ("train", "validation")
+            for f in (Path(cfg.dest_tokenized_path) / split).glob("*.npy")
+        }
+    assert f"{victim}.npy" not in results["staged"]
+    assert results["fused"] == results["staged"]  # identical artifact sets
