@@ -9,8 +9,11 @@ centroid block, and reduces the argmin — only the (TILE,) token IDs ever
 leave the chip.
 
 Shapes are padded to hardware tiles by the wrapper: d -> multiple of 128
-(zero-pad: L2 distances unchanged), K -> multiple of 128 (pad rows get +inf
-scores), N -> multiple of the frame tile (outputs trimmed).
+(zero-pad: L2 distances unchanged), K -> multiple of the centroid chunk (pad
+rows get +inf scores), N -> multiple of the frame tile (outputs trimmed).
+Vocabularies beyond one chunk iterate K_TILE-wide centroid blocks with a
+running (min, argmin) carried in VMEM scratch, so 16k+ vocabularies stay on
+the fused path.
 
 Falls back to interpret mode off-TPU so tests run on CPU.
 """
@@ -31,30 +34,56 @@ EPS = 1e-10  # matches ops/vq.py / reference normalize_vectors
 TILE_N = 1024
 
 
-def _vq_kernel(f_ref, ct_ref, c2_ref, out_ref, *, normalize: bool):
-    f = f_ref[:]  # (TILE_N, d_pad) f32
-    if normalize:
-        norms = jnp.sqrt(jnp.sum(f * f, axis=1, keepdims=True))
-        f = f / (norms + EPS)
+def _vq_kernel(f_ref, ct_ref, c2_ref, out_ref, fn_scr, min_scr, arg_scr,
+               *, normalize: bool, k_tile: int):
+    """Grid (n_tiles, k_tiles), K innermost: a running (min, argmin) pair in
+    VMEM scratch folds centroid chunks, so vocabularies far beyond the VMEM
+    working set stay on the fused path.  Ascending chunk order + strict '<'
+    preserves the lowest-index tie-break (FAISS semantics)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        f = f_ref[:]  # (TILE_N, d_pad) f32
+        if normalize:
+            norms = jnp.sqrt(jnp.sum(f * f, axis=1, keepdims=True))
+            f = f / (norms + EPS)
+        fn_scr[:] = f
+        min_scr[:] = jnp.full_like(min_scr, jnp.inf)
+        arg_scr[:] = jnp.zeros_like(arg_scr)
+
     # scores = ||c||^2 - 2 f.c   (argmin-equivalent to the true sq-distance)
     fc = jax.lax.dot_general(
-        f, ct_ref[:], (((1,), (0,)), ((), ())),
+        fn_scr[:], ct_ref[:], (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,  # f32-exact for token parity
         preferred_element_type=jnp.float32,
-    )  # (TILE, K_pad)
+    )  # (TILE, k_tile)
     scores = c2_ref[:] - 2.0 * fc
-    out_ref[:] = jnp.argmin(scores, axis=1).astype(jnp.int32)[:, None]
+    local_arg = jnp.argmin(scores, axis=1).astype(jnp.int32)[:, None]
+    local_min = jnp.min(scores, axis=1)[:, None]
+    better = local_min < min_scr[:]
+    min_scr[:] = jnp.where(better, local_min, min_scr[:])
+    arg_scr[:] = jnp.where(better, local_arg + j * k_tile, arg_scr[:])
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = arg_scr[:]
+
+
+K_TILE = 2048  # centroid-chunk width: bounds the VMEM score tile
 
 
 @functools.partial(
-    jax.jit, static_argnames=("normalize", "interpret", "tile_n")
+    jax.jit, static_argnames=("normalize", "interpret", "tile_n", "k_tile")
 )
-def _vq_pallas_jit(frames, centroids, normalize, interpret, tile_n):
+def _vq_pallas_jit(frames, centroids, normalize, interpret, tile_n,
+                   k_tile=K_TILE):
     """Pad to hardware tiles, run the kernel, trim — all one compiled program."""
     n, d = frames.shape
     k = centroids.shape[0]
     d_pad = _round_up(d, 128)
-    k_pad = _round_up(k, 128)
+    k_tile = min(k_tile, _round_up(k, 128))
+    k_pad = _round_up(k, k_tile)
     n_pad = _round_up(n, tile_n)
 
     if d_pad != d:
@@ -68,21 +97,24 @@ def _vq_pallas_jit(frames, centroids, normalize, interpret, tile_n):
         c2 = jnp.pad(c2, (0, k_pad - k), constant_values=jnp.float32(np.inf))
 
     out = pl.pallas_call(
-        functools.partial(_vq_kernel, normalize=normalize),
+        functools.partial(_vq_kernel, normalize=normalize, k_tile=k_tile),
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-        grid_spec=pl.GridSpec(
-            grid=(n_pad // tile_n,),
-            in_specs=[
-                pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((d_pad, k_pad), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, k_pad), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-        ),
+        grid=(n_pad // tile_n, k_pad // k_tile),
+        in_specs=[
+            pl.BlockSpec((tile_n, d_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, k_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile_n, d_pad), jnp.float32),  # normalized frames
+            pltpu.VMEM((tile_n, 1), jnp.float32),      # running min
+            pltpu.VMEM((tile_n, 1), jnp.int32),        # running argmin
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * d_pad * k_pad,
             bytes_accessed=n_pad * d_pad * 4 + d_pad * k_pad * 4 + n_pad * 4,
@@ -130,9 +162,23 @@ def vq_assign_pallas(
 
 def fits_vmem(k: int, d: int, tile_n: int = TILE_N,
               budget_bytes: int = 12 * 1024 * 1024) -> bool:
-    """Whether the fused-VQ working set (centroids + frame tile + score tile)
-    fits the per-core VMEM budget; large vocabularies route to the chunked
-    XLA path instead."""
+    """Whether the fused-VQ working set fits the per-core VMEM budget.
+
+    K is chunked inside the kernel (K_TILE-wide centroid blocks with a
+    running argmin), so the working set depends on the chunk, not the
+    vocabulary — any realistic K (e.g. the 16k north-star vocab) fits;
+    only extreme feature widths fall back to the chunked XLA path."""
+    k_t = min(K_TILE, _round_up(k, 128))
+    d_pad = _round_up(d, 128)
+    need = 4 * (d_pad * k_t + tile_n * (2 * d_pad + k_t + 2) + k_t)
+    return need <= budget_bytes
+
+
+def fits_vmem_full(k: int, d: int, tile_n: int = TILE_N,
+                   budget_bytes: int = 12 * 1024 * 1024) -> bool:
+    """Un-chunked working-set bound: for kernels that keep ALL centroids and
+    a full (tile, K) score tile in VMEM at once (the wav->tokens megakernel).
+    Large vocabularies fail this and use the chunked fused-VQ path instead."""
     k_pad = _round_up(k, 128)
     d_pad = _round_up(d, 128)
     need = 4 * (d_pad * k_pad + tile_n * (d_pad + k_pad) + k_pad)

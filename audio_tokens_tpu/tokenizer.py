@@ -23,7 +23,12 @@ import numpy as np
 from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.ops.mel import MelFrontend, num_frames
 from audio_tokens_tpu.ops.conv_features import ConvFeatures
-from audio_tokens_tpu.ops.pallas_vq import _on_tpu, fits_vmem, vq_assign_pallas
+from audio_tokens_tpu.ops.pallas_vq import (
+    _on_tpu,
+    fits_vmem,
+    fits_vmem_full,
+    vq_assign_pallas,
+)
 from audio_tokens_tpu.ops.vq import l2_normalize
 
 
@@ -52,8 +57,8 @@ class FusedTokenizer:
         if self.use_pallas and not fits_vmem(
             self.centroids.shape[0], self.centroids.shape[1]
         ):
-            # huge vocabularies (e.g. 16k) exceed the fused kernel's VMEM
-            # working set; the chunked XLA path handles any K
+            # only extreme feature widths exceed the (K-chunked) fused VQ
+            # kernel's working set; the chunked XLA path handles anything
             self.use_pallas = False
 
         # Full wav->tokens megakernel (ops/pallas_tokenizer.py): engaged when
@@ -66,6 +71,11 @@ class FusedTokenizer:
             and conv is None
             and not config.normalize
             and config.n_fft % config.hop_length == 0
+            # the megakernel holds ALL centroids + a full (tile, K) score
+            # tile in VMEM (no K chunking); huge vocabularies route to the
+            # per-stage fused VQ kernel instead
+            and fits_vmem_full(self.centroids.shape[0],
+                               self.centroids.shape[1])
         ):
             from audio_tokens_tpu.ops.pallas_tokenizer import (
                 TokenizerKernel,

@@ -1,5 +1,6 @@
 """Pallas fused VQ kernel vs brute force / XLA path (interpret mode on CPU)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -71,3 +72,33 @@ def test_vq_assign_fused_sharded_matches_unsharded(rng):
 
     got_single = vq_assign_fused(x, c, mesh=None, normalize=True)
     np.testing.assert_array_equal(got_single, expect)
+
+
+def test_vq_pallas_chunked_k_matches_bruteforce(rng):
+    """K spanning multiple centroid chunks (running argmin across chunks),
+    including +inf padding rows and low-index tie-breaks."""
+    from audio_tokens_tpu.ops import pallas_vq
+
+    x = (rng.random((300, 24)) - 0.5).astype(np.float32)
+    k = 1000  # > 2 chunks at k_tile=384 below
+    c = (rng.random((k, 24)) - 0.5).astype(np.float32)
+    c[777] = c[111]  # duplicate across chunks: tie must pick index 111
+    x[5] = c[111]
+    got = np.asarray(pallas_vq._vq_pallas_jit(
+        jnp.asarray(x), jnp.asarray(c), False, True, 128, 384))
+    brute = ((x[:, None, :] - c[None]) ** 2).sum(-1).argmin(1)
+    np.testing.assert_array_equal(got, brute)
+    assert got[5] == 111
+
+
+def test_vq_pallas_16k_vocab_interpret(rng):
+    from audio_tokens_tpu.ops.pallas_vq import fits_vmem, vq_assign_pallas
+    from audio_tokens_tpu.ops.vq import vq_assign
+
+    assert fits_vmem(16384, 64)  # the north-star vocab is on the fused path
+    x = (rng.random((64, 16)) - 0.5).astype(np.float32)
+    c = (rng.random((16384, 16)) - 0.5).astype(np.float32)
+    got = vq_assign_pallas(x, c, normalize=True, interpret=True)
+    from audio_tokens_tpu.ops.vq import l2_normalize
+    expect = vq_assign(np.asarray(l2_normalize(jnp.asarray(x))), c)
+    np.testing.assert_array_equal(np.asarray(got), expect)
