@@ -68,11 +68,33 @@ def bench_case(model_type: str, batch: int, seq: int, iters: int, **overrides):
         params, opt_state, loss = step(params, opt_state, toks, labels)
     float(loss)  # single final sync; steps are chained through params
     ms = (time.perf_counter() - t0) / iters * 1e3
+
+    flops = _train_flops(model_type, cfg, batch, seq)
+    perf = ""
+    if flops:
+        tf = flops / (ms / 1e3) / 1e12
+        perf = f" (~{tf:.1f} TFLOP/s, ~{tf / 197 * 100:.0f}% of bf16 peak)"
     print(
         f"{model_type:8s} B={batch} T={seq}: compile {compile_s:5.1f}s, "
-        f"{ms:7.1f} ms/step -> {batch / ms * 1000:8.0f} clips/s"
+        f"{ms:7.1f} ms/step -> {batch / ms * 1000:8.0f} clips/s{perf}"
     )
     return ms
+
+
+def _train_flops(model_type, cfg, batch, seq):
+    """Train-step GEMM FLOPs (fwd + ~2x bwd); None for families whose cost
+    is gathers/pools rather than matmuls."""
+    if model_type == "lstm":
+        e, h = cfg.lstm_embed_dim, cfg.lstm_hidden_dim
+        per_tok = 2.0 * (e * 4 * h + h * 4 * h) * 2  # both directions, fwd
+        return 3.0 * per_tok * batch * seq
+    if model_type == "bert":
+        hs = cfg.hidden_size
+        t = min(seq, 512)  # the model truncates like the reference
+        per_tok_layer = 2.0 * 12 * hs * hs  # qkv/proj + 4x MLP, fwd
+        attn = 4.0 * t * t * hs  # scores + weighted sum, fwd
+        return 3.0 * (per_tok_layer * t + attn) * cfg.num_layers * batch
+    return None
 
 
 def main() -> None:
