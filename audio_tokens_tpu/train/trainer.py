@@ -195,6 +195,21 @@ class Trainer:
             mesh = None
         self.mesh = mesh
 
+        if (
+            mesh is not None
+            and mesh.shape.get("model", 1) == 1
+            and cfg.model_type == "lstm"
+            and cfg.lstm_backend == "auto"
+            and jax.devices()[0].platform == "tpu"
+        ):
+            # 'auto' resolved to the scan because a bare jit can't partition
+            # pallas_call — but under a DP-only mesh the trainer builds
+            # shard_map steps, so the fast sequence kernel applies after all
+            import dataclasses as _dc
+
+            self.model = get_model(_dc.replace(cfg, lstm_backend="pallas"))
+            logger.info("lstm: Pallas sequence kernel under shard_map DP")
+
         params = self.model.init(
             {"params": key_for(cfg.random_seed, "model_init"),
              "dropout": key_for(cfg.random_seed, "dropout_init")},
@@ -228,6 +243,8 @@ class Trainer:
         return jax.device_put(params, NamedSharding(self.mesh, P()))
 
     def _build_steps(self):
+        if self._use_shard_map_steps():
+            return self._build_steps_shard_map()
         model, optimizer = self.model, self.optimizer
         use_lengths = self.use_lengths
 
@@ -257,6 +274,82 @@ class Trainer:
             loss, logits = loss_fn(params, inputs, lengths, labels, row_w, None, True)
             return loss, jax.nn.sigmoid(logits)
 
+        return train_step, eval_step
+
+    def _use_shard_map_steps(self) -> bool:
+        """Pallas kernels cannot be auto-partitioned by GSPMD; when the model
+        runs one (the LSTM sequence kernel) under a DP-only mesh, the train
+        and eval steps are built as explicit shard_map programs instead —
+        batch sharded over 'data', params replicated, gradients psum'd."""
+        return (
+            self.mesh is not None
+            and self.mesh.shape.get("model", 1) == 1
+            and getattr(self.model, "lstm_backend", "xla")
+            in ("pallas", "pallas_interpret")
+        )
+
+    def _build_steps_shard_map(self):
+        model, optimizer = self.model, self.optimizer
+        use_lengths = self.use_lengths
+        mesh = self.mesh
+
+        def local_loss(params, inputs, lengths, labels, row_w, key,
+                       deterministic):
+            """Per-device numerator/weight of the GLOBAL weighted-mean loss
+            (the jit path's (bce*w).sum() / max(w.sum()*C, 1) computed with
+            psum'd totals — identical semantics under sharding)."""
+            if key is not None:
+                # decorrelate dropout across devices
+                key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            logits = model.apply(
+                {"params": params},
+                inputs,
+                lengths=lengths if use_lengths else None,
+                deterministic=deterministic,
+                rngs=None if deterministic else {"dropout": key},
+            )
+            bce = optax.sigmoid_binary_cross_entropy(logits, labels)
+            return (bce * row_w[:, None]).sum(), logits
+
+        n_classes = self.config.num_classes
+
+        def local_train(params, opt_state, key, inputs, lengths, labels, row_w):
+            (num, logits), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(params, inputs, lengths, labels, row_w, key, False)
+            denom = jnp.maximum(
+                jax.lax.psum(row_w.sum(), "data") * n_classes, 1.0
+            )
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, "data") / denom, grads
+            )
+            loss = jax.lax.psum(num, "data") / denom
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, jax.nn.sigmoid(logits)
+
+        def local_eval(params, inputs, lengths, labels, row_w):
+            num, logits = local_loss(params, inputs, lengths, labels, row_w,
+                                     None, True)
+            denom = jnp.maximum(
+                jax.lax.psum(row_w.sum(), "data") * n_classes, 1.0
+            )
+            return jax.lax.psum(num, "data") / denom, jax.nn.sigmoid(logits)
+
+        d = P("data")
+        train_step = jax.jit(jax.shard_map(
+            local_train, mesh=mesh,
+            in_specs=(P(), P(), P(), d, d, d, d),
+            out_specs=(P(), P(), P(), d),
+            check_vma=False,  # pallas outputs carry no vma info
+        ))
+        eval_step = jax.jit(jax.shard_map(
+            local_eval, mesh=mesh,
+            in_specs=(P(), d, d, d, d),
+            out_specs=(P(), d),
+            check_vma=False,
+        ))
+        logger.info("DP steps built with shard_map (Pallas LSTM backend)")
         return train_step, eval_step
 
     def _put_batch(self, batch):

@@ -181,3 +181,24 @@ def test_tp_with_indivisible_batch_raises(ws):
     )
     with pytest.raises(ValueError, match="model_parallel"):
         ModelTrainer(cfg).run()
+
+
+def test_shard_map_dp_step_matches_gspmd(ws):
+    """Pallas-LSTM DP training runs under shard_map steps; losses/metrics
+    must match the GSPMD (scan backend) path on the same data."""
+    results = {}
+    for backend in ("xla", "pallas_interpret"):
+        cfg = fixtures.test_config(
+            ws, model_type="lstm", epochs=1, learning_rate=3e-3,
+            training_batch_size=8, lstm_backend=backend,
+            save_best_checkpoint=False, num_layers=1,
+            lstm_embed_dim=16, lstm_hidden_dim=128,  # pallas-aligned H
+        )
+        trainer = ModelTrainer(cfg)
+        val_loss, metrics = trainer.run()
+        used_shard_map = trainer._use_shard_map_steps()
+        results[backend] = (val_loss, metrics["mAP"], used_shard_map)
+    assert results["xla"][2] is False          # GSPMD path
+    assert results["pallas_interpret"][2] is True  # shard_map path engaged
+    assert abs(results["xla"][0] - results["pallas_interpret"][0]) < 1e-4
+    assert abs(results["xla"][1] - results["pallas_interpret"][1]) < 1e-3
