@@ -46,6 +46,22 @@ def decode_clip(config, path) -> Optional[np.ndarray]:
     return wave
 
 
+def write_pcm_wav(path, samples: np.ndarray, sr: int,
+                  channels: int = 1) -> None:
+    """Write int16 PCM WAV via stdlib (shared by tools/tests fixtures)."""
+    import wave as _wave
+
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2")
+    if channels > 1 and pcm.ndim == 1:
+        pcm = np.stack([pcm] * channels, axis=1)
+    with _wave.open(str(path), "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
 def read_wav(path) -> Tuple[np.ndarray, int]:
     """Minimal RIFF/WAVE reader: PCM 8/16/24/32-bit and IEEE float 32/64.
 

@@ -82,8 +82,12 @@ def _vq_pallas_jit(frames, centroids, normalize, interpret, tile_n,
     n, d = frames.shape
     k = centroids.shape[0]
     d_pad = _round_up(d, 128)
-    k_tile = min(k_tile, _round_up(k, 128))
-    k_pad = _round_up(k, k_tile)
+    # balance the chunk width across the needed chunk count so padding never
+    # approaches a whole wasted chunk (K=2100 -> 2 chunks of 1152, not 4096)
+    k128 = _round_up(k, 128)
+    n_chunks = -(-k128 // min(k_tile, k128))
+    k_tile = _round_up(-(-k128 // n_chunks), 128)
+    k_pad = n_chunks * k_tile
     n_pad = _round_up(n, tile_n)
 
     if d_pad != d:

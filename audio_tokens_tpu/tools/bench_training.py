@@ -72,8 +72,11 @@ def bench_case(model_type: str, batch: int, seq: int, iters: int, **overrides):
     flops = _train_flops(model_type, cfg, batch, seq)
     perf = ""
     if flops:
+        from audio_tokens_tpu.ops.common import bf16_peak_flops
+
         tf = flops / (ms / 1e3) / 1e12
-        perf = f" (~{tf:.1f} TFLOP/s, ~{tf / 197 * 100:.0f}% of bf16 peak)"
+        pct = flops / (ms / 1e3) / bf16_peak_flops() * 100
+        perf = f" (~{tf:.1f} TFLOP/s, ~{pct:.0f}% of bf16 peak)"
     print(
         f"{model_type:8s} B={batch} T={seq}: compile {compile_s:5.1f}s, "
         f"{ms:7.1f} ms/step -> {batch / ms * 1000:8.0f} clips/s{perf}"
@@ -86,7 +89,10 @@ def _train_flops(model_type, cfg, batch, seq):
     is gathers/pools rather than matmuls."""
     if model_type == "lstm":
         e, h = cfg.lstm_embed_dim, cfg.lstm_hidden_dim
+        # layer 0 consumes the embedding (E wide); deeper layers consume the
+        # bidirectional concat (2H wide)
         per_tok = 2.0 * (e * 4 * h + h * 4 * h) * 2  # both directions, fwd
+        per_tok += (cfg.num_layers - 1) * 2.0 * (2 * h * 4 * h + h * 4 * h) * 2
         return 3.0 * per_tok * batch * seq
     if model_type == "bert":
         hs = cfg.hidden_size

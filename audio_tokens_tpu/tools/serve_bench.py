@@ -24,7 +24,7 @@ import numpy as np
 
 
 def make_corpus(base: Path, n_clips: int, seconds: float, sr: int) -> list:
-    import wave as wave_mod
+    from audio_tokens_tpu.data.audio_io import write_pcm_wav
 
     rng = np.random.default_rng(0)
     paths = []
@@ -35,12 +35,7 @@ def make_corpus(base: Path, n_clips: int, seconds: float, sr: int) -> list:
              + 0.1 * rng.standard_normal(len(t))).astype(np.float32)
         x /= np.abs(x).max()
         p = base / f"clip{i:05d}.wav"
-        pcm = (np.clip(x, -1, 1) * 32767).astype("<i2")
-        with wave_mod.open(str(p), "wb") as w:
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(sr)
-            w.writeframes(pcm.tobytes())
+        write_pcm_wav(p, x, sr)
         paths.append(p)
     return paths
 
@@ -72,6 +67,10 @@ def main() -> None:
     tok = FusedTokenizer(cfg, cent)
 
     base = Path(tempfile.mkdtemp(prefix="atk_serve_"))
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     paths = make_corpus(base, args.n_clips, args.seconds, cfg.common_sr)
     use_native = native_loader.available()
     alloc = getattr(tok.frontend, "alloc_len", tok.frontend.padded_len)

@@ -28,7 +28,7 @@ SR = 22050
 
 def make_corpus(base: Path, n_clips: int, n_classes: int = 10) -> None:
     """Synthetic AudioSet-shaped corpus: metadata + sharded wav files."""
-    import wave
+    from audio_tokens_tpu.data.audio_io import write_pcm_wav
 
     meta = base / "metadata"
     meta.mkdir(parents=True, exist_ok=True)
@@ -59,13 +59,7 @@ def make_corpus(base: Path, n_clips: int, n_classes: int = 10) -> None:
         ).astype(np.float32)
         x /= np.abs(x).max()
         path = base / "audioset" / "bal_train" / ytid[:2] / f"{ytid}.wav"
-        path.parent.mkdir(parents=True, exist_ok=True)
-        pcm = (np.clip(x, -1, 1) * 32767).astype("<i2")
-        with wave.open(str(path), "wb") as w:
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(SR)
-            w.writeframes(pcm.tobytes())
+        write_pcm_wav(path, x, SR)
     (meta / "balanced_train_segments.csv").write_text("\n".join(lines) + "\n")
 
 

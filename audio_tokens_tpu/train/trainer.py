@@ -195,12 +195,20 @@ class Trainer:
             mesh = None
         self.mesh = mesh
 
+        local_b = (cfg.training_batch_size // mesh.shape["data"]
+                   if mesh is not None else cfg.training_batch_size)
+        local_eb = (cfg.eval_batch_size // mesh.shape["data"]
+                    if mesh is not None else cfg.eval_batch_size)
         if (
             mesh is not None
             and mesh.shape.get("model", 1) == 1
             and cfg.model_type == "lstm"
             and cfg.lstm_backend == "auto"
             and jax.devices()[0].platform == "tpu"
+            # the kernel's hardware-tile alignment, per LOCAL shard
+            and local_b % 8 == 0
+            and local_eb % 8 == 0
+            and cfg.lstm_hidden_dim % 128 == 0
         ):
             # 'auto' resolved to the scan because a bare jit can't partition
             # pallas_call — but under a DP-only mesh the trainer builds

@@ -35,9 +35,19 @@ VOCAB = 500
 BATCH = 64  # throughput saturates at B>=64 on v5e (measured 32/64/128)
 ITERS = 50  # enough to amortize per-dispatch RPC latency on tunneled setups
 
-# v5e per-chip peak: 197 TFLOP/s bf16 (f32-HIGHEST GEMMs decompose into
-# multiple bf16 MXU passes, so bf16 peak is the stable MFU denominator).
-PEAK_BF16 = 197e12
+# Per-chip bf16 peak (f32-HIGHEST GEMMs decompose into multiple bf16 MXU
+# passes, so bf16 peak is the stable MFU denominator); detected per device
+# kind, v5e (197 TF/s) as fallback.
+def _peak() -> float:
+    try:
+        from audio_tokens_tpu.ops.common import bf16_peak_flops
+
+        return bf16_peak_flops()
+    except Exception:
+        return 197e12
+
+
+PEAK_BF16 = _peak()
 
 
 def tokenizer_flops_per_clip(t_frames: int) -> float:

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import json
 import struct
-import wave
 from pathlib import Path
 
 import numpy as np
@@ -61,17 +60,10 @@ def make_segments_csv(path: Path, n_clips: int = N_CLIPS, n_classes: int = N_CLA
 
 
 def write_wav(path: Path, samples: np.ndarray, sr: int = SR, channels: int = 1) -> None:
-    """Write int16 PCM wav via stdlib (no soundfile in the image)."""
-    path.parent.mkdir(parents=True, exist_ok=True)
-    pcm = np.clip(samples, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype("<i2")
-    if channels > 1 and pcm.ndim == 1:
-        pcm = np.stack([pcm] * channels, axis=1)
-    with wave.open(str(path), "wb") as w:
-        w.setnchannels(channels)
-        w.setsampwidth(2)
-        w.setframerate(sr)
-        w.writeframes(pcm.tobytes())
+    """Write int16 PCM wav (shared helper; no soundfile in the image)."""
+    from audio_tokens_tpu.data.audio_io import write_pcm_wav
+
+    write_pcm_wav(path, samples, sr, channels)
 
 
 def synth_clip(i: int, seconds: float = 2.0, sr: int = SR) -> np.ndarray:
