@@ -1,0 +1,79 @@
+"""Config CLI/JSON overlay and mesh-helper unit tests."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from audio_tokens_tpu.config import AudioTokensConfig
+
+
+def test_flag_type_coercion(tmp_path):
+    cfg = AudioTokensConfig.from_args([
+        "--base_dir", str(tmp_path),
+        "--vocab_size", "1024",
+        "--learning_rate", "3e-3",
+        "--use_convolution", "true",
+        "--normalize", "0",
+        "--audio_source_sets", "bal_train,unbal_train",
+        "--max_points_per_centroid", "256",
+    ])
+    assert cfg.vocab_size == 1024
+    assert cfg.learning_rate == pytest.approx(3e-3)
+    assert cfg.use_convolution is True
+    assert cfg.normalize is False
+    assert cfg.audio_source_sets == ["bal_train", "unbal_train"]
+    assert cfg.max_points_per_centroid == 256
+
+
+def test_optional_int_none(tmp_path):
+    cfg = AudioTokensConfig.from_args(
+        ["--base_dir", str(tmp_path), "--max_points_per_centroid", "none"]
+    )
+    assert cfg.max_points_per_centroid is None
+
+
+def test_json_overlay_and_flag_precedence(tmp_path):
+    blob = {"vocab_size": 77, "model_type": "bert", "epochs": 3}
+    f = tmp_path / "cfg.json"
+    f.write_text(json.dumps(blob))
+    cfg = AudioTokensConfig.from_args([
+        "--base_dir", str(tmp_path), "--config", str(f),
+        "--vocab_size", "99",  # explicit flag beats the JSON value
+    ])
+    assert cfg.vocab_size == 99
+    assert cfg.model_type == "bert"
+    assert cfg.epochs == 3
+
+
+def test_unknown_flags_ignored(tmp_path):
+    cfg = AudioTokensConfig.from_args(
+        ["--base_dir", str(tmp_path), "--not_a_field", "x"]
+    )
+    assert cfg.vocab_size == 500  # defaults intact
+
+
+def test_make_mesh_shapes_and_errors():
+    from audio_tokens_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices()
+    mesh = make_mesh(data=-1, model=2, devices=devs)
+    assert mesh.shape == {"data": len(devs) // 2, "model": 2}
+    with pytest.raises(ValueError, match="divisible"):
+        make_mesh(data=-1, model=3, devices=devs)
+    with pytest.raises(ValueError, match="exceeds"):
+        make_mesh(data=len(devs), model=2, devices=devs)
+
+
+def test_tp_param_specs_rule_rank_mismatch():
+    from jax.sharding import PartitionSpec as P
+
+    from audio_tokens_tpu.parallel.mesh import tp_param_specs
+
+    params = {"dense": {"kernel": np.zeros((4, 4)), "bias": np.zeros(4)}}
+    specs = tp_param_specs(params, [("dense/kernel", (None, "model"))])
+    assert specs["dense"]["kernel"] == P(None, "model")
+    assert specs["dense"]["bias"] == P()  # unmatched -> replicated
+    with pytest.raises(ValueError, match="axes"):
+        tp_param_specs(params, [("dense/kernel", (None, "model", None))])
