@@ -202,3 +202,35 @@ def test_shard_map_dp_step_matches_gspmd(ws):
     assert results["pallas_interpret"][2] is True  # shard_map path engaged
     assert abs(results["xla"][0] - results["pallas_interpret"][0]) < 1e-4
     assert abs(results["xla"][1] - results["pallas_interpret"][1]) < 1e-3
+
+
+def test_simple_count_gemm_matches_gather_mean(rng):
+    """The count-GEMM pooling is algebraically the mean of gathered
+    embeddings; logits must match the direct formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_tokens_tpu.models.simple import SimpleTokenClassifier
+
+    m = SimpleTokenClassifier(vocab_size=40, hidden_size=32, num_classes=7)
+    toks = jnp.asarray(rng.integers(0, 40, (6, 50)), jnp.int32)
+    lens = jnp.asarray(rng.integers(5, 51, (6,)), jnp.int32)
+    params = m.init(jax.random.key(0), toks)["params"]
+
+    def direct(params, tokens, lengths):
+        table = params["embedding"]["embedding"]
+        x = table[tokens]  # gather
+        if lengths is None:
+            pooled = jnp.mean(x, axis=1)
+        else:
+            t = jnp.arange(x.shape[1])[None, :, None]
+            mask = (t < lengths[:, None, None]).astype(x.dtype)
+            pooled = (x * mask).sum(axis=1) / jnp.maximum(
+                lengths[:, None].astype(x.dtype), 1.0)
+        return pooled @ params["classifier"]["kernel"] + params["classifier"]["bias"]
+
+    for lengths in (None, lens):
+        ours = m.apply({"params": params}, toks, lengths=lengths)
+        ref = direct(params, toks, lengths)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
