@@ -115,7 +115,14 @@ class SimpleLSTMTokenClassifier(nn.Module):
     def __call__(self, x, lengths: Optional[jnp.ndarray] = None,
                  deterministic: bool = True):
         if jnp.issubdtype(x.dtype, jnp.integer):
-            emb = nn.Embed(self.vocab_size, self.embed_dim, name="embedding")(x)
+            from audio_tokens_tpu.ops.embed import embed_lookup
+
+            # identity gather materializes the table (same param tree as a
+            # plain Embed); embed_lookup swaps the serial scatter-add
+            # backward for a one-hot GEMM (ops/embed.py)
+            table = nn.Embed(self.vocab_size, self.embed_dim,
+                             name="embedding")(jnp.arange(self.vocab_size))
+            emb = embed_lookup(table, x)
         else:
             emb = x  # use_precomputed_embeddings path
         b, t = emb.shape[:2]

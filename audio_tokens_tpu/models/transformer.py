@@ -85,7 +85,11 @@ class TransformerClassifier(nn.Module):
         tokens = tokens[:, : self.max_position]
         if jnp.issubdtype(tokens.dtype, jnp.integer):
             b, t = tokens.shape
-            x = nn.Embed(self.vocab_size, self.hidden_size, name="tok_embed")(tokens)
+            from audio_tokens_tpu.ops.embed import embed_lookup
+
+            table = nn.Embed(self.vocab_size, self.hidden_size,
+                             name="tok_embed")(jnp.arange(self.vocab_size))
+            x = embed_lookup(table, tokens)  # GEMM-grad backward (ops/embed.py)
         else:
             # skip-tokenization branch: raw mel frames (B, T, D) projected to
             # hidden — the transformer counterpart of the LSTM's

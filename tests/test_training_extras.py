@@ -234,3 +234,22 @@ def test_simple_count_gemm_matches_gather_mean(rng):
         ref = direct(params, toks, lengths)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_embed_lookup_matches_scatter_gradients(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from audio_tokens_tpu.ops.embed import embed_lookup
+
+    table = jnp.asarray(rng.standard_normal((40, 16)), jnp.float32)
+    toks = jnp.asarray(rng.integers(0, 40, (6, 30)), jnp.int32)
+    cot = jnp.asarray(rng.standard_normal((6, 30, 16)), jnp.float32)
+
+    np.testing.assert_array_equal(
+        np.asarray(embed_lookup(table, toks)), np.asarray(table[toks])
+    )
+    g_gemm = jax.grad(lambda t: (embed_lookup(t, toks) * cot).sum())(table)
+    g_scat = jax.grad(lambda t: (t[toks] * cot).sum())(table)
+    np.testing.assert_allclose(np.asarray(g_gemm), np.asarray(g_scat),
+                               atol=1e-5, rtol=1e-5)
