@@ -175,6 +175,12 @@ class AudioTokensConfig:
     # LSTM recurrence backend: 'auto' (Pallas sequence kernel on a single
     # TPU chip; XLA scan elsewhere — pallas_call is not GSPMD-partitionable,
     # so multi-chip DP training uses the scan), 'xla', or 'pallas'.
+    # Reproducibility note: on a DP mesh the Pallas backend runs shard_map
+    # steps that fold the device index into the dropout key (decorrelated
+    # per-device dropout), while the GSPMD scan path draws one key for the
+    # global batch — so 'auto' upgrading to 'pallas' changes the exact
+    # training RNG stream with mesh shape.  Pin lstm_backend='xla' when
+    # bit-identical trajectories across mesh shapes matter.
     lstm_backend: str = "auto"
     # Megakernel DFT/mel GEMM tier: 'highest' (f32, bit-exact tokens,
     # ~16.0k clips/s on v5e), 'bf16x3' (~23.6k, 99.997% agreement),

@@ -338,6 +338,44 @@ class SpecTokenizer:
             logger.info("Token distribution plot saved to %s", out)
         except Exception as e:
             logger.warning("token distribution plot failed: %s", e)
+        self.plot_zipf(counts)
+
+    def plot_zipf(self, counts: np.ndarray) -> None:
+        """Dedicated Zipf figure: log-log rank/frequency scatter + the fitted
+        power law over the 10-90% rank band (the reference emitted this as a
+        separate plot — reference: processors/spec_tokenizer.py:211-224)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            freqs = np.sort(counts[counts > 0])[::-1].astype(np.float64)
+            if len(freqs) < 4:
+                return
+            ranks = np.arange(1, len(freqs) + 1)
+            lo, hi = int(0.1 * len(freqs)), int(0.9 * len(freqs))
+            lx, ly = np.log(ranks[lo:hi]), np.log(freqs[lo:hi])
+            vx = lx - lx.mean()
+            slope = float((vx * (ly - ly.mean())).sum() / (vx * vx).sum())
+            intercept = float(ly.mean() - slope * lx.mean())
+            fig, ax = plt.subplots(figsize=(10, 6))
+            ax.scatter(np.log(ranks), np.log(freqs), s=8, alpha=0.6,
+                       label="observed")
+            ax.plot(lx, slope * lx + intercept, "r-",
+                    label=f"Zipf fit: slope={slope:.2f}")
+            ax.set_xlabel("log rank")
+            ax.set_ylabel("log frequency")
+            ax.set_title("Zipf Analysis of Token Distribution")
+            ax.legend()
+            out = Path(self.config.base_dir) / "output" / "zipf_analysis.png"
+            out.parent.mkdir(parents=True, exist_ok=True)
+            fig.tight_layout()
+            fig.savefig(out)
+            plt.close(fig)
+            logger.info("Zipf analysis plot saved to %s", out)
+        except Exception as e:
+            logger.warning("zipf plot failed: %s", e)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,19 @@ logger = logging.getLogger(__name__)
 class Trainer:
     def __init__(self, config: AudioTokensConfig):
         self.config = config
+        if (
+            config.model_type == "lstm"
+            and config.lstm_backend in ("pallas", "pallas_interpret")
+            and config.model_parallel > 1
+        ):
+            # the Pallas sequence kernel can only run under the shard_map DP
+            # steps (GSPMD cannot auto-partition pallas_call); failing here
+            # beats an opaque Mosaic/SPMD compile error later
+            raise ValueError(
+                "lstm_backend='pallas' requires a DP-only mesh: set "
+                "model_parallel=1 (TP applies to model_type='bert' only) or "
+                "use lstm_backend='xla'"
+            )
         set_seed(config.random_seed)
         self.model = get_model(config)
         self.metrics_calculator = MetricsCalculator()

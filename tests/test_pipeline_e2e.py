@@ -130,6 +130,10 @@ def test_zipf_stats_present(pipeline_ws):
     assert s["total_tokens"] > 0
     assert 0 < s["unique_tokens"] <= cfg.vocab_size
     assert "zipf_slope" in s
+    # both figures of the reference's token analysis exist (reference
+    # processors/spec_tokenizer.py:132-139 and :211-224)
+    assert (Path(cfg.base_dir) / "output" / "token_distribution.png").exists()
+    assert (Path(cfg.base_dir) / "output" / "zipf_analysis.png").exists()
 
 
 def test_fused_pipeline_byte_identical_to_staged(tmp_path_factory):

@@ -253,3 +253,76 @@ def test_embed_lookup_matches_scatter_gradients(rng):
     g_scat = jax.grad(lambda t: (t[toks] * cot).sum())(table)
     np.testing.assert_allclose(np.asarray(g_gemm), np.asarray(g_scat),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_embed_lookup_chunked_backward_matches_scatter(rng, monkeypatch):
+    """Force the N-chunked one-hot GEMM backward (the large-vocab memory
+    gate) and check it still equals the scatter-add gradient exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_tokens_tpu.ops import embed as embed_mod
+
+    # budget of 64*40=2560 elems -> chunk=max(128, 2560//40)=128 rows; the
+    # 6*30=180-token batch needs 2 chunks incl. a padded tail
+    monkeypatch.setattr(embed_mod, "_ONEHOT_BUDGET_ELEMS", 64 * 40)
+    table = jnp.asarray(rng.standard_normal((40, 16)), jnp.float32)
+    toks = jnp.asarray(rng.integers(0, 40, (6, 30)), jnp.int32)
+    cot = jnp.asarray(rng.standard_normal((6, 30, 16)), jnp.float32)
+
+    g_gemm = jax.grad(
+        lambda t: (embed_mod.embed_lookup(t, toks) * cot).sum()
+    )(table)
+    g_scat = jax.grad(lambda t: (t[toks] * cot).sum())(table)
+    np.testing.assert_allclose(np.asarray(g_gemm), np.asarray(g_scat),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_simple_large_vocab_gate_matches_count_gemm(rng, monkeypatch):
+    """Vocabularies above the gate use the gather+mean path; outputs and
+    gradients must match the count-GEMM formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_tokens_tpu.models import simple as simple_mod
+
+    m = simple_mod.SimpleTokenClassifier(
+        vocab_size=40, hidden_size=32, num_classes=7
+    )
+    toks = jnp.asarray(rng.integers(0, 40, (6, 50)), jnp.int32)
+    lens = jnp.asarray(rng.integers(5, 51, (6,)), jnp.int32)
+    params = m.init(jax.random.key(0), toks)["params"]
+
+    def logits_and_grad(tokens, lengths):
+        def loss(p):
+            return m.apply({"params": p}, tokens, lengths=lengths).sum()
+
+        out = m.apply({"params": params}, tokens, lengths=lengths)
+        return np.asarray(out), jax.grad(loss)(params)
+
+    for lengths in (None, lens):
+        out_gemm, g_gemm = logits_and_grad(toks, lengths)
+        monkeypatch.setattr(simple_mod, "_COUNT_GEMM_V_MAX", 8)  # force gate
+        out_gather, g_gather = logits_and_grad(toks, lengths)
+        monkeypatch.undo()
+        np.testing.assert_allclose(out_gemm, out_gather, atol=1e-4, rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(g_gemm),
+                        jax.tree_util.tree_leaves(g_gather)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+
+def test_trainer_rejects_pallas_lstm_with_tp():
+    """Explicit lstm_backend='pallas' with model_parallel>1 must fail with a
+    descriptive error, not an opaque SPMD compile error."""
+    import pytest
+
+    from audio_tokens_tpu.config import AudioTokensConfig
+    from audio_tokens_tpu.train.trainer import Trainer
+
+    cfg = AudioTokensConfig(
+        model_type="lstm", lstm_backend="pallas", model_parallel=2,
+        base_dir="/tmp/att-reject-test",
+    )
+    with pytest.raises(ValueError, match="DP-only mesh"):
+        Trainer(cfg)
