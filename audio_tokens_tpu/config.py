@@ -160,6 +160,13 @@ class AudioTokensConfig:
     kmeans_streaming: str = "auto"
     kmeans_inmemory_budget_mb: int = 4096
     kmeans_superbatch_rows: int = 1 << 20
+    # Streaming K-means host-RAM cache: >0 caches packed super-batches (up to
+    # this many MB) during the first Lloyd iteration and replays them for the
+    # rest, so the stream (decode+mel in the fused pipeline) is produced once
+    # instead of niter times.  0 disables (memory stays bounded by the
+    # transfer pipeline depth); oversized corpora drop the cache and log the
+    # per-iteration stream cost.
+    kmeans_stream_cache_mb: int = 0
 
     # Trainer extensions.
     resume_from: str = ""  # checkpoint name under checkpoint_dir to resume from

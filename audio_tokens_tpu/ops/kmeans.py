@@ -347,27 +347,32 @@ def kmeans_fit(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk", "precision", "mesh", "axis_name")
+    jax.jit,
+    static_argnames=("chunk", "precision", "mesh", "axis_name"),
+    donate_argnums=(3, 4, 5),
 )
-def _stats_superbatch_jit(x, fill, centroids, chunk, precision, mesh, axis_name):
-    """One assignment pass over a fixed-capacity super-batch: centroid sums,
-    counts, objective — psum-reduced over the mesh when sharded.
+def _stats_accum_jit(x, fill, centroids, sums, counts, obj_acc,
+                     chunk, precision, mesh, axis_name):
+    """One assignment pass over a fixed-capacity super-batch, ADDED into
+    device-resident accumulators (donated — updated in place, no host fetch).
+
+    The streaming loop launches these back to back and fetches the
+    accumulators ONCE per Lloyd iteration; with dispatch being async, the
+    device pipelines super-batch i's stats with super-batch i+1's transfer.
 
     ``fill`` (traced scalar) marks the number of valid leading rows; the
     prefix mask is built on device (an 8 MB host mask per feed would swamp
     slow host<->device links)."""
     d = x.shape[1]
 
-    def prefix_mask(n_local, offset):
-        idx = offset + jnp.arange(n_local, dtype=jnp.int32)
-        return (idx < fill).astype(jnp.float32)
-
     if mesh is None:
         xs = x.reshape(-1, chunk, d)
-        ms = prefix_mask(x.shape[0], 0).reshape(-1, chunk)
-        return _lloyd_stats(xs, ms, centroids, precision, None)
+        ms = (jnp.arange(x.shape[0], dtype=jnp.int32) < fill).astype(
+            jnp.float32).reshape(-1, chunk)
+        s, c, o = _lloyd_stats(xs, ms, centroids, precision, None)
+        return sums + s, counts + c, obj_acc + o
 
-    def sharded(xl, fl, c):
+    def sharded(xl, fl, c, sm, cn, ob):
         n_local = xl.shape[0]
         offset = jax.lax.axis_index(axis_name).astype(jnp.int32) * n_local
         idx = offset + jnp.arange(n_local, dtype=jnp.int32)
@@ -376,29 +381,32 @@ def _stats_superbatch_jit(x, fill, centroids, chunk, precision, mesh, axis_name)
             xl.reshape(-1, chunk, d), ml.reshape(-1, chunk), c, precision,
             axis_name,
         )
-        return (jax.lax.psum(s, axis_name), jax.lax.psum(cnt, axis_name),
-                jax.lax.psum(o, axis_name))
+        return (sm + jax.lax.psum(s, axis_name),
+                cn + jax.lax.psum(cnt, axis_name),
+                ob + jax.lax.psum(o, axis_name))
 
     return jax.shard_map(
         sharded, mesh=mesh,
-        in_specs=(P(axis_name), P(), P()),
+        in_specs=(P(axis_name), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
-    )(x, fill, centroids)
+    )(x, fill, centroids, sums, counts, obj_acc)
 
 
 class _SuperbatchFeeder:
     """Packs an iterator of (m_i, d) arrays into fixed-capacity super-batches.
 
-    The stats program compiles once for the (capacity, d) shape; partial
-    final feeds are zero-padded and masked.  Host memory is bounded by one
-    super-batch buffer (device-resident inputs pass through untouched)."""
+    Each feed is a FRESH buffer: it is handed to an asynchronous device
+    transfer (and optionally retained by the stream cache), so it must
+    outlive the yield.  Live host memory is bounded by the pipeline depth
+    (a few super-batches), not the corpus.  Device-resident inputs of
+    exactly one capacity pass through untouched."""
 
     def __init__(self, capacity: int, d: int):
         self.capacity = capacity
         self.d = d
-        self.buf = np.zeros((capacity, d), np.float32)
 
     def feeds(self, batches):
+        buf = None
         fill = 0
         for batch in batches:
             if isinstance(batch, jax.Array) and batch.shape[0] == self.capacity \
@@ -413,16 +421,74 @@ class _SuperbatchFeeder:
                 )
             pos = 0
             while pos < len(batch):
+                if buf is None:
+                    buf = np.zeros((self.capacity, self.d), np.float32)
                 take = min(self.capacity - fill, len(batch) - pos)
-                self.buf[fill : fill + take] = batch[pos : pos + take]
+                buf[fill : fill + take] = batch[pos : pos + take]
                 fill += take
                 pos += take
                 if fill == self.capacity:
-                    yield self.buf, fill
-                    fill = 0
+                    yield buf, fill
+                    buf, fill = None, 0
         if fill:
-            self.buf[fill:] = 0.0
-            yield self.buf, fill
+            yield buf, fill
+
+
+class _FeedPipeline:
+    """Producer thread: packs the stream into super-batches and launches the
+    host->device transfer, keeping ``depth`` feeds in flight while the
+    consumer's stats dispatches run.  Overlaps host decode/pack/transfer with
+    device compute — the streaming path's round-2 bottleneck (the loop was
+    fully synchronous: pack, transfer, stats, host fetch, repeat)."""
+
+    _DONE = object()
+
+    def __init__(self, feeder, source, put_fn, depth: int = 2):
+        import queue as _queue
+        import threading
+
+        self._q = _queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._put_fn = put_fn
+
+        def produce():
+            try:
+                for buf, fill in feeder.feeds(source):
+                    x = put_fn(buf)
+                    item = (x, fill, buf)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.25)
+                            break
+                        except _queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
+                self._q.put(_FeedPipeline._DONE)
+            except BaseException as e:  # propagate into the consumer
+                self._q.put(e)
+
+        self._thread = threading.Thread(target=produce, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is _FeedPipeline._DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def close(self):
+        self._stop.set()
+        # unblock a producer waiting on a full queue
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout=5)
 
 
 def kmeans_fit_streaming(
@@ -440,6 +506,8 @@ def kmeans_fit_streaming(
     precision=jax.lax.Precision.HIGHEST,
     init: str = "random",
     empty_policy: str = "keep",
+    cache_mb: int = 0,
+    pipeline_depth: int = 2,
 ) -> Tuple[np.ndarray, float, int]:
     """Full-corpus Lloyd over a data stream too large for host RAM / HBM.
 
@@ -447,73 +515,174 @@ def kmeans_fit_streaming(
     per Lloyd iteration (niter passes over the data).  Per iteration, points
     are packed into fixed-capacity super-batches; each super-batch runs one
     compiled assignment pass (sharded over ``mesh`` with a psum pair when
-    given) and its (sums, counts, objective) are accumulated; centroids
-    update once per iteration.  Host memory is bounded by ONE super-batch
-    (``superbatch_rows * d * 4`` bytes) regardless of corpus size — the
-    capability FAISS gave the reference (processors/cluster_creator.py:42-56)
-    without its 10k-file batching crutch.
+    given) whose (sums, counts, objective) accumulate ON DEVICE; centroids
+    update once per iteration (one host fetch per iteration total).  A
+    producer thread packs + transfers the next super-batch while the device
+    computes the current one, so host decode cost hides behind compute.
+    Live host memory is bounded by ``pipeline_depth + 1`` super-batch
+    buffers (``superbatch_rows * d * 4`` bytes each) regardless of corpus
+    size — the capability FAISS gave the reference
+    (processors/cluster_creator.py:42-56) without its 10k-file batching
+    crutch.
+
+    ``cache_mb > 0`` additionally caches packed super-batches in host RAM
+    during the first iteration and replays them for the remaining ones — the
+    stream (e.g. the fused pipeline's decode+mel) is then produced ONCE
+    instead of ``niter`` times.  If the corpus exceeds the budget the cache
+    is dropped and every iteration re-streams (logged, with per-iteration
+    stream-wait time so the re-decode cost is visible).
 
     Init without explicit centroids draws from the FIRST super-batch
     (seeded sample / k-means++), mirroring FAISS's subsampled training.
     Returns (centroids, final objective, total points seen).
     """
+    import time as _time
+
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names])) if mesh else 1
     if d is None:
         probe = next(iter(batches_fn()), None)
         if probe is None:
             raise ValueError("empty stream")
-        d = int(np.asarray(probe).shape[1])
+        # .shape, never np.asarray: a device-resident probe would otherwise
+        # cost a full super-batch device->host fetch just to read d
+        shape = getattr(probe, "shape", None)
+        d = int(shape[1] if shape else np.asarray(probe).shape[1])
     per_dev_chunks = max(1, superbatch_rows // (n_dev * chunk))
     capacity = n_dev * per_dev_chunks * chunk
     feeder = _SuperbatchFeeder(capacity, d)
     rng = np.random.default_rng(seed)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        sharding = NamedSharding(mesh, P(axis_name))
+        put_fn = lambda b: b if isinstance(b, jax.Array) else jax.device_put(
+            b, sharding)
+    else:
+        put_fn = lambda b: b if isinstance(b, jax.Array) else jnp.asarray(b)
+
     centroids = None
     if init_centroids is not None:
         centroids = np.asarray(init_centroids, np.float32).reshape(k, d)
 
+    cache: Optional[list] = [] if cache_mb > 0 else None
+    cache_sealed = False
+    cache_bytes = 0
+
     n_total = 0
     obj = float("nan")
+    ax = axis_name if mesh else None
     for it in range(niter):
-        sums = np.zeros((k, d), np.float32)
-        counts = np.zeros((k,), np.float32)
-        obj_acc = np.float32(0.0)
-        n_seen = 0
-        for buf, fill in feeder.feeds(batches_fn()):
-            if centroids is None:  # init from the first super-batch
-                if fill < k:
-                    raise ValueError(
-                        f"first super-batch has {fill} points < k={k}"
-                    )
-                sample = np.asarray(buf[:fill])
-                if init == "kmeans++":
-                    centroids = kmeans_plusplus_init(sample, k, seed=seed)
-                elif init == "random":
-                    centroids = sample[rng.choice(fill, size=k, replace=False)]
-                else:
-                    raise ValueError(f"unknown init '{init}'")
-                centroids = np.asarray(centroids, np.float32)
-            s, c, o = _stats_superbatch_jit(
-                jnp.asarray(buf), jnp.int32(fill), jnp.asarray(centroids),
-                chunk, precision, mesh, axis_name if mesh else None,
+        t_iter = _time.perf_counter()
+        t_wait = 0.0
+        sums = jnp.zeros((k, d), jnp.float32)
+        counts = jnp.zeros((k,), jnp.float32)
+        obj_acc = jnp.float32(0.0)
+        if mesh is not None:
+            sums, counts, obj_acc = (
+                jax.device_put(v, NamedSharding(mesh, P()))
+                for v in (sums, counts, obj_acc)
             )
-            sums += np.asarray(s)
-            counts += np.asarray(c)
-            obj_acc += np.float32(o)
-            n_seen += fill
+        n_seen = 0
+        from_cache = cache is not None and cache_sealed and it > 0
+        if from_cache:
+            source_iter = _FeedPipeline(
+                _CacheReplay(capacity, d), cache, put_fn,
+                depth=pipeline_depth)
+        else:
+            source_iter = _FeedPipeline(
+                feeder, batches_fn(), put_fn, depth=pipeline_depth)
+        centroids_dev = (jnp.asarray(centroids)
+                         if centroids is not None else None)
+        try:
+            t_last = _time.perf_counter()
+            for x, fill, buf in source_iter:
+                t_wait += _time.perf_counter() - t_last
+                if centroids_dev is None:  # init from the first super-batch
+                    if fill < k:
+                        raise ValueError(
+                            f"first super-batch has {fill} points < k={k}"
+                        )
+                    sample = np.asarray(buf[:fill])
+                    if init == "kmeans++":
+                        centroids = kmeans_plusplus_init(sample, k, seed=seed)
+                    elif init == "random":
+                        centroids = sample[
+                            rng.choice(fill, size=k, replace=False)]
+                    else:
+                        raise ValueError(f"unknown init '{init}'")
+                    centroids = np.asarray(centroids, np.float32)
+                    centroids_dev = jnp.asarray(centroids)
+                sums, counts, obj_acc = _stats_accum_jit(
+                    x, jnp.int32(fill), centroids_dev, sums, counts, obj_acc,
+                    chunk, precision, mesh, ax,
+                )
+                n_seen += fill
+                if cache is not None and not cache_sealed and it == 0:
+                    if isinstance(buf, jax.Array):
+                        logger.info(
+                            "stream cache disabled: device-resident feeds")
+                        cache = None
+                    else:
+                        # partial feeds (the stream tail) are cached trimmed;
+                        # replay re-pads them to the compiled capacity
+                        entry = buf if fill == len(buf) else buf[:fill].copy()
+                        cache_bytes += entry.nbytes
+                        if cache_bytes > cache_mb * (1 << 20):
+                            logger.info(
+                                "stream cache dropped: corpus exceeds "
+                                "cache_mb=%d (each Lloyd iteration re-streams"
+                                " — decode/pack cost x niter)", cache_mb)
+                            cache = None
+                        else:
+                            cache.append((entry, fill))
+                t_last = _time.perf_counter()
+        finally:
+            source_iter.close()
         if n_seen == 0:
             raise ValueError("empty stream")
+        if cache is not None and it == 0:
+            cache_sealed = True
+            logger.info("stream cache sealed: %d super-batches, %.0f MB",
+                        len(cache), cache_bytes / (1 << 20))
         n_total = n_seen
-        nonempty = counts > 0
+        # the single host sync point of the iteration
+        sums_h = np.asarray(sums)
+        counts_h = np.asarray(counts)
+        nonempty = counts_h > 0
         centroids = np.where(
-            nonempty[:, None], sums / np.maximum(counts, 1.0)[:, None], centroids
+            nonempty[:, None],
+            sums_h / np.maximum(counts_h, 1.0)[:, None],
+            centroids,
         ).astype(np.float32)
         if empty_policy == "split_largest":
-            centroids, _ = _split_empty_clusters_np(centroids, counts)
-        obj = float(obj_acc)
-        logger.info("streaming kmeans iter %d/%d: %d pts, obj=%.4f",
-                    it + 1, niter, n_seen, obj)
+            centroids, _ = _split_empty_clusters_np(centroids, counts_h)
+        obj = float(np.asarray(obj_acc))
+        logger.info(
+            "streaming kmeans iter %d/%d: %d pts, obj=%.4f (%.2fs%s)",
+            it + 1, niter, n_seen, obj, _time.perf_counter() - t_iter,
+            ", cached stream" if from_cache else
+            f", waiting on stream {t_wait:.2f}s",
+        )
     return centroids, obj, n_total
+
+
+class _CacheReplay:
+    """Feeder-shaped adapter: replays cached (buf, fill) pairs, re-padding
+    trimmed partial feeds back to the compiled super-batch capacity."""
+
+    def __init__(self, capacity: int, d: int):
+        self.capacity = capacity
+        self.d = d
+
+    def feeds(self, cached):
+        for arr, fill in cached:
+            if arr.shape[0] != self.capacity:
+                buf = np.zeros((self.capacity, self.d), np.float32)
+                buf[:fill] = arr
+                yield buf, fill
+            else:
+                yield arr, fill
 
 
 class KMeans:

@@ -87,6 +87,7 @@ class ClusterCreator:
                     init=self.config.kmeans_init,
                     empty_policy=self.config.kmeans_empty_policy,
                     precision=precision_from_str(self.config.kmeans_precision),
+                    cache_mb=self.config.kmeans_stream_cache_mb,
                 )
                 logger.info("streaming kmeans over %d frames: obj=%.2f", n, obj)
             else:

@@ -209,22 +209,87 @@ class TestStreamingKMeans:
         np.testing.assert_allclose(c2, c1, rtol=1e-6, atol=1e-6)
         assert abs(o2 - o1) / abs(o1) < 1e-6
 
-    def test_host_memory_bounded_to_one_superbatch(self, rng):
-        """The feeder must reuse ONE fixed buffer regardless of stream size."""
+    def test_feeder_fixed_capacity_write_once_buffers(self, rng):
+        """Feeds are fixed-capacity and each buffer is FRESH (write-once):
+        it may be retained by an async device transfer or the stream cache,
+        so reusing one buffer would corrupt in-flight feeds.  Host memory
+        stays bounded by the transfer-pipeline depth, not the corpus."""
+        import gc
+        import weakref
+
         from audio_tokens_tpu.ops.kmeans import _SuperbatchFeeder
 
         d = 8
         feeder = _SuperbatchFeeder(512, d)
-        seen_ids = set()
         total = 0
+        refs = []
         chunks = [rng.standard_normal((337, d)).astype(np.float32)
                   for _ in range(11)]
+        prev = None
         for buf, fill in feeder.feeds(iter(chunks)):
-            seen_ids.add(id(buf))
+            assert buf is not prev  # never reused
+            refs.append(weakref.ref(buf))
+            prev = buf
             total += fill
             assert buf.shape == (512, d)
-        assert len(seen_ids) == 1  # single reused buffer
         assert total == 337 * 11
+        del buf, prev
+        gc.collect()
+        # dropped feeds are collectable -> live memory is O(pipeline depth)
+        assert sum(r() is not None for r in refs) == 0
+
+    def test_stream_cache_replays_without_reproducing(self, rng):
+        """cache_mb > 0: the stream is produced once; iterations 2..n replay
+        the cached super-batches and the result matches the uncached run."""
+        from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
+
+        x = self._blobs(rng, n=3000)
+        k = 8
+        init = x[rng.choice(len(x), k, replace=False)].copy()
+        calls = {"n": 0}
+
+        def batches():
+            calls["n"] += 1
+            return iter([x[i : i + 700] for i in range(0, len(x), 700)])
+
+        c_cached, o_cached, n1 = kmeans_fit_streaming(
+            batches, k, niter=4, d=x.shape[1], init_centroids=init,
+            superbatch_rows=1024, chunk=256, cache_mb=64,
+        )
+        assert calls["n"] == 1  # stream produced exactly once
+        c_plain, o_plain, n2 = kmeans_fit_streaming(
+            lambda: iter([x[i : i + 700] for i in range(0, len(x), 700)]),
+            k, niter=4, init_centroids=init,
+            superbatch_rows=1024, chunk=256,
+        )
+        assert n1 == n2 == len(x)
+        np.testing.assert_allclose(c_cached, c_plain, rtol=1e-6, atol=1e-6)
+        assert abs(o_cached - o_plain) / abs(o_plain) < 1e-6
+
+    def test_stream_cache_dropped_when_over_budget(self, rng, caplog):
+        """An over-budget corpus drops the cache and re-streams every
+        iteration (and says so)."""
+        import logging
+
+        from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
+
+        # 20 feeds x 64 KB = 1.25 MB > the 1 MB budget
+        x = self._blobs(rng, n=20000)
+        k = 8
+        init = x[rng.choice(len(x), k, replace=False)].copy()
+        calls = {"n": 0}
+
+        def batches():
+            calls["n"] += 1
+            return iter([x[i : i + 700] for i in range(0, len(x), 700)])
+
+        with caplog.at_level(logging.INFO, logger="audio_tokens_tpu.ops.kmeans"):
+            kmeans_fit_streaming(
+                batches, k, niter=3, d=x.shape[1], init_centroids=init,
+                superbatch_rows=1024, chunk=256, cache_mb=1,
+            )
+        assert calls["n"] == 3  # cache dropped -> one stream per iteration
+        assert any("cache dropped" in r.message for r in caplog.records)
 
     def test_feeder_preserves_order_and_values(self, rng):
         from audio_tokens_tpu.ops.kmeans import _SuperbatchFeeder
