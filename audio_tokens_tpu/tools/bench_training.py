@@ -103,15 +103,87 @@ def _train_flops(model_type, cfg, batch, seq):
     return None
 
 
+class _MemLoader:
+    """BatchLoader-shaped wrapper over prebuilt in-memory batches: isolates
+    the Trainer loop's own overhead (device_put, RNG fold, async prediction
+    fetch, metric flushes) from host disk/assembly throughput, which
+    ``tools.bench_loader`` measures separately."""
+
+    def __init__(self, batches):
+        self._batches = batches
+        self.ds = batches  # len(ds) > 0 check only
+
+    def dummy_batch(self):
+        return self._batches[0]
+
+    def batches(self, epoch: int):
+        yield from self._batches
+
+
+def bench_real_loop(model_type: str, batch: int, seq: int, epochs: int,
+                    n_batches: int, **overrides) -> None:
+    """Epoch rate of the REAL ``Trainer._train_epoch`` loop (the code path
+    ``Trainer.run()`` executes), vs the chained-step harness above.  Round 2
+    fetched loss + predictions synchronously every step, capping the real
+    loop at the host round-trip rate regardless of device speed."""
+    from audio_tokens_tpu.train.trainer import Trainer
+
+    kwargs = dict(
+        model_type=model_type, vocab_size=500, num_classes=543,
+        max_seq_len=seq, training_batch_size=batch, dropout=0.0,
+        save_best_checkpoint=False,
+    )
+    kwargs.update(overrides)
+    cfg = AudioTokensConfig(**kwargs)
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(n_batches):
+        batches.append({
+            "inputs": rng.integers(0, cfg.vocab_size, (batch, seq)).astype(np.int32),
+            "lengths": np.full((batch,), seq, np.int32),
+            "labels": (rng.random((batch, cfg.num_classes)) < 0.05).astype(np.float32),
+            "n_valid": batch,
+        })
+    loader = _MemLoader(batches)
+    trainer = Trainer(cfg)
+    params, opt_state = trainer._init_state(loader)
+    train_step, _ = trainer._build_steps()
+
+    # warm epoch: compiles the step
+    params, opt_state, step, _, _ = trainer._train_epoch(
+        train_step, params, opt_state, loader, 0, 0)
+    t0 = time.perf_counter()
+    for e in range(1, epochs + 1):
+        params, opt_state, step, loss, metrics = trainer._train_epoch(
+            train_step, params, opt_state, loader, e, step)
+    dt = time.perf_counter() - t0
+    clips = batch * n_batches * epochs
+    ms = dt / (n_batches * epochs) * 1e3
+    print(
+        f"{model_type:8s} B={batch} T={seq}: real Trainer._train_epoch loop "
+        f"{ms:7.1f} ms/step -> {clips / dt:8.0f} clips/s "
+        f"(incl. device_put, epoch mAP accumulation)"
+    )
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--models", default="simple,bert,lstm")
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--real-loop", action="store_true",
+                        help="also run the real Trainer epoch loop")
+    parser.add_argument("--epochs", type=int, default=3,
+                        help="epochs for --real-loop timing")
+    parser.add_argument("--batches", type=int, default=32,
+                        help="batches per epoch for --real-loop")
     args = parser.parse_args()
     wanted = set(args.models.split(","))
     for model_type, batch, seq, overrides in DEFAULT_CASES:
         if model_type in wanted:
             bench_case(model_type, batch, seq, args.iters, **overrides)
+            if args.real_loop:
+                bench_real_loop(model_type, batch, seq, args.epochs,
+                                args.batches, **overrides)
 
 
 if __name__ == "__main__":

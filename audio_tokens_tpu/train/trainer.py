@@ -45,6 +45,60 @@ from audio_tokens_tpu.utils.seeding import key_for, set_seed
 logger = logging.getLogger(__name__)
 
 
+@jax.jit
+def _stack_predictions(ps):
+    return jnp.stack(ps)
+
+
+class _AsyncCollector:
+    """Single worker thread that fetches stacked prediction windows and folds
+    them into the mAP accumulator, overlapping device->host wire time with
+    the main thread's step dispatches."""
+
+    def __init__(self, acc):
+        import queue as _queue
+        import threading
+
+        self.acc = acc
+        self._q = _queue.Queue(maxsize=2)
+        self._exc = None
+
+        def work():
+            while True:
+                item = self._q.get()
+                if item is None:
+                    return
+                try:
+                    stacked, metas = item
+                    arrs = np.asarray(stacked)
+                    for (labels, n), parr in zip(metas, arrs):
+                        self.acc.update(labels[:n], parr[:n])
+                except BaseException as e:  # surfaced at join()
+                    self._exc = e
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def submit(self, stacked, metas):
+        if self._exc is not None:
+            raise self._exc
+        self._q.put((stacked, metas))
+
+    def join(self):
+        self._q.put(None)
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+
+
+def _mean_losses(losses) -> float:
+    """Mean of per-step device loss scalars with ONE device->host fetch
+    (fetching each scalar costs a dispatch round-trip)."""
+    if not losses:
+        return float("nan")
+    return float(np.mean(np.asarray(jnp.stack(losses))))
+
+
 class Trainer:
     def __init__(self, config: AudioTokensConfig):
         self.config = config
@@ -270,6 +324,9 @@ class Trainer:
         use_lengths = self.use_lengths
 
         def loss_fn(params, inputs, lengths, labels, row_w, key, deterministic):
+            labels = labels.astype(jnp.float32)  # shipped uint8
+            if jnp.issubdtype(inputs.dtype, jnp.integer):
+                inputs = inputs.astype(jnp.int32)  # shipped uint16
             logits = model.apply(
                 {"params": params},
                 inputs,
@@ -282,7 +339,9 @@ class Trainer:
             return (bce * row_w[:, None]).sum() / denom, logits
 
         @jax.jit
-        def train_step(params, opt_state, key, inputs, lengths, labels, row_w):
+        def train_step(params, opt_state, root_key, inputs, lengths, labels,
+                       row_w, step_idx):
+            key = jax.random.fold_in(root_key, step_idx)
             (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, inputs, lengths, labels, row_w, key, False
             )
@@ -291,7 +350,8 @@ class Trainer:
             return params, opt_state, loss, jax.nn.sigmoid(logits)
 
         @jax.jit
-        def eval_step(params, inputs, lengths, labels, row_w):
+        def eval_step(params, inputs, lengths, labels, row_w, step_idx):
+            del step_idx
             loss, logits = loss_fn(params, inputs, lengths, labels, row_w, None, True)
             return loss, jax.nn.sigmoid(logits)
 
@@ -319,6 +379,9 @@ class Trainer:
             """Per-device numerator/weight of the GLOBAL weighted-mean loss
             (the jit path's (bce*w).sum() / max(w.sum()*C, 1) computed with
             psum'd totals — identical semantics under sharding)."""
+            labels = labels.astype(jnp.float32)  # shipped uint8
+            if jnp.issubdtype(inputs.dtype, jnp.integer):
+                inputs = inputs.astype(jnp.int32)  # shipped uint16
             if key is not None:
                 # decorrelate dropout across devices
                 key = jax.random.fold_in(key, jax.lax.axis_index("data"))
@@ -334,7 +397,9 @@ class Trainer:
 
         n_classes = self.config.num_classes
 
-        def local_train(params, opt_state, key, inputs, lengths, labels, row_w):
+        def local_train(params, opt_state, root_key, inputs, lengths, labels,
+                        row_w, step_idx):
+            key = jax.random.fold_in(root_key, step_idx)
             (num, logits), grads = jax.value_and_grad(
                 local_loss, has_aux=True
             )(params, inputs, lengths, labels, row_w, key, False)
@@ -349,7 +414,8 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, jax.nn.sigmoid(logits)
 
-        def local_eval(params, inputs, lengths, labels, row_w):
+        def local_eval(params, inputs, lengths, labels, row_w, step_idx):
+            del step_idx
             num, logits = local_loss(params, inputs, lengths, labels, row_w,
                                      None, True)
             denom = jnp.maximum(
@@ -360,33 +426,66 @@ class Trainer:
         d = P("data")
         train_step = jax.jit(jax.shard_map(
             local_train, mesh=mesh,
-            in_specs=(P(), P(), P(), d, d, d, d),
+            in_specs=(P(), P(), P(), d, d, d, d, P()),
             out_specs=(P(), P(), P(), d),
             check_vma=False,  # pallas outputs carry no vma info
         ))
         eval_step = jax.jit(jax.shard_map(
             local_eval, mesh=mesh,
-            in_specs=(P(), d, d, d, d),
+            in_specs=(P(), d, d, d, d, P()),
             out_specs=(P(), d),
             check_vma=False,
         ))
         logger.info("DP steps built with shard_map (Pallas LSTM backend)")
         return train_step, eval_step
 
-    def _put_batch(self, batch):
-        inputs = jnp.asarray(batch["inputs"])
-        lengths = jnp.asarray(batch["lengths"])
-        labels = jnp.asarray(batch["labels"])
+    def _put_batch(self, batch, step: int = 0):
+        """ONE device_put of the whole batch tuple (a put per array costs a
+        dispatch round-trip each on high-latency hosts).  Wire format is
+        minimized — labels as uint8 (multi-hot 0/1, exact) and token inputs
+        as uint16 (exact for vocab <= 65535); both are cast back on device in
+        the loss.  The global step rides along as a scalar so the dropout key
+        derives ON device (a per-step host fold_in costs a dispatch)."""
         row_w = (np.arange(len(batch["lengths"])) < batch["n_valid"]).astype(
             np.float32
         )
-        row_w = jnp.asarray(row_w)
+        inputs = batch["inputs"]
+        if inputs.dtype == np.int32 and self.config.vocab_size <= 0xFFFF:
+            inputs = inputs.astype(np.uint16)
+        host = (inputs, batch["lengths"],
+                np.asarray(batch["labels"], np.uint8), row_w, np.int32(step))
         if self.mesh is not None:
-            shard = NamedSharding(self.mesh, P("data"))
-            inputs, lengths, labels, row_w = (
-                jax.device_put(x, shard) for x in (inputs, lengths, labels, row_w)
-            )
-        return inputs, lengths, labels, row_w
+            d = NamedSharding(self.mesh, P("data"))
+            r = NamedSharding(self.mesh, P())
+            return jax.device_put(host, (d, d, d, d, r))
+        return jax.device_put(host)
+
+    def _prefetch(self, batch_iter, start_step: int, depth: int = 2):
+        """Background-thread device_put pipeline: the next batch's transfer
+        overlaps the current step's compute, so the loop runs at
+        max(wire, compute) instead of wire + compute."""
+        import queue as _queue
+        import threading
+
+        q = _queue.Queue(maxsize=depth)
+        done = object()
+
+        def produce():
+            try:
+                for i, b in enumerate(batch_iter):
+                    q.put((self._put_batch(b, start_step + i), b))
+                q.put(done)
+            except BaseException as e:
+                q.put(e)
+
+        threading.Thread(target=produce, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
     def _metric_accumulator(self):
         """Exact mAP by default (reference semantics); constant-memory
@@ -398,34 +497,69 @@ class Trainer:
                                 bins=self.config.streaming_map_bins)
         return ExactMAP()
 
+    # The hot loops below never block on the device: losses stay device
+    # scalars until the epoch ends, and per-batch predictions start an async
+    # device->host copy immediately and are folded into the mAP accumulator
+    # in bounded flushes — the reference fetched loss AND predictions every
+    # step (reference: processors/model_trainer.py:93-94,120), which on a
+    # dispatch-latency host caps step rate at the round-trip time.
+    _PENDING_FLUSH = 8  # small windows overlap fetch wire time with stepping
+
+    @staticmethod
+    def _flush_pending(pending, collector):
+        if not pending:
+            return
+        # ONE stacked device array per flush window (N separate np.asarray
+        # fetches would cost a dispatch round-trip each); the collector
+        # thread blocks on the wire so the step loop doesn't
+        stacked = _stack_predictions([p for _, p, _ in pending])
+        metas = [(labels, n) for labels, _, n in pending]
+        pending.clear()
+        collector.submit(stacked, metas)
+
     def _train_epoch(self, train_step, params, opt_state, loader, epoch, step):
         losses = []
+        pending = []
         acc = self._metric_accumulator()
-        for batch in loader.batches(epoch):
-            key = jax.random.fold_in(self._root_key, step)
-            inputs, lengths, lab, row_w = self._put_batch(batch)
-            params, opt_state, loss, p = train_step(
-                params, opt_state, key, inputs, lengths, lab, row_w
-            )
-            n = batch["n_valid"]
-            losses.append(float(loss))
-            acc.update(batch["labels"][:n], np.asarray(p)[:n])
-            step += 1
-            if self.config.max_train_steps and step >= self.config.max_train_steps:
-                break
-        return params, opt_state, step, float(np.mean(losses)), acc.result()
+        collector = _AsyncCollector(acc)
+        try:
+            for put, batch in self._prefetch(loader.batches(epoch), step):
+                inputs, lengths, lab, row_w, step_idx = put
+                params, opt_state, loss, p = train_step(
+                    params, opt_state, self._root_key, inputs, lengths, lab,
+                    row_w, step_idx,
+                )
+                losses.append(loss)  # device scalar; fetched at epoch end
+                pending.append((batch["labels"], p, batch["n_valid"]))
+                if len(pending) >= self._PENDING_FLUSH:
+                    self._flush_pending(pending, collector)
+                step += 1
+                if self.config.max_train_steps and step >= self.config.max_train_steps:
+                    break
+            self._flush_pending(pending, collector)
+        finally:
+            collector.join()
+        return params, opt_state, step, _mean_losses(losses), acc.result()
 
     def _eval_epoch(self, eval_step, params, loader):
         losses = []
+        pending = []
         acc = self._metric_accumulator()
-        for batch in loader.batches(0):
-            inputs, lengths, lab, row_w = self._put_batch(batch)
-            loss, p = eval_step(params, inputs, lengths, lab, row_w)
-            n = batch["n_valid"]
-            losses.append(float(loss))
-            acc.update(batch["labels"][:n], np.asarray(p)[:n])
+        collector = _AsyncCollector(acc)
+        try:
+            for put, batch in self._prefetch(loader.batches(0), 0):
+                inputs, lengths, lab, row_w, step_idx = put
+                loss, p = eval_step(params, inputs, lengths, lab, row_w,
+                                    step_idx)
+                losses.append(loss)
+                pending.append((batch["labels"], p, batch["n_valid"]))
+                if len(pending) >= self._PENDING_FLUSH:
+                    self._flush_pending(pending, collector)
+            self._flush_pending(pending, collector)
+        finally:
+            collector.join()
         metrics = acc.result()
-        return float(np.mean(losses)) if losses else float("nan"), metrics
+        return _mean_losses(losses), metrics
 
     # ------------------------------------------------------------------
     def _run_diagnostics(self, params, loader, epoch: int) -> None:
