@@ -123,6 +123,19 @@ class AudioTokensConfig:
     data_parallel: int = -1
     model_parallel: int = 1
 
+    # Multi-host (pod-slice) execution: distributed=True calls
+    # jax.distributed.initialize() at stage start (autodetected topology on
+    # Cloud TPU).  Off-TPU or for explicit topologies set the coordinator
+    # and process fields (or the AUDIO_TOKENS_COORDINATOR /
+    # AUDIO_TOKENS_NUM_PROCESSES / AUDIO_TOKENS_PROCESS_ID env vars).
+    # Meshes then span all processes with 'data' as the DCN-outer axis;
+    # stages shard ytids per process; checkpoints/metrics/plots are written
+    # by process 0 only.  See parallel/distributed.py.
+    distributed: bool = False
+    coordinator_address: str = ""
+    num_processes: int = 0
+    process_id: int = -1
+
     # Numerics. matmul inputs are cast to compute_dtype (bf16 feeds the MXU at
     # full rate); accumulation and params stay float32.
     compute_dtype: str = "bfloat16"

@@ -360,9 +360,12 @@ def _stats_accum_jit(x, fill, centroids, sums, counts, obj_acc,
     accumulators ONCE per Lloyd iteration; with dispatch being async, the
     device pipelines super-batch i's stats with super-batch i+1's transfer.
 
-    ``fill`` (traced scalar) marks the number of valid leading rows; the
-    prefix mask is built on device (an 8 MB host mask per feed would swamp
-    slow host<->device links)."""
+    Unsharded, ``fill`` is a traced scalar marking the valid leading rows.
+    Sharded, ``fill`` is an (n_dev,) int32 array sharded over the mesh axis —
+    each device masks its OWN shard's prefix, which makes the program
+    correct under multi-process meshes where every process fills its local
+    shard independently.  Masks are built on device (an 8 MB host mask per
+    feed would swamp slow host<->device links)."""
     d = x.shape[1]
 
     if mesh is None:
@@ -374,9 +377,8 @@ def _stats_accum_jit(x, fill, centroids, sums, counts, obj_acc,
 
     def sharded(xl, fl, c, sm, cn, ob):
         n_local = xl.shape[0]
-        offset = jax.lax.axis_index(axis_name).astype(jnp.int32) * n_local
-        idx = offset + jnp.arange(n_local, dtype=jnp.int32)
-        ml = (idx < fl).astype(jnp.float32)  # varying via axis_index
+        idx = jnp.arange(n_local, dtype=jnp.int32)
+        ml = (idx < fl[0]).astype(jnp.float32)  # per-device prefix fill
         s, cnt, o = _lloyd_stats(
             xl.reshape(-1, chunk, d), ml.reshape(-1, chunk), c, precision,
             axis_name,
@@ -387,7 +389,7 @@ def _stats_accum_jit(x, fill, centroids, sums, counts, obj_acc,
 
     return jax.shard_map(
         sharded, mesh=mesh,
-        in_specs=(P(axis_name), P(), P(), P(), P(), P()),
+        in_specs=(P(axis_name), P(axis_name), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
     )(x, fill, centroids, sums, counts, obj_acc)
 
@@ -434,6 +436,19 @@ class _SuperbatchFeeder:
             yield buf, fill
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "axis_name"))
+def _psum_leading(x, mesh, axis_name):
+    """psum of each device's leading element of an axis-sharded array —
+    the broadcast/sum primitive of the multi-process streaming protocol
+    (one contribution per process, replicated result on every process)."""
+
+    def f(v):
+        return jax.lax.psum(v[0], axis_name)
+
+    return jax.shard_map(f, mesh=mesh, in_specs=P(axis_name),
+                         out_specs=P())(x)
+
+
 class _FeedPipeline:
     """Producer thread: packs the stream into super-batches and launches the
     host->device transfer, keeping ``depth`` feeds in flight while the
@@ -454,8 +469,8 @@ class _FeedPipeline:
         def produce():
             try:
                 for buf, fill in feeder.feeds(source):
-                    x = put_fn(buf)
-                    item = (x, fill, buf)
+                    x, fills = put_fn(buf, fill)
+                    item = (x, fills, fill, buf)
                     while not self._stop.is_set():
                         try:
                             self._q.put(item, timeout=0.25)
@@ -538,7 +553,15 @@ def kmeans_fit_streaming(
     """
     import time as _time
 
+    from jax.sharding import NamedSharding
+
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names])) if mesh else 1
+    mp = mesh is not None and jax.process_count() > 1
+    if mp:
+        n_local_dev = int(np.prod(
+            [mesh.local_mesh.shape[a] for a in mesh.local_mesh.axis_names]))
+    else:
+        n_local_dev = n_dev
     if d is None:
         probe = next(iter(batches_fn()), None)
         if probe is None:
@@ -548,26 +571,94 @@ def kmeans_fit_streaming(
         shape = getattr(probe, "shape", None)
         d = int(shape[1] if shape else np.asarray(probe).shape[1])
     per_dev_chunks = max(1, superbatch_rows // (n_dev * chunk))
-    capacity = n_dev * per_dev_chunks * chunk
-    feeder = _SuperbatchFeeder(capacity, d)
+    per_dev_rows = per_dev_chunks * chunk
+    capacity = n_dev * per_dev_rows          # global super-batch rows
+    capacity_local = n_local_dev * per_dev_rows  # this process's share
+    # multi-process: each process packs its OWN local shard of every global
+    # super-batch from its own stream (the caller feeds local data)
+    feeder = _SuperbatchFeeder(capacity_local, d)
     rng = np.random.default_rng(seed)
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding
+    def _device_fills(fill_local: int) -> np.ndarray:
+        """Per-local-device prefix fills for a locally-packed buffer."""
+        i = np.arange(n_local_dev)
+        return np.clip(fill_local - i * per_dev_rows, 0,
+                       per_dev_rows).astype(np.int32)
 
+    if mesh is not None:
         sharding = NamedSharding(mesh, P(axis_name))
-        put_fn = lambda b: b if isinstance(b, jax.Array) else jax.device_put(
-            b, sharding)
+
+        def put_fn(buf, fill):
+            fills = _device_fills(fill)
+            if mp:
+                if isinstance(buf, jax.Array):
+                    buf = np.asarray(buf)
+                x = jax.make_array_from_process_local_data(
+                    sharding, buf, global_shape=(capacity, d))
+                f = jax.make_array_from_process_local_data(
+                    sharding, fills, global_shape=(n_dev,))
+                return x, f
+            x = buf if isinstance(buf, jax.Array) else jax.device_put(
+                buf, sharding)
+            return x, jax.device_put(fills, sharding)
     else:
-        put_fn = lambda b: b if isinstance(b, jax.Array) else jnp.asarray(b)
+        def put_fn(buf, fill):
+            x = buf if isinstance(buf, jax.Array) else jnp.asarray(buf)
+            return x, jnp.int32(fill)
+
+    def _global_sum(value: np.ndarray) -> np.ndarray:
+        """Sum a per-process host value across processes (one contribution
+        per process, placed on its first local device)."""
+        value = np.asarray(value, np.float32)
+        arr = np.zeros((n_local_dev,) + value.shape, np.float32)
+        arr[0] = value
+        g = jax.make_array_from_process_local_data(
+            sharding, arr, global_shape=(n_dev,) + value.shape)
+        return np.asarray(_psum_leading(g, mesh, axis_name))
 
     centroids = None
     if init_centroids is not None:
         centroids = np.asarray(init_centroids, np.float32).reshape(k, d)
 
+    def _init_centroids_from(buf, fill) -> np.ndarray:
+        """Seeded init from the first super-batch.  Multi-process: process 0
+        draws from ITS local shard and the result is broadcast (a psum of a
+        one-hot contribution), so every process starts from identical
+        centroids."""
+        if mp:
+            fill0 = int(_global_sum(
+                np.float32(fill if jax.process_index() == 0 else 0.0)))
+            if fill0 < k:
+                raise ValueError(
+                    f"process 0's first super-batch has {fill0} points < k={k}"
+                )
+            if jax.process_index() == 0:
+                sample = np.asarray(buf[:fill])
+                if init == "kmeans++":
+                    c0 = np.asarray(kmeans_plusplus_init(sample, k, seed=seed))
+                elif init == "random":
+                    c0 = sample[rng.choice(fill, size=k, replace=False)]
+                else:
+                    raise ValueError(f"unknown init '{init}'")
+            else:
+                c0 = np.zeros((k, d), np.float32)
+            return _global_sum(np.asarray(c0, np.float32)).astype(np.float32)
+        if fill < k:
+            raise ValueError(f"first super-batch has {fill} points < k={k}")
+        sample = np.asarray(buf[:fill])
+        if init == "kmeans++":
+            c0 = kmeans_plusplus_init(sample, k, seed=seed)
+        elif init == "random":
+            c0 = sample[rng.choice(fill, size=k, replace=False)]
+        else:
+            raise ValueError(f"unknown init '{init}'")
+        return np.asarray(c0, np.float32)
+
     cache: Optional[list] = [] if cache_mb > 0 else None
     cache_sealed = False
     cache_bytes = 0
+    zeros_local = None  # lazily-allocated zero feed for exhausted processes
+    n_feeds_sched = None  # global feed count, fixed by iteration 0 (mp)
 
     n_total = 0
     obj = float("nan")
@@ -587,38 +678,59 @@ def kmeans_fit_streaming(
         from_cache = cache is not None and cache_sealed and it > 0
         if from_cache:
             source_iter = _FeedPipeline(
-                _CacheReplay(capacity, d), cache, put_fn,
+                _CacheReplay(capacity_local, d), cache, put_fn,
                 depth=pipeline_depth)
         else:
             source_iter = _FeedPipeline(
                 feeder, batches_fn(), put_fn, depth=pipeline_depth)
         centroids_dev = (jnp.asarray(centroids)
                          if centroids is not None else None)
+        n_feeds = 0
         try:
+            feeds = iter(source_iter)
             t_last = _time.perf_counter()
-            for x, fill, buf in source_iter:
+            while True:
+                item = next(feeds, None)
                 t_wait += _time.perf_counter() - t_last
-                if centroids_dev is None:  # init from the first super-batch
-                    if fill < k:
-                        raise ValueError(
-                            f"first super-batch has {fill} points < k={k}"
-                        )
-                    sample = np.asarray(buf[:fill])
-                    if init == "kmeans++":
-                        centroids = kmeans_plusplus_init(sample, k, seed=seed)
-                    elif init == "random":
-                        centroids = sample[
-                            rng.choice(fill, size=k, replace=False)]
+                if mp:
+                    # lock-step feed agreement: every process must dispatch
+                    # the same number of (collective) stats programs.  The
+                    # schedule is discovered with a tiny psum per feed on
+                    # iteration 0 and replayed verbatim after (the stream is
+                    # deterministic across iterations).
+                    if n_feeds_sched is None:  # iteration 0: discover
+                        more = float(_global_sum(
+                            np.float32(0.0 if item is None else 1.0)))
+                        if more == 0.0:
+                            break
                     else:
-                        raise ValueError(f"unknown init '{init}'")
-                    centroids = np.asarray(centroids, np.float32)
+                        if n_feeds >= n_feeds_sched:
+                            if item is not None:
+                                raise RuntimeError(
+                                    "stream yielded more super-batches than "
+                                    "iteration 0 — streams must be "
+                                    "deterministic across Lloyd iterations"
+                                )
+                            break
+                    if item is None:  # exhausted locally; others continue
+                        if zeros_local is None:
+                            zeros_local = np.zeros((capacity_local, d),
+                                                   np.float32)
+                        item = (*put_fn(zeros_local, 0), 0, None)
+                elif item is None:
+                    break
+                x, fills, fill, buf = item
+                if centroids_dev is None:  # init from the first super-batch
+                    centroids = _init_centroids_from(buf, fill)
                     centroids_dev = jnp.asarray(centroids)
                 sums, counts, obj_acc = _stats_accum_jit(
-                    x, jnp.int32(fill), centroids_dev, sums, counts, obj_acc,
+                    x, fills, centroids_dev, sums, counts, obj_acc,
                     chunk, precision, mesh, ax,
                 )
+                n_feeds += 1
                 n_seen += fill
-                if cache is not None and not cache_sealed and it == 0:
+                if (cache is not None and not cache_sealed and it == 0
+                        and buf is not None):
                     if isinstance(buf, jax.Array):
                         logger.info(
                             "stream cache disabled: device-resident feeds")
@@ -626,7 +738,8 @@ def kmeans_fit_streaming(
                     else:
                         # partial feeds (the stream tail) are cached trimmed;
                         # replay re-pads them to the compiled capacity
-                        entry = buf if fill == len(buf) else buf[:fill].copy()
+                        entry = (buf if fill == len(buf)
+                                 else buf[:fill].copy())
                         cache_bytes += entry.nbytes
                         if cache_bytes > cache_mb * (1 << 20):
                             logger.info(
@@ -639,14 +752,20 @@ def kmeans_fit_streaming(
                 t_last = _time.perf_counter()
         finally:
             source_iter.close()
-        if n_seen == 0:
-            raise ValueError("empty stream")
-        if cache is not None and it == 0:
-            cache_sealed = True
-            logger.info("stream cache sealed: %d super-batches, %.0f MB",
-                        len(cache), cache_bytes / (1 << 20))
-        n_total = n_seen
-        # the single host sync point of the iteration
+        if it == 0:
+            if mp:
+                n_feeds_sched = n_feeds
+                n_total = int(_global_sum(np.float32(n_seen)))
+            else:
+                n_total = n_seen
+            if n_total == 0:
+                raise ValueError("empty stream")
+            if cache is not None:
+                cache_sealed = True
+                logger.info("stream cache sealed: %d super-batches, %.0f MB",
+                            len(cache), cache_bytes / (1 << 20))
+        # the single host sync point of the iteration (accumulators are
+        # replicated shard_map outputs — addressable on every process)
         sums_h = np.asarray(sums)
         counts_h = np.asarray(counts)
         nonempty = counts_h > 0
@@ -659,8 +778,9 @@ def kmeans_fit_streaming(
             centroids, _ = _split_empty_clusters_np(centroids, counts_h)
         obj = float(np.asarray(obj_acc))
         logger.info(
-            "streaming kmeans iter %d/%d: %d pts, obj=%.4f (%.2fs%s)",
-            it + 1, niter, n_seen, obj, _time.perf_counter() - t_iter,
+            "streaming kmeans iter %d/%d: %d pts%s, obj=%.4f (%.2fs%s)",
+            it + 1, niter, n_total, " global" if mp else "", obj,
+            _time.perf_counter() - t_iter,
             ", cached stream" if from_cache else
             f", waiting on stream {t_wait:.2f}s",
         )

@@ -37,10 +37,21 @@ def make_mesh(
     return Mesh(grid, axis_names=("data", "model"))
 
 
-def data_mesh(config=None, min_devices: int = 2) -> Optional[Mesh]:
+def data_mesh(config=None, min_devices: int = 2, local: bool = False,
+              devices: Optional[Sequence] = None) -> Optional[Mesh]:
     """1-D data mesh over all devices, or None when a single device suffices
-    (single-device programs skip shard_map entirely)."""
-    devices = jax.devices()
+    (single-device programs skip shard_map entirely).
+
+    ``local=True`` builds the mesh from THIS process's devices only — for
+    embarrassingly-parallel stage work (e.g. tokenizing a per-process file
+    shard) where each process runs an independent program.  Global meshes
+    (the default) span every process; ``jax.devices()`` orders devices
+    process-major, so the ``data`` axis is the DCN-outer axis, exactly the
+    layout SURVEY.md §5 asks for (collectives ride ICI within a process's
+    slice, DCN only between processes)."""
+    if devices is None:
+        devices = jax.local_devices() if local else jax.devices()
+    devices = list(devices)
     want = getattr(config, "data_parallel", -1) if config is not None else -1
     if want == -1:
         want = len(devices)

@@ -37,6 +37,7 @@ from audio_tokens_tpu.ops.kmeans import (
     precision_from_str,
 )
 from audio_tokens_tpu.ops.vq import l2_normalize
+from audio_tokens_tpu.parallel import distributed
 from audio_tokens_tpu.parallel.mesh import data_mesh
 from audio_tokens_tpu.utils.seeding import key_for, set_seed
 
@@ -59,14 +60,22 @@ def make_conv_features(config: AudioTokensConfig) -> Optional[ConvFeatures]:
 class ClusterCreator:
     def __init__(self, config: AudioTokensConfig):
         self.config = config
+        distributed.maybe_initialize(config)
         set_seed(config.random_seed)
         self.conv = make_conv_features(config)
-        self.mesh = data_mesh(config)
+        self.mesh = data_mesh(config)  # global: the Lloyd psum spans processes
+        if distributed.is_multiprocess() and config.kmeans_mode != "full":
+            raise ValueError(
+                "multi-host clustering requires kmeans_mode='full' (the "
+                "streaming Lloyd loop psums per-process shards); the "
+                "reference's batch_warm_start schedule is inherently "
+                "sequential and single-host"
+            )
 
     def run(self) -> np.ndarray:
         logger.info("starting clustering (mode=%s)", self.config.kmeans_mode)
         if self.config.kmeans_mode == "full":
-            if self._should_stream():
+            if self._should_stream() or distributed.is_multiprocess():
                 if self.config.max_points_per_centroid is not None:
                     logger.warning(
                         "kmeans streaming uses every frame: "
@@ -133,12 +142,16 @@ class ClusterCreator:
 
         centroids = np.asarray(l2_normalize(centroids))
         logger.info("Centroids shape: %s", centroids.shape)
-        out_path = Path(self.config.centroids_path)
-        out_path.parent.mkdir(parents=True, exist_ok=True)
-        np.save(out_path, centroids)
-        if self.conv is not None:
-            np.savez(out_path.with_suffix(".conv.npz"), **self.conv.state_dict())
-        self.visualize_centroids(centroids)
+        if distributed.is_coordinator():  # single-writer artifacts
+            out_path = Path(self.config.centroids_path)
+            out_path.parent.mkdir(parents=True, exist_ok=True)
+            np.save(out_path, centroids)
+            if self.conv is not None:
+                np.savez(out_path.with_suffix(".conv.npz"),
+                         **self.conv.state_dict())
+            self.visualize_centroids(centroids)
+        # every process must see centroids.npy before the tokenizer stage
+        distributed.barrier("centroids-saved")
         return centroids
 
     @property
@@ -201,6 +214,9 @@ class ClusterCreator:
         files = sorted(spec_dir.glob("*.npy"))
         if not files:
             raise FileNotFoundError(f"no spectrograms under {spec_dir}")
+        # multi-host: each process streams its strided shard; the streaming
+        # Lloyd loop psums the per-process statistics
+        files = distributed.process_shard(files)
         for i in range(0, len(files), batch_size):
             batch_data = [np.load(f).T for f in files[i : i + batch_size]]
             frames = np.concatenate(batch_data, axis=0).astype(np.float32)
@@ -214,7 +230,7 @@ class ClusterCreator:
         )
 
         gen = SpectrogramGenerator(self.config)
-        ytids = sorted(gen.data_split["train"])
+        ytids = distributed.process_shard(sorted(gen.data_split["train"]))
 
         def finish(specs):
             frames = np.concatenate(
@@ -235,7 +251,10 @@ class ClusterCreator:
         if buf:
             produced = True
             yield finish(buf)
-        if not produced:
+        if not produced and not distributed.is_multiprocess():
+            # multi-process: an empty LOCAL shard is legal (tiny corpus, many
+            # hosts); the streaming loop's global point count catches a truly
+            # empty corpus without breaking the lock-step protocol
             raise FileNotFoundError(
                 f"no decodable training audio under {self.config.audio_source_path}"
             )

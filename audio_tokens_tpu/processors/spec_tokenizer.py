@@ -31,6 +31,7 @@ import numpy as np
 
 from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.ops.vq import vq_assign_fused
+from audio_tokens_tpu.parallel import distributed
 from audio_tokens_tpu.parallel.mesh import data_mesh
 from audio_tokens_tpu.processors.cluster_creator import make_conv_features
 from audio_tokens_tpu.utils.npy_io import atomic_save_npy
@@ -44,11 +45,14 @@ logger = logging.getLogger(__name__)
 class SpecTokenizer:
     def __init__(self, config: AudioTokensConfig):
         self.config = config
+        distributed.maybe_initialize(config)
         set_seed(config.random_seed)
         self.source_path = Path(config.source_spec_path)
         self.dest_tokenized_path = Path(config.dest_tokenized_path)
         self.centroids = np.load(config.centroids_path).astype(np.float32)
-        self.mesh = data_mesh(config)
+        # local mesh: tokenization is embarrassingly parallel — each process
+        # tokenizes its own file shard on its own devices, no collectives
+        self.mesh = data_mesh(config, local=True)
         self.conv = make_conv_features(config)
         if self.conv is not None:
             conv_state = Path(config.centroids_path).with_suffix(".conv.npz")
@@ -63,29 +67,36 @@ class SpecTokenizer:
             source_dir = self.source_path / split
             tokenized_dir = self.dest_tokenized_path / split
             if self.config.incremental:
-                tokenized_dir.mkdir(parents=True, exist_ok=True)
-            else:  # reference semantics: destructive restart
-                shutil.rmtree(tokenized_dir, ignore_errors=True)
-                tokenized_dir.mkdir(parents=True)
+                if distributed.is_coordinator():
+                    tokenized_dir.mkdir(parents=True, exist_ok=True)
+                distributed.barrier(f"tok-mkdir-{split}")
+            else:  # reference semantics: destructive restart (once, proc 0)
+                if distributed.is_coordinator():
+                    shutil.rmtree(tokenized_dir, ignore_errors=True)
+                    tokenized_dir.mkdir(parents=True)
+                distributed.barrier(f"tok-wipe-{split}")
             logger.info("Tokenizing %s: %s --> %s", split, source_dir, tokenized_dir)
             with maybe_trace(self.config.profile_dir), \
                     StageTimer(f"tokenize/{split}") as timer:
                 counts = self.tokenize_directory(source_dir, tokenized_dir)
                 timer.count("frames", int(counts.sum()))
+            distributed.barrier(f"tok-done-{split}")
             if split == "train":
+                counts = distributed.all_sum_hosts(counts)  # global stats
                 if counts.sum() == 0:
                     logger.info("no new tokens; keeping previous statistics/plots")
                     stats[split] = {"total_tokens": 0, "unique_tokens": 0}
                 else:
                     stats[split] = self.analyze_token_counts(counts)
-                    self.plot_token_counts(counts)
+                    if distributed.is_coordinator():
+                        self.plot_token_counts(counts)
         return stats
 
     def tokenize_directory(self, source_dir: Path, tokenized_dir: Path) -> np.ndarray:
         """Tokenize every spec file; returns per-token counts (vocab,) —
         O(vocab) host memory regardless of corpus size."""
         counts = np.zeros(self.centroids.shape[0], np.int64)
-        spec_files = sorted(source_dir.glob("*.npy"))
+        spec_files = distributed.process_shard(sorted(source_dir.glob("*.npy")))
         if self.config.incremental:
             before = len(spec_files)
             # an existing token file only counts if it was produced AFTER the
@@ -152,12 +163,17 @@ class SpecTokenizer:
         for split in ["train", "validation"]:
             tokenized_dir = self.dest_tokenized_path / split
             if cfg.incremental:
-                tokenized_dir.mkdir(parents=True, exist_ok=True)
+                if distributed.is_coordinator():
+                    tokenized_dir.mkdir(parents=True, exist_ok=True)
+                distributed.barrier(f"ftok-mkdir-{split}")
             else:
-                shutil.rmtree(tokenized_dir, ignore_errors=True)
-                tokenized_dir.mkdir(parents=True)
-            # sorted like the staged glob, so batch composition matches
-            ytids = sorted(split_map[split])
+                if distributed.is_coordinator():
+                    shutil.rmtree(tokenized_dir, ignore_errors=True)
+                    tokenized_dir.mkdir(parents=True)
+                distributed.barrier(f"ftok-wipe-{split}")
+            # sorted like the staged glob, so batch composition matches;
+            # each process takes its strided slice of the split
+            ytids = distributed.process_shard(sorted(split_map[split]))
             if cfg.incremental:
                 cent_mtime = Path(cfg.centroids_path).stat().st_mtime
                 before = len(ytids)
@@ -198,15 +214,18 @@ class SpecTokenizer:
                         n_clips += 1
                 timer.count("clips", n_clips)
                 timer.count("frames", n_frames_total)
+            distributed.barrier(f"ftok-done-{split}")
             logger.info("%s: %d/%d clips tokenized (fused)", split, n_clips,
                         len(ytids))
             if split == "train":
+                counts = distributed.all_sum_hosts(counts)  # global stats
                 if counts.sum() == 0:
                     logger.info("no new tokens; keeping previous statistics/plots")
                     stats[split] = {"total_tokens": 0, "unique_tokens": 0}
                 else:
                     stats[split] = self.analyze_token_counts(counts)
-                    self.plot_token_counts(counts)
+                    if distributed.is_coordinator():
+                        self.plot_token_counts(counts)
         return stats
 
     def _fused_tokens_native(self, ft, chunk, bs):

@@ -28,6 +28,7 @@ from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.data import native_loader
 from audio_tokens_tpu.data.audio_io import decode_clip, find_audio_file
 from audio_tokens_tpu.ops.mel import MelFrontend, num_frames
+from audio_tokens_tpu.parallel import distributed
 from audio_tokens_tpu.utils.npy_io import atomic_save_npy
 from audio_tokens_tpu.utils.profiling import StageTimer, maybe_trace
 
@@ -38,6 +39,7 @@ logger = logging.getLogger(__name__)
 class SpectrogramGenerator:
     def __init__(self, config: AudioTokensConfig):
         self.config = config
+        distributed.maybe_initialize(config)
         self.frontend = MelFrontend(
             sample_rate=config.common_sr,
             n_mels=config.n_mels,
@@ -66,21 +68,31 @@ class SpectrogramGenerator:
             output_dir = Path(self.config.dest_spec_path) / split
             ytids = self.data_split[split]
             if self.config.incremental:
-                output_dir.mkdir(parents=True, exist_ok=True)
+                if distributed.is_coordinator():
+                    output_dir.mkdir(parents=True, exist_ok=True)
+                distributed.barrier(f"spec-mkdir-{split}")
                 before = len(ytids)
                 ytids = [y for y in ytids if not (output_dir / f"{y}.npy").exists()]
                 logger.info("incremental: %d/%d clips already done",
                             before - len(ytids), before)
-            else:  # reference semantics: destructive restart
-                shutil.rmtree(output_dir, ignore_errors=True)
-                output_dir.mkdir(parents=True)
+            else:  # reference semantics: destructive restart (once, proc 0)
+                if distributed.is_coordinator():
+                    shutil.rmtree(output_dir, ignore_errors=True)
+                    output_dir.mkdir(parents=True)
+                distributed.barrier(f"spec-wipe-{split}")
+            # multi-host: each process renders its strided slice of the split
+            # (same split file everywhere -> pure arithmetic, no coordination)
+            local_ytids = distributed.process_shard(ytids)
             with maybe_trace(self.config.profile_dir), \
                     StageTimer(f"spectrograms/{split}") as timer:
-                n_ok = self.populate_specs(ytids, output_dir)
+                n_ok = self.populate_specs(local_ytids, output_dir)
                 timer.count("clips", n_ok)
+            distributed.barrier(f"spec-done-{split}")
             logger.info(
-                "%s: %d/%d spectrograms saved to %s",
-                split.capitalize(), n_ok, len(ytids), output_dir,
+                "%s: %d/%d spectrograms saved to %s%s",
+                split.capitalize(), n_ok, len(local_ytids), output_dir,
+                f" (process {distributed.process_index()}'s shard of "
+                f"{len(ytids)})" if distributed.is_multiprocess() else "",
             )
 
     # ------------------------------------------------------------------

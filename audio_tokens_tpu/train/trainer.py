@@ -37,6 +37,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.data.datasets import BatchLoader, DataLoaderCreator
 from audio_tokens_tpu.models import get_model
+from audio_tokens_tpu.parallel import distributed
 from audio_tokens_tpu.parallel.mesh import data_mesh, make_mesh, tp_shardings
 from audio_tokens_tpu.train import checkpoint as ckpt
 from audio_tokens_tpu.utils.metrics import MetricsCalculator
@@ -102,6 +103,7 @@ def _mean_losses(losses) -> float:
 class Trainer:
     def __init__(self, config: AudioTokensConfig):
         self.config = config
+        distributed.maybe_initialize(config)
         if (
             config.model_type == "lstm"
             and config.lstm_backend in ("pallas", "pallas_interpret")
@@ -176,7 +178,8 @@ class Trainer:
                 train_step, params, opt_state, train_loader, epoch, step
             )
             val_loss, val_metrics = self._eval_epoch(eval_step, params, val_loader)
-            if cfg.diagnostics_every and epoch % cfg.diagnostics_every == 0:
+            if (cfg.diagnostics_every and epoch % cfg.diagnostics_every == 0
+                    and distributed.is_coordinator()):
                 self._run_diagnostics(params, train_loader, epoch)
             self._log_epoch_results(
                 epoch, train_loss, train_metrics, val_loss, val_metrics,
@@ -190,7 +193,9 @@ class Trainer:
                 )
                 best_metric = val_metrics["mAP"]
                 epochs_since_best = 0
-                if cfg.save_best_checkpoint:
+                if cfg.save_best_checkpoint and distributed.is_coordinator():
+                    # params/opt_state are replicated (or TP-sharded within
+                    # one host): process 0 owns the checkpoint artifact
                     ckpt.save_checkpoint(
                         cfg.checkpoint_dir, f"{self.run_name}-best",
                         params, opt_state, step, best_metric,
@@ -237,11 +242,13 @@ class Trainer:
     def _init_state(self, loader: BatchLoader):
         cfg = self.config
         batch = loader.dummy_batch()  # shapes only; no producer thread
+        devices = getattr(self, "_mesh_devices", None)
         if cfg.model_parallel > 1:
             # DP x TP mesh; transformer weights shard via TP_RULES below
-            mesh = make_mesh(data=cfg.data_parallel, model=cfg.model_parallel)
+            mesh = make_mesh(data=cfg.data_parallel, model=cfg.model_parallel,
+                             devices=devices)
         else:
-            mesh = data_mesh(cfg)
+            mesh = data_mesh(cfg, devices=devices)
         if mesh is not None and (
             cfg.training_batch_size % mesh.shape["data"]
             or cfg.eval_batch_size % mesh.shape["data"]
@@ -338,6 +345,19 @@ class Trainer:
             denom = jnp.maximum(row_w.sum() * labels.shape[1], 1.0)
             return (bce * row_w[:, None]).sum() / denom, logits
 
+        replicate_preds = (self.mesh is not None
+                           and distributed.is_multiprocess())
+        mesh = self.mesh
+
+        def finish_preds(logits):
+            p = jax.nn.sigmoid(logits)
+            if replicate_preds:
+                # multi-process: replicate so every host can fetch the full
+                # prediction matrix for metric accumulation (tiny: B x C)
+                p = jax.lax.with_sharding_constraint(
+                    p, NamedSharding(mesh, P()))
+            return p
+
         @jax.jit
         def train_step(params, opt_state, root_key, inputs, lengths, labels,
                        row_w, step_idx):
@@ -347,13 +367,13 @@ class Trainer:
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, jax.nn.sigmoid(logits)
+            return params, opt_state, loss, finish_preds(logits)
 
         @jax.jit
         def eval_step(params, inputs, lengths, labels, row_w, step_idx):
             del step_idx
             loss, logits = loss_fn(params, inputs, lengths, labels, row_w, None, True)
-            return loss, jax.nn.sigmoid(logits)
+            return loss, finish_preds(logits)
 
         return train_step, eval_step
 
@@ -423,17 +443,28 @@ class Trainer:
             )
             return jax.lax.psum(num, "data") / denom, jax.nn.sigmoid(logits)
 
+        mp = distributed.is_multiprocess()
+
+        def gather_preds(sig):
+            # multi-process: all_gather so every host can fetch predictions
+            return jax.lax.all_gather(sig, "data", axis=0, tiled=True) \
+                if mp else sig
+
         d = P("data")
         train_step = jax.jit(jax.shard_map(
-            local_train, mesh=mesh,
+            lambda *a: (lambda r: (*r[:3], gather_preds(r[3])))(
+                local_train(*a)),
+            mesh=mesh,
             in_specs=(P(), P(), P(), d, d, d, d, P()),
-            out_specs=(P(), P(), P(), d),
+            out_specs=(P(), P(), P(), P() if mp else d),
             check_vma=False,  # pallas outputs carry no vma info
         ))
         eval_step = jax.jit(jax.shard_map(
-            local_eval, mesh=mesh,
+            lambda *a: (lambda r: (r[0], gather_preds(r[1])))(
+                local_eval(*a)),
+            mesh=mesh,
             in_specs=(P(), d, d, d, d, P()),
-            out_specs=(P(), d),
+            out_specs=(P(), P() if mp else d),
             check_vma=False,
         ))
         logger.info("DP steps built with shard_map (Pallas LSTM backend)")
@@ -457,6 +488,16 @@ class Trainer:
         if self.mesh is not None:
             d = NamedSharding(self.mesh, P("data"))
             r = NamedSharding(self.mesh, P())
+            if distributed.is_multiprocess():
+                # every process computes the same global batch (seeded
+                # loader); each contributes its contiguous row slice
+                lo, hi = distributed.local_row_bounds(len(row_w))
+                return tuple(
+                    jax.make_array_from_process_local_data(
+                        sh, v[lo:hi] if sh is d else v,
+                        global_shape=v.shape)
+                    for v, sh in zip(host, (d, d, d, d, r))
+                )
             return jax.device_put(host, (d, d, d, d, r))
         return jax.device_put(host)
 
@@ -579,6 +620,8 @@ class Trainer:
         logger.info("Epoch %d (%.1fs)", epoch, seconds)
         logger.info("Train Loss: %.4f, Train mAP: %.4f", train_loss, train_metrics["mAP"])
         logger.info("Val Loss: %.4f, Val mAP: %.4f", val_loss, val_metrics["mAP"])
+        if not distributed.is_coordinator():
+            return  # metrics history/wandb are single-writer artifacts
         # durable metrics history next to the checkpoints (wandb-independent)
         try:
             metrics_path = Path(self.config.checkpoint_dir) / f"{self.run_name}-metrics.jsonl"
@@ -607,7 +650,7 @@ class Trainer:
 
     def _initialize_wandb(self) -> str:
         self._wandb = None
-        if self.config.use_wandb:
+        if self.config.use_wandb and distributed.is_coordinator():
             try:
                 import wandb
 

@@ -1,0 +1,106 @@
+"""Two-process CPU worker for the multi-host tests.
+
+Usage: python tests/mp_worker.py <port> <pid> <nproc> <outdir>
+
+Each process initializes ``jax.distributed`` against a shared local
+coordinator with 2 virtual CPU devices (so the global mesh spans
+2 processes x 2 devices), then:
+
+  1. runs two epochs of REAL ``Trainer._train_epoch`` DP training (global
+     batches assembled from per-process row slices, gradient psum across
+     the process boundary, predictions replicated for metrics);
+  2. runs the streaming K-means with each process feeding its strided shard
+     of a shared corpus (per-process super-batch packing, cross-process
+     psum of Lloyd statistics, lock-step feed schedule);
+
+and writes ``result_<pid>.npz`` for the parent test to compare against the
+single-process reference.
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    port, pid, nproc, outdir = sys.argv[1:5]
+    pid, nproc = int(pid), int(nproc)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        f"localhost:{port}", num_processes=nproc, process_id=pid
+    )
+    assert jax.process_count() == nproc
+    assert jax.device_count() == 2 * nproc
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from audio_tokens_tpu.config import AudioTokensConfig
+    from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
+    from audio_tokens_tpu.tools.bench_training import _MemLoader
+    from audio_tokens_tpu.train.trainer import Trainer
+
+    # ---- part A: real-Trainer DP training over the process boundary ----
+    cfg = AudioTokensConfig(
+        model_type="simple", vocab_size=32, hidden_size=16, num_classes=7,
+        max_seq_len=24, training_batch_size=8, dropout=0.0,
+        save_best_checkpoint=False, base_dir=outdir,
+    )
+    rng = np.random.default_rng(0)  # identical batches on every process
+    batches = []
+    for _ in range(6):
+        batches.append({
+            "inputs": rng.integers(0, cfg.vocab_size, (8, 24)).astype(np.int32),
+            "lengths": np.full((8,), 24, np.int32),
+            "labels": (rng.random((8, cfg.num_classes)) < 0.3).astype(np.float32),
+            "n_valid": 8,
+        })
+    loader = _MemLoader(batches)
+    trainer = Trainer(cfg)
+    params, opt_state = trainer._init_state(loader)
+    assert trainer.mesh is not None and trainer.mesh.shape["data"] == 2 * nproc
+    train_step, eval_step = trainer._build_steps()
+    step = 0
+    train_losses = []
+    for epoch in range(2):
+        params, opt_state, step, loss, metrics = trainer._train_epoch(
+            train_step, params, opt_state, loader, epoch, step
+        )
+        train_losses.append(loss)
+    eval_loss, eval_metrics = trainer._eval_epoch(eval_step, params, loader)
+
+    # ---- part B: streaming K-means, per-process shards, psum'd stats ----
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 16)).astype(np.float32) * 5
+    idx = rng.integers(0, 8, 4096)
+    x = (centers[idx] + 0.1 * rng.standard_normal((4096, 16))).astype(np.float32)
+    init = x[rng.choice(4096, 8, replace=False)].copy()
+    local = x[pid::nproc]
+    feeds = [local[i : i + 300] for i in range(0, len(local), 300)]
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    centroids, obj, n_total = kmeans_fit_streaming(
+        lambda: iter(feeds), 8, niter=3, d=16, init_centroids=init,
+        mesh=mesh, superbatch_rows=1024, chunk=128,
+    )
+
+    np.savez(
+        os.path.join(outdir, f"result_{pid}.npz"),
+        train_losses=np.asarray(train_losses, np.float64),
+        eval_loss=np.float64(eval_loss),
+        eval_map=np.float64(eval_metrics["mAP"]),
+        centroids=centroids,
+        obj=np.float64(obj),
+        n_total=np.int64(n_total),
+    )
+    print(f"[proc {pid}] OK: losses={train_losses} eval_mAP={eval_metrics['mAP']:.4f} "
+          f"kmeans_obj={obj:.4f} n={n_total}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
