@@ -127,10 +127,96 @@ def test_training_trajectory_matches_torch(rng):
     assert abs(jax_losses[-1] - torch_losses[-1]) < 2e-2
 
 
+def _jax_simple_model_and_params(seed=0):
+    cfg = fixtures.test_config(
+        Path("/tmp"), model_type="simple", vocab_size=VOCAB,
+        hidden_size=HIDDEN, num_classes=CLASSES,
+    )
+    model = get_model(cfg)
+    tokens = jnp.zeros((2, 12), jnp.int32)
+    params = model.init({"params": jax.random.key(seed)}, tokens,
+                        lengths=None, deterministic=True)["params"]
+    return model, params
+
+
+def test_simple_forward_logits_match_torch(rng):
+    """The count-GEMM mean-pool reformulation computes the reference simple
+    classifier's function exactly (second family with a torch mirror,
+    VERDICT r2 #5)."""
+    from tests.torch_mirror import (
+        TorchSimpleClassifier,
+        transplant_simple_from_flax,
+    )
+
+    model, params = _jax_simple_model_and_params()
+    tm = TorchSimpleClassifier(VOCAB, HIDDEN, CLASSES)
+    transplant_simple_from_flax(tm, jax.device_get(params))
+
+    toks = rng.integers(0, VOCAB, (5, 30))
+    ours = np.asarray(model.apply({"params": params},
+                                  jnp.asarray(toks, jnp.int32),
+                                  lengths=None, deterministic=True))
+    import torch
+
+    tm.eval()
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(toks.astype(np.int64))).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
+
+
+def test_simple_training_trajectory_matches_torch(rng):
+    """Golden-trajectory parity for the simple family: same weights, same
+    batches, same AdamW/BCE -> same loss trajectory."""
+    from tests.torch_mirror import (
+        TorchSimpleClassifier,
+        transplant_simple_from_flax,
+    )
+
+    model, params = _jax_simple_model_and_params()
+    tm = TorchSimpleClassifier(VOCAB, HIDDEN, CLASSES)
+    transplant_simple_from_flax(tm, jax.device_get(params))
+
+    batches = _batches(rng, n_batches=16)
+    lr = 3e-3
+    torch_losses = train_reference_mirror(tm, batches, lr=lr)
+
+    optimizer = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, toks, labs):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, toks, lengths=None,
+                                 deterministic=True)
+            return optax.sigmoid_binary_cross_entropy(logits, labs).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jax_losses = []
+    for toks, labs in batches:
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(toks, jnp.int32),
+            jnp.asarray(labs, jnp.float32),
+        )
+        jax_losses.append(float(loss))
+
+    torch_losses = np.asarray(torch_losses)
+    jax_losses = np.asarray(jax_losses)
+    assert abs(jax_losses[0] - torch_losses[0]) < 2e-6
+    np.testing.assert_allclose(jax_losses, torch_losses, atol=2e-2)
+    assert jax_losses[-1] < jax_losses[0]
+    assert abs(jax_losses[-1] - torch_losses[-1]) < 2e-2
+
+
 @pytest.mark.slow
 def test_trainer_val_map_parity_on_fixture_corpus(tmp_path):
     """The full Trainer vs the reference-mirror loop end-to-end: matched
-    config on a shared tokenized fixture corpus -> val mAP within tolerance."""
+    config on a shared tokenized fixture corpus.  Multi-seed (3 independent
+    init/order draws per framework) so the comparison is between the
+    frameworks' MEAN val mAPs — tolerance 0.05, a fifth of the round-2
+    single-seed tolerance (VERDICT r2 #5)."""
     import torch
 
     from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
@@ -150,7 +236,15 @@ def test_trainer_val_map_parity_on_fixture_corpus(tmp_path):
     ClusterCreator(cfg).run()
     SpecTokenizer(cfg).run()
 
-    _, jax_metrics = ModelTrainer(cfg).run()
+    seeds = (4242, 7, 123)
+    jax_maps = []
+    for s in seeds:
+        cfg_s = fixtures.test_config(
+            tmp_path, model_type="lstm", epochs=4, learning_rate=3e-3,
+            training_batch_size=4, save_best_checkpoint=False, random_seed=s,
+        )
+        _, jax_metrics = ModelTrainer(cfg_s).run()
+        jax_maps.append(jax_metrics["mAP"])
 
     # reference mirror on the same artifacts: same arch dims, same epochs
     meta = AudiosetMetadataProcessor(cfg)
@@ -170,24 +264,29 @@ def test_trainer_val_map_parity_on_fixture_corpus(tmp_path):
 
     tr_x, tr_y = load_split("train")
     va_x, va_y = load_split("validation")
-    torch.manual_seed(0)
-    tm = TorchLSTMClassifier(cfg.vocab_size, cfg.lstm_embed_dim,
-                             cfg.lstm_hidden_dim, cfg.num_layers,
-                             cfg.num_classes)
-    order = np.random.default_rng(0)
-    bs = cfg.training_batch_size
-    batches = []
-    for _ in range(cfg.epochs):
-        idx = order.permutation(len(tr_x))
-        for i in range(0, len(idx), bs):
-            sel = idx[i : i + bs]
-            batches.append((tr_x[sel], tr_y[sel]))
-    train_reference_mirror(tm, batches, lr=cfg.learning_rate)
-    tm.eval()
-    with torch.no_grad():
-        scores = torch.sigmoid(tm(torch.from_numpy(va_x))).numpy()
-    torch_map = macro_mean_average_precision(va_y, scores)
+    torch_maps = []
+    for s in seeds:
+        torch.manual_seed(s)
+        tm = TorchLSTMClassifier(cfg.vocab_size, cfg.lstm_embed_dim,
+                                 cfg.lstm_hidden_dim, cfg.num_layers,
+                                 cfg.num_classes)
+        order = np.random.default_rng(s)
+        bs = cfg.training_batch_size
+        batches = []
+        for _ in range(cfg.epochs):
+            idx = order.permutation(len(tr_x))
+            for i in range(0, len(idx), bs):
+                sel = idx[i : i + bs]
+                batches.append((tr_x[sel], tr_y[sel]))
+        train_reference_mirror(tm, batches, lr=cfg.learning_rate)
+        tm.eval()
+        with torch.no_grad():
+            scores = torch.sigmoid(tm(torch.from_numpy(va_x))).numpy()
+        torch_maps.append(macro_mean_average_precision(va_y, scores))
 
-    assert abs(jax_metrics["mAP"] - torch_map) < 0.2, (
-        f"jax mAP {jax_metrics['mAP']:.3f} vs torch mirror {torch_map:.3f}"
+    jax_mean = float(np.mean(jax_maps))
+    torch_mean = float(np.mean(torch_maps))
+    assert abs(jax_mean - torch_mean) < 0.05, (
+        f"jax mAPs {jax_maps} (mean {jax_mean:.3f}) vs torch mirror "
+        f"{torch_maps} (mean {torch_mean:.3f})"
     )

@@ -37,6 +37,34 @@ class TorchLSTMClassifier(nn.Module):
         return self.fc(torch.relu(last))
 
 
+class TorchSimpleClassifier(nn.Module):
+    """reference SimpleTokenClassifier (models/simple_token_classifier.py:
+    5-16): Embedding -> AdaptiveAvgPool1d over the padded sequence -> Linear
+    (the attention mask is accepted and ignored, reference quirk §2.7.1)."""
+
+    def __init__(self, vocab_size, hidden_size, num_classes):
+        super().__init__()
+        self.embedding = nn.Embedding(vocab_size, hidden_size)
+        self.classifier = nn.Linear(hidden_size, num_classes)
+
+    def forward(self, x):
+        return self.classifier(self.embedding(x).mean(dim=1))
+
+
+def transplant_simple_from_flax(model: TorchSimpleClassifier,
+                                params: dict) -> None:
+    """Copy the JAX simple model's params (models/simple.py param tree) into
+    the torch mirror so both compute the identical function."""
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32))
+
+    with torch.no_grad():
+        model.embedding.weight.copy_(t(params["embedding"]["embedding"]))
+        model.classifier.weight.copy_(t(params["classifier"]["kernel"]).T
+                                      .contiguous())
+        model.classifier.bias.copy_(t(params["classifier"]["bias"]))
+
+
 def transplant_from_flax(model: TorchLSTMClassifier, params: dict) -> None:
     """Copy the JAX model's params into the torch mirror (same function).
 
