@@ -43,10 +43,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.atk_decode_batch.restype = ctypes.c_int
         lib.atk_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ]
-        assert lib.atk_version() == 1
+        assert lib.atk_version() == 2
         _lib = lib
         logger.info("native audio decoder loaded: %s", _LIB_PATH)
     except Exception as e:
@@ -82,25 +82,35 @@ def decode_file(path, target_sr: int, max_seconds: float = 60.0) -> np.ndarray:
 
 def decode_batch(
     paths: List, target_sr: int, clip_samples: int, n_fft: int,
-    n_threads: int = 8,
+    n_threads: int = 8, row_len: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Threaded batch decode -> (padded (B, pad+clip+pad) float32, lengths (B,)).
+    """Threaded batch decode -> (padded (B, row_len) float32, lengths (B,)).
 
-    lengths[i] == -1 marks a failed decode (row zeroed); caller applies the
-    reference's skip-and-log semantics.
+    ``row_len`` (default pad+clip+pad) sets the output row stride directly —
+    consumers with wider layouts (the megakernel's over-allocated DMA
+    windows) get their final buffer in one pass instead of re-padding a
+    multi-10-MB batch on the host.  lengths[i] == -1 marks a failed decode
+    (row zeroed); caller applies the reference's skip-and-log semantics.
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native decoder not built (python native/build.py)")
     n = len(paths)
     pad = n_fft // 2
-    row_len = clip_samples + 2 * pad
-    out = np.zeros((n, row_len), np.float32)
+    row_min = clip_samples + 2 * pad
+    if row_len is None:
+        row_len = row_min
+    elif row_len < row_min:
+        raise ValueError(f"row_len {row_len} < clip+2*pad {row_min}")
+    out = np.empty((n, row_len), np.float32)  # fully written by the library
     lengths = np.zeros(n, np.int32)
     c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
-    lib.atk_decode_batch(
+    rc = lib.atk_decode_batch(
         c_paths, n, target_sr, clip_samples, n_fft, n_threads,
+        ctypes.c_int64(row_len),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
+    if rc < 0:
+        raise RuntimeError(f"decode_batch failed: {last_error()}")
     return out, lengths

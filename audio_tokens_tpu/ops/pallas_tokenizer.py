@@ -2,7 +2,7 @@
 
 The XLA fused path (tokenizer.py) materializes the (B*T, n_fft) frame matrix
 in HBM before the DFT GEMM — measured at 2.0 ms of a 4.4 ms batch, pure
-bandwidth.  This kernel eliminates it: per grid step it DMAs an *overlapping*
+bandwidth.  This kernel eliminates it: per frame tile it DMAs an *overlapping*
 window of hop-sized waveform blocks from HBM into VMEM (overlap = the
 n_fft/hop - 1 blocks shared between consecutive frames — the thing XLA's
 block-aligned sharding cannot express), builds the frame tile with in-VMEM
@@ -11,17 +11,35 @@ slices, and runs the whole chain on-chip:
     frames -> windowed-DFT GEMM -> |.|^2 -> mel GEMM -> dB
            -> L2 normalize -> centroid-distance GEMM -> argmin
 
-Only the waveform (one read) and the int32 tokens ever cross HBM.  GEMM
-precision tiers (``tier``, config ``tokenizer_precision``):
+Only the waveform (one read) and the int32 tokens ever cross HBM.  Three
+bandwidth/occupancy measures (round 3):
+
+  * The window DMA is double-buffered across frame tiles (two VMEM slots +
+    semaphores; tile g+1's fetch overlaps tile g's GEMMs) instead of the
+    round-2 serial start();wait().
+  * The DFT basis drops the im(0) and im(n_fft/2) columns — exactly zero for
+    real input (sin 0 / sin pi*n) — so the spectrum GEMM output is
+    2*n_freq-2 = n_fft lanes (512: 4 MXU tiles) instead of 2*n_freq padded
+    to 640 (5 tiles).  Bit-identical numerics, 20% fewer DFT MACs.
+  * The vocabulary axis is grid-chunked (third grid dimension) with a
+    running min/argmin carried in VMEM scratch, so the 16k north-star vocab
+    runs in this single kernel (round 2 fell back to the staged VQ path);
+    Pallas auto-pipelines the centroid-chunk fetches.
+
+GEMM precision tiers (``tier``, config ``tokenizer_precision``):
 
   * ``highest`` (default) — f32 GEMMs; tokens bit-identical to the f32 XLA
-    path (agreement asserted in tests); ~16.0k clips/s on one v5e.
+    path (agreement asserted in tests); ~18.5k clips/s on one v5e
+    (~3.0k at the 16k north-star vocabulary, still bit-exact).
   * ``bf16x3`` — the DFT/mel GEMMs run a manual 3-pass bf16 decomposition
-    (hi/lo split; ~f32 accuracy): ~23.4k clips/s, 99.997% token agreement.
-  * ``default`` — single-pass bf16 DFT/mel: ~27.7k clips/s, 99.3% agreement.
+    (hi/lo split; ~f32 accuracy): ~26k clips/s, 99.997% token agreement.
+  * ``default`` — single-pass bf16 DFT/mel: ~34k clips/s, 99.3% agreement.
 
 The VQ distance GEMM always runs f32-HIGHEST (it is the decision point and
-a small fraction of the FLOPs).
+a small fraction of the FLOPs).  See BASELINE.md "megakernel roofline" for
+the measured pass-count/padding analysis: at `highest` the kernel runs at
+~80% of the (6-pass f32 x padding)-adjusted MXU roofline, so the headline
+MFU-vs-bf16-peak is precision-bound, not scheduling-bound.
 
 Constraints: hop | n_fft (the default 512/128 signal chain), no conv
 front-end (falls back to the XLA path otherwise), and the host buffer must
@@ -46,6 +64,10 @@ from audio_tokens_tpu.ops.common import round_up as _round_up
 EPS = 1e-10
 
 TIERS = ("highest", "bf16x3", "default")
+
+# vocabulary chunk width when K exceeds one chunk: bounds the (tile_t, K)
+# score tile and the resident centroid block to VMEM scale
+K_CHUNK = 1024
 
 
 def _dot_tier(a, b, dims, tier: str):
@@ -98,30 +120,66 @@ def alloc_blocks(n_frames: int, hop: int, n_fft: int) -> int:
     return n_tiles * tile_t + r  # last window: (n_tiles-1)*tile_t .. +tile_t+r-1
 
 
+def kernel_fits(k: int, d: int, budget_bytes: int = 12 * 1024 * 1024) -> bool:
+    """Whether the megakernel working set fits per-core VMEM.  The vocabulary
+    is grid-chunked (K_CHUNK centroid rows resident, double-buffered by
+    Pallas), so the bound depends on the chunk and the feature width, not on
+    K — the 16k north-star vocab fits; only extreme feature widths fall back
+    to the staged fused-VQ path."""
+    m_pad = _round_up(d, 128)
+    k_res = min(_round_up(k, 128), K_CHUNK)
+    tile_t = 1024  # upper bound from plan_tiles
+    need = 4 * (
+        2 * k_res * m_pad        # centroid chunk, double-buffered
+        + 2 * tile_t * k_res     # fc + scores transients
+        + 3 * tile_t * m_pad     # f scratch + mel/power transients
+        + 2 * (tile_t + 8) * 128  # window double-buffer (hop <= 128 typical)
+    )
+    return need <= budget_bytes
+
+
 def _kernel(blocks_hbm, w_ref, fb_ref, ct_ref, c2_ref, out_ref,
+            window, sems, f_ref, best_ref, idx_ref,
             *, tile_t: int, r: int, hop: int, n_mels: int, n_freq: int,
-            tier: str = "highest"):
+            k_chunk: int, tier: str = "highest"):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    kc = pl.program_id(2)
+    n_tiles = pl.num_programs(1)
+    n_kc = pl.num_programs(2)
+    g = b * n_tiles + i          # linear frame-tile index
+    total = pl.num_programs(0) * n_tiles
 
-    def inner(scratch, sem):
-        dma = pltpu.make_async_copy(
-            blocks_hbm.at[b, pl.ds(i * tile_t, tile_t + r), :], scratch, sem
+    def dma_for(gg):
+        slot = jax.lax.rem(gg, 2)
+        bb = jax.lax.div(gg, n_tiles)
+        ii = jax.lax.rem(gg, n_tiles)
+        return pltpu.make_async_copy(
+            blocks_hbm.at[bb, pl.ds(ii * tile_t, tile_t + r), :],
+            window.at[slot], sems.at[slot],
         )
-        dma.start()
-        dma.wait()
+
+    def _features_from(win):
+        """win: statically-indexed (tile_t+r, hop) VMEM ref (Mosaic needs
+        static sublane offsets for the frame-building concat)."""
         # frame t = blocks t..t+r-1 concatenated -> (tile_t, n_fft)
         frames = jnp.concatenate(
-            [scratch[j : j + tile_t, :] for j in range(r)], axis=1
+            [win[j : j + tile_t, :] for j in range(r)], axis=1
         )
         spec = _dot_tier(
             frames, w_ref[:], (((1,), (0,)), ((), ())), tier
-        )  # (tile_t, 2F padded)
-        re = spec[:, :n_freq]
-        im = spec[:, n_freq : 2 * n_freq]
-        power = re * re + im * im
+        )  # (tile_t, 2*n_freq-2 padded): [re 0..F-1 | im 1..F-2]
+        # packed power: bins 0..F-2 = re^2 + im^2 via two ALIGNED half-width
+        # slices (lane 0 of the upper half is re(Nyquist) — masked out; the
+        # Nyquist mel-filterbank row is exactly zero, so the bin is dropped
+        # host-side and the f32 sums are unchanged bit-for-bit)
+        half = n_freq - 1
+        sq = spec * spec
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile_t, half), 1)
+        power = sq[:, :half] + jnp.where(lane > 0, sq[:, half : 2 * half], 0.0)
         f_pad = fb_ref.shape[0]
-        power = jnp.pad(power, ((0, 0), (0, f_pad - n_freq)))
+        if f_pad > half:
+            power = jnp.pad(power, ((0, 0), (0, f_pad - half)))
         mel = _dot_tier(
             power, fb_ref[:], (((1,), (0,)), ((), ())), tier
         )  # (tile_t, n_mels padded to 128)
@@ -130,28 +188,68 @@ def _kernel(blocks_hbm, w_ref, fb_ref, ct_ref, c2_ref, out_ref,
         lane = jax.lax.broadcasted_iota(jnp.int32, meldb.shape, 1)
         meldb = jnp.where(lane < n_mels, meldb, 0.0)
         norms = jnp.sqrt(jnp.sum(meldb * meldb, axis=1, keepdims=True))
-        f = meldb / (norms + EPS)
-        fc = jax.lax.dot_general(
-            f, ct_ref[:], (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (tile_t, K_pad)
-        scores = c2_ref[:] - 2.0 * fc
+        f_ref[:] = meldb / (norms + EPS)
+
+    @pl.when(kc == 0)
+    def _fetch_and_featurize():
+        @pl.when(g == 0)
+        def _():
+            dma_for(0).start()
+        # double buffering: tile g+1's fetch rides under tile g's GEMMs
+        @pl.when(g + 1 < total)
+        def _():
+            dma_for(g + 1).start()
+        dma_for(g).wait()
+        slot = jax.lax.rem(g, 2)
+
+        @pl.when(slot == 0)
+        def _():
+            _features_from(window.at[0])
+
+        @pl.when(slot == 1)
+        def _():
+            _features_from(window.at[1])
+
+    fc = jax.lax.dot_general(
+        f_ref[:], ct_ref[:], (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (tile_t, k_chunk)
+    scores = c2_ref[:] - 2.0 * fc
+
+    if n_kc == 1:
+        # single-chunk vocabularies: no carry, write tokens directly
         toks = jnp.argmin(scores, axis=1).astype(jnp.int32)
         out_ref[:] = toks.reshape(1, tile_t // 128, 128)
+        return
 
-    pl.run_scoped(
-        inner,
-        pltpu.VMEM((tile_t + r, hop), jnp.float32),
-        pltpu.SemaphoreType.DMA(()),
-    )
+    local_min = jnp.min(scores, axis=1, keepdims=True)      # (tile_t, 1)
+    local_arg = (jnp.argmin(scores, axis=1).astype(jnp.int32)[:, None]
+                 + kc * k_chunk)
+
+    @pl.when(kc == 0)
+    def _():
+        best_ref[:] = local_min
+        idx_ref[:] = local_arg
+
+    @pl.when(kc > 0)
+    def _():
+        # strict < keeps the low-index tie-break of a flat argmin
+        better = local_min < best_ref[:]
+        idx_ref[:] = jnp.where(better, local_arg, idx_ref[:])
+        best_ref[:] = jnp.minimum(local_min, best_ref[:])
+
+    @pl.when(kc == n_kc - 1)
+    def _():
+        out_ref[:] = idx_ref[:, 0].reshape(1, tile_t // 128, 128)
 
 
 class TokenizerKernel:
     """Precomputed padded weights + a jitted (B, L) -> (B, n_frames) program."""
 
     def __init__(self, sample_rate: int, n_mels: int, n_fft: int, hop: int,
-                 n_frames: int, centroids: np.ndarray, tier: str = "highest"):
+                 n_frames: int, centroids: np.ndarray, tier: str = "highest",
+                 interpret: bool = False):
         from audio_tokens_tpu.ops.mel import dft_filters, mel_filterbank
 
         if n_fft % hop:
@@ -159,6 +257,7 @@ class TokenizerKernel:
         if tier not in TIERS:
             raise ValueError(f"unknown tokenizer precision tier '{tier}'")
         self.tier = tier
+        self.interpret = interpret
         self.n_mels = n_mels
         self.n_fft = n_fft
         self.hop = hop
@@ -168,17 +267,35 @@ class TokenizerKernel:
         self.tile_t, self.n_tiles = plan_tiles(n_frames, hop, n_fft)
         self.n_blocks = alloc_blocks(n_frames, hop, n_fft)
 
+        # real-DFT basis without the always-zero im(0)/im(n_fft/2) columns:
+        # output lanes = [re 0..F-1 | im 1..F-2] = 2F-2 = n_fft (f32 products
+        # identical to the full basis, so tokens stay bit-exact)
         w = dft_filters(n_fft)[:, 0, :].T  # (n_fft, 2F)
-        spec_pad = _round_up(2 * self.n_freq, 128)
-        self._w = jnp.asarray(np.pad(w, ((0, 0), (0, spec_pad - 2 * self.n_freq))))
-        f_pad = _round_up(self.n_freq, 128)
+        w = np.concatenate(
+            [w[:, : self.n_freq], w[:, self.n_freq + 1 : 2 * self.n_freq - 1]],
+            axis=1,
+        )
+        spec_pad = _round_up(2 * self.n_freq - 2, 128)
+        self._w = jnp.asarray(
+            np.pad(w, ((0, 0), (0, spec_pad - (2 * self.n_freq - 2))))
+        )
         m_pad = _round_up(n_mels, 128)
         fb = mel_filterbank(self.n_freq, n_mels, sample_rate)
+        # the kernel's packed power tile drops the Nyquist bin; its
+        # filterbank row is exactly zero (triangles end at f_max = sr/2),
+        # so the mel GEMM contracts over n_freq-1 rows with identical sums
+        assert not fb[-1].any(), "Nyquist filterbank row expected to be zero"
+        fb = fb[:-1]
+        f_pad = _round_up(self.n_freq - 1, 128)
         self._fb = jnp.asarray(
-            np.pad(fb, ((0, f_pad - self.n_freq), (0, m_pad - n_mels)))
+            np.pad(fb, ((0, f_pad - (self.n_freq - 1)), (0, m_pad - n_mels)))
         )
         k = centroids.shape[0]
         k_pad = _round_up(k, 128)
+        self.k_chunk = min(k_pad, K_CHUNK)
+        # vocab axis is grid-chunked: pad K to a whole number of chunks
+        k_pad = _round_up(k_pad, self.k_chunk)
+        self.n_kc = k_pad // self.k_chunk
         cent = np.asarray(centroids, np.float32)
         c2 = (cent * cent).sum(1)
         self._cent = jnp.asarray(
@@ -200,44 +317,56 @@ class TokenizerKernel:
             )
         blocks = padded_batch[:, :need].reshape(b, self.n_blocks, self.hop)
         n_tiles, tile_t = self.n_tiles, self.tile_t
+        k_chunk, m_pad = self.k_chunk, self._cent.shape[1]
         out = pl.pallas_call(
             functools.partial(
                 _kernel, tile_t=self.tile_t, r=self.r, hop=self.hop,
                 n_mels=self.n_mels, n_freq=self.n_freq,
-                tier=self.tier,
+                k_chunk=k_chunk, tier=self.tier,
             ),
             # (b*n_tiles, tile_t/128, 128): last two dims match the block
             # shape exactly (lowering constraint for sub-8 leading blocks)
             out_shape=jax.ShapeDtypeStruct(
                 (b * n_tiles, tile_t // 128, 128), jnp.int32
             ),
-            grid_spec=pl.GridSpec(
-                grid=(b, self.n_tiles),
-                in_specs=[
-                    # whole array stays in HBM; the kernel DMAs overlapping
-                    # windows itself (ANY-space blocks must be trivial)
-                    pl.BlockSpec(memory_space=pltpu.ANY),
-                    pl.BlockSpec(self._w.shape, lambda bb, ii: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec(self._fb.shape, lambda bb, ii: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec(self._cent.shape, lambda bb, ii: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec(self._c2.shape, lambda bb, ii: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec(
-                    (1, tile_t // 128, 128),
-                    lambda bb, ii: (bb * n_tiles + ii, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+            # vocab chunk innermost: the frame tile's features are
+            # computed once (kc==0) and scored against each chunk
+            grid=(b, self.n_tiles, self.n_kc),
+            in_specs=[
+                # whole array stays in HBM; the kernel DMAs overlapping
+                # windows itself (ANY-space blocks must be trivial)
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(self._w.shape, lambda bb, ii, kk: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(self._fb.shape, lambda bb, ii, kk: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k_chunk, m_pad),
+                             lambda bb, ii, kk: (kk, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k_chunk), lambda bb, ii, kk: (0, kk),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, tile_t // 128, 128),
+                lambda bb, ii, kk: (bb * n_tiles + ii, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
+            scratch_shapes=[
+                pltpu.VMEM((2, tile_t + self.r, self.hop), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((tile_t, m_pad), jnp.float32),   # unit features
+                pltpu.VMEM((tile_t, 1), jnp.float32),        # running min
+                pltpu.VMEM((tile_t, 1), jnp.int32),          # running argmin
+            ],
             cost_estimate=pl.CostEstimate(
                 flops=2 * b * self.n_tiles * self.tile_t
-                * (self.n_fft * 2 * self.n_freq + self.n_freq * self.n_mels
+                * (self.n_fft * (2 * self.n_freq - 2)
+                   + self.n_freq * self.n_mels
                    + self.n_mels * self._cent.shape[0]),
-                bytes_accessed=b * need * 4,
+                bytes_accessed=b * need * 4
+                + b * self.n_tiles * self._cent.size * 4,
                 transcendentals=b * self.n_tiles * self.tile_t * self.n_mels,
             ),
+            interpret=self.interpret,
         )(blocks, self._w, self._fb, self._cent, self._c2)
         return out.reshape(b, n_tiles * tile_t)[:, : self.n_frames]

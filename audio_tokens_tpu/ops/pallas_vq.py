@@ -178,12 +178,3 @@ def fits_vmem(k: int, d: int, tile_n: int = TILE_N,
     return need <= budget_bytes
 
 
-def fits_vmem_full(k: int, d: int, tile_n: int = TILE_N,
-                   budget_bytes: int = 12 * 1024 * 1024) -> bool:
-    """Un-chunked working-set bound: for kernels that keep ALL centroids and
-    a full (tile, K) score tile in VMEM at once (the wav->tokens megakernel).
-    Large vocabularies fail this and use the chunked fused-VQ path instead."""
-    k_pad = _round_up(k, 128)
-    d_pad = _round_up(d, 128)
-    need = 4 * (d_pad * k_pad + tile_n * (d_pad + k_pad) + k_pad)
-    return need <= budget_bytes

@@ -234,18 +234,18 @@ class SpecTokenizer:
         from audio_tokens_tpu.ops.mel import num_frames
 
         cfg = self.config
+        alloc = getattr(ft.frontend, "alloc_len", ft.frontend.padded_len)
         batch, lengths = native_loader.decode_batch(
             [p for _, p in chunk], cfg.common_sr, cfg.clip_samples,
             cfg.n_fft, n_threads=cfg.num_workers,
-        )
-        alloc = getattr(ft.frontend, "alloc_len", ft.frontend.padded_len)
+            row_len=alloc,  # >= clip+2*pad always (mel.py:158)
+        )  # decoded straight at megakernel stride: no host re-pad copy
         pad_rows = bs - len(chunk)
-        pad_cols = max(0, alloc - batch.shape[1])
-        if pad_rows or pad_cols:  # keep the compiled shape / engage the kernel
-            batch = np.pad(batch, ((0, pad_rows), (0, pad_cols)))
+        if pad_rows:  # keep the compiled shape / engage the kernel
+            batch = np.pad(batch, ((0, pad_rows), (0, 0)))
             lengths = np.concatenate(
                 [lengths, np.full(pad_rows, -1, np.int32)]
-            ) if pad_rows else lengths
+            )
         import jax.numpy as jnp
 
         tokens = np.asarray(ft.tokens_from_padded(

@@ -26,7 +26,6 @@ from audio_tokens_tpu.ops.conv_features import ConvFeatures
 from audio_tokens_tpu.ops.pallas_vq import (
     _on_tpu,
     fits_vmem,
-    fits_vmem_full,
     vq_assign_pallas,
 )
 from audio_tokens_tpu.ops.vq import l2_normalize
@@ -71,16 +70,20 @@ class FusedTokenizer:
             and conv is None
             and not config.normalize
             and config.n_fft % config.hop_length == 0
-            # the megakernel holds ALL centroids + a full (tile, K) score
-            # tile in VMEM (no K chunking); huge vocabularies route to the
-            # per-stage fused VQ kernel instead
-            and fits_vmem_full(self.centroids.shape[0],
-                               self.centroids.shape[1])
         ):
             from audio_tokens_tpu.ops.pallas_tokenizer import (
                 TokenizerKernel,
                 alloc_blocks,
+                kernel_fits,
             )
+        else:
+            kernel_fits = None
+        # the megakernel grid-chunks the vocabulary (running argmin carried
+        # in VMEM scratch), so the 16k north-star vocab runs single-kernel;
+        # only extreme feature widths route to the staged fused-VQ path
+        if kernel_fits is not None and kernel_fits(
+            self.centroids.shape[0], self.centroids.shape[1]
+        ):
 
             self.kernel = TokenizerKernel(
                 config.common_sr, config.n_mels, config.n_fft,

@@ -80,9 +80,8 @@ def main() -> None:
             batch, lengths = native_loader.decode_batch(
                 batch_paths, cfg.common_sr, cfg.clip_samples, cfg.n_fft,
                 n_threads=args.workers,
-            )
-            if batch.shape[1] < alloc:
-                batch = np.pad(batch, ((0, 0), (0, alloc - batch.shape[1])))
+                row_len=alloc,  # >= clip+2*pad always (mel.py:158)
+            )  # decoded straight at megakernel stride: no host re-pad copy
             if batch.shape[0] < args.batch:
                 batch = np.pad(batch, ((0, args.batch - batch.shape[0]), (0, 0)))
             return batch

@@ -619,7 +619,7 @@ bool safe_decode(const char* path, int target_sr, Decoded& out) {
 // ---------------------------------------------------------------------------
 extern "C" {
 
-int atk_version() { return 1; }
+int atk_version() { return 2; }
 
 static std::string g_last_error_copy;
 static std::mutex g_err_mutex;
@@ -644,14 +644,24 @@ int64_t atk_decode_file(const char* path, int target_sr, float* out,
 
 // Threaded batch decode into the device-ready padded layout:
 //   row b = [reflect(head,pad) | clip | reflect(tail,pad) | zeros]
-// with pad = n_fft/2 and row length = clip_samples + 2*pad.
+// with pad = n_fft/2.  ``row_len`` is the output row stride; pass 0 for the
+// minimal clip_samples + 2*pad.  Consumers that need wider rows (the Pallas
+// megakernel's over-allocated DMA windows) pass their stride directly so no
+// host-side re-pad copy is ever needed — a (B, row) re-pad of a 10 s x64
+// batch measured ~0.8 s on a 1-core host, dwarfing the decode itself.
 // lengths[b] = clip samples (clamped to clip_samples), or -1 on decode error.
-// Returns the number of successfully decoded clips.
+// Returns the number of successfully decoded clips, or -1 on bad row_len.
 int atk_decode_batch(const char** paths, int n, int target_sr,
-                     int clip_samples, int n_fft, int n_threads, float* out,
-                     int32_t* lengths) {
+                     int clip_samples, int n_fft, int n_threads,
+                     int64_t row_len, float* out, int32_t* lengths) {
   const int pad = n_fft / 2;
-  const int64_t row_len = int64_t(clip_samples) + 2 * pad;
+  const int64_t row_min = int64_t(clip_samples) + 2 * pad;
+  if (row_len == 0) row_len = row_min;
+  if (row_len < row_min) {
+    set_error("row_len " + std::to_string(row_len) + " < clip+2*pad " +
+              std::to_string(row_min));
+    return -1;
+  }
   std::atomic<int> next{0}, n_ok{0};
 
   auto worker = [&]() {
@@ -659,10 +669,10 @@ int atk_decode_batch(const char** paths, int n, int target_sr,
       int i = next.fetch_add(1);
       if (i >= n) break;
       float* row = out + int64_t(i) * row_len;
-      memset(row, 0, row_len * sizeof(float));
       Decoded d;
       if (!safe_decode(paths[i], target_sr, d) ||
           static_cast<int>(d.mono.size()) < n_fft) {
+        memset(row, 0, row_len * sizeof(float));
         lengths[i] = -1;
         continue;
       }
@@ -673,6 +683,11 @@ int atk_decode_batch(const char** paths, int n, int target_sr,
         row[j] = x[pad - j];                    // head reflect: x[1..pad] reversed
         row[pad + len + j] = x[len - 2 - j];    // tail reflect
       }
+      // zero only the unwritten tail (the head/clip/reflect span is fully
+      // written above): full-row memsets cost more than the decode at wide
+      // megakernel strides
+      const int64_t written = int64_t(pad) + len + pad;
+      memset(row + written, 0, (row_len - written) * sizeof(float));
       lengths[i] = len;
       n_ok.fetch_add(1);
     }

@@ -75,6 +75,29 @@ def test_native_batch_layout_matches_reflect_pad(tmp_path, rng):
         np.testing.assert_allclose(batch[i], expect, atol=1e-6)
 
 
+def test_native_batch_row_len_stride(tmp_path, rng):
+    """row_len > clip+2*pad decodes straight at the wide (megakernel) stride:
+    identical leading content, zero tail, no host re-pad copy needed."""
+    sr, clip_samples, n_fft = 22050, 22050, 256
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"c{i}.wav"
+        fixtures.write_wav(p, fixtures.synth_clip(i, seconds=0.8), sr=sr)
+        paths.append(p)
+    base, lengths = native_loader.decode_batch(paths, sr, clip_samples, n_fft)
+    row_min = clip_samples + n_fft
+    wide, lengths_w = native_loader.decode_batch(
+        paths, sr, clip_samples, n_fft, row_len=row_min + 777
+    )
+    assert wide.shape == (3, row_min + 777)
+    np.testing.assert_array_equal(lengths, lengths_w)
+    np.testing.assert_array_equal(wide[:, :row_min], base)
+    assert np.all(wide[:, row_min:] == 0)
+    with pytest.raises(ValueError, match="row_len"):
+        native_loader.decode_batch(paths, sr, clip_samples, n_fft,
+                                   row_len=row_min - 1)
+
+
 def test_native_batch_failed_decode_marked(tmp_path, rng):
     good = tmp_path / "g.wav"
     fixtures.write_wav(good, fixtures.synth_clip(0, 0.5), sr=22050)

@@ -1,5 +1,7 @@
-"""Megakernel planning logic (CPU-testable parts; the kernel itself requires
-real TPU hardware — exercised by bench.py and the TPU-side verification)."""
+"""Megakernel planning logic + interpret-mode end-to-end parity (the
+compiled kernel itself requires real TPU hardware — exercised by bench.py
+and the TPU-side verification; interpret mode checks the same program
+graph, including the K-chunked running argmin and the DMA schedule)."""
 
 import numpy as np
 import pytest
@@ -45,6 +47,47 @@ def test_fused_tokenizer_kernel_gating(rng):
         conv=ConvFeatures(10, 3, key_for(0, "c")), use_pallas=False,
     )
     assert tok2.kernel is None
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("vocab", [48, 300])
+def test_megakernel_interpret_matches_xla(rng, vocab):
+    """Interpret-mode megakernel == XLA fused path bit-exactly, for both a
+    single-chunk vocab and a K-chunked one (vocab > k_chunk forces the
+    running-argmin carry across the third grid dimension)."""
+    import jax.numpy as jnp
+
+    from audio_tokens_tpu.config import AudioTokensConfig
+    from audio_tokens_tpu.ops import pallas_tokenizer
+    from audio_tokens_tpu.ops.pallas_tokenizer import TokenizerKernel
+    from audio_tokens_tpu.tokenizer import FusedTokenizer
+
+    sr, nm, nf, hop = 22050, 32, 256, 128
+    cents = rng.standard_normal((vocab, nm)).astype(np.float32)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cfg = AudioTokensConfig(common_sr=sr, n_mels=nm, n_fft=nf, hop_length=hop,
+                            clip_seconds=1.5, vocab_size=vocab)
+    tok = FusedTokenizer(cfg, cents, use_pallas=False)
+    # small k_chunk so vocab=300 exercises the multi-chunk carry cheaply
+    orig_chunk = pallas_tokenizer.K_CHUNK
+    pallas_tokenizer.K_CHUNK = 128
+    try:
+        kern = TokenizerKernel(sr, nm, nf, hop, tok.frontend.frames_max,
+                               cents, interpret=True)
+    finally:
+        pallas_tokenizer.K_CHUNK = orig_chunk
+    assert kern.n_kc == (1 if vocab <= 128 else 3)
+    tok.frontend.alloc_len = max(
+        tok.frontend.padded_len,
+        alloc_blocks(tok.frontend.frames_max, hop, nf) * hop,
+    )
+    clips = [rng.standard_normal(int(sr * s)).astype(np.float32)
+             for s in (1.4, 0.9, 1.5)]
+    batch, _ = tok.frontend.prepare_batch(clips)
+    x = jnp.asarray(batch)
+    ref = np.asarray(tok._tokens_impl(x))
+    got = np.asarray(kern(x))
+    np.testing.assert_array_equal(got, ref)
 
 
 def test_precision_tiers_validated():
