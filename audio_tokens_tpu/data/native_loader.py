@@ -44,9 +44,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.atk_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
         ]
-        assert lib.atk_version() == 2
+        assert lib.atk_version() == 3
         _lib = lib
         logger.info("native audio decoder loaded: %s", _LIB_PATH)
     except Exception as e:
@@ -83,18 +83,28 @@ def decode_file(path, target_sr: int, max_seconds: float = 60.0) -> np.ndarray:
 def decode_batch(
     paths: List, target_sr: int, clip_samples: int, n_fft: int,
     n_threads: int = 8, row_len: Optional[int] = None,
+    dtype=np.float32,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Threaded batch decode -> (padded (B, row_len) float32, lengths (B,)).
+    """Threaded batch decode -> (padded (B, row_len) ``dtype``, lengths (B,)).
 
     ``row_len`` (default pad+clip+pad) sets the output row stride directly —
     consumers with wider layouts (the megakernel's over-allocated DMA
     windows) get their final buffer in one pass instead of re-padding a
-    multi-10-MB batch on the host.  lengths[i] == -1 marks a failed decode
-    (row zeroed); caller applies the reference's skip-and-log semantics.
+    multi-10-MB batch on the host.  ``dtype=np.int16`` selects the PCM wire
+    format (sample = round(x*32768) clamped): half the host->device bytes,
+    reconstructed on device as s/32768 — exact for mono 16-bit sources at
+    the target rate, <=-96 dB quantization noise otherwise.  lengths[i] ==
+    -1 marks a failed decode (row zeroed); caller applies the reference's
+    skip-and-log semantics.
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native decoder not built (python native/build.py)")
+    dtype = np.dtype(dtype)
+    try:
+        fmt = {np.dtype(np.float32): 0, np.dtype(np.int16): 1}[dtype]
+    except KeyError:
+        raise ValueError(f"dtype must be float32 or int16, got {dtype}")
     n = len(paths)
     pad = n_fft // 2
     row_min = clip_samples + 2 * pad
@@ -102,13 +112,13 @@ def decode_batch(
         row_len = row_min
     elif row_len < row_min:
         raise ValueError(f"row_len {row_len} < clip+2*pad {row_min}")
-    out = np.empty((n, row_len), np.float32)  # fully written by the library
+    out = np.empty((n, row_len), dtype)  # fully written by the library
     lengths = np.zeros(n, np.int32)
     c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
     rc = lib.atk_decode_batch(
         c_paths, n, target_sr, clip_samples, n_fft, n_threads,
-        ctypes.c_int64(row_len),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(row_len), fmt,
+        out.ctypes.data_as(ctypes.c_void_p),
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     if rc < 0:

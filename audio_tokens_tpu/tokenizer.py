@@ -103,12 +103,19 @@ class FusedTokenizer:
     ) -> jax.Array:
         """(B, pad+T+pad) waveforms -> (B, frames_max) int32 token IDs.
 
+        ``padded_batch`` may be float32 or the int16 PCM wire format
+        (``native_loader.decode_batch(dtype=np.int16)``): int16 halves the
+        host->device transfer and is reconstructed here as s/32768 before
+        any compute.
+
         ``lengths`` (true sample counts) is required when ``config.normalize``
         — per-clip min-max scaling is computed over each clip's valid frames,
         matching what the spectrogram stage wrote to disk.
         """
         if self.config.normalize and lengths is None:
             raise ValueError("config.normalize=True requires lengths")
+        if padded_batch.dtype == jnp.int16:
+            padded_batch = padded_batch.astype(jnp.float32) * (1.0 / 32768.0)
         return self._tokens_dispatch(padded_batch, lengths)
 
     def _tokens_dispatch(self, padded_batch, lengths=None):

@@ -48,6 +48,10 @@ def main() -> None:
     parser.add_argument("--vocab", type=int, default=500)
     parser.add_argument("--workers", type=int, default=8)
     parser.add_argument("--tier", default="highest")
+    parser.add_argument("--wire", default="f32", choices=("f32", "i16"),
+                        help="host->device waveform format: i16 PCM halves "
+                        "the transfer (exact for mono 16-bit sources at the "
+                        "target rate)")
     args = parser.parse_args()
 
     import jax
@@ -75,12 +79,15 @@ def main() -> None:
     use_native = native_loader.available()
     alloc = getattr(tok.frontend, "alloc_len", tok.frontend.padded_len)
 
+    wire_dtype = np.int16 if args.wire == "i16" else np.float32
+
     def decode_batch(batch_paths):
         if use_native:
             batch, lengths = native_loader.decode_batch(
                 batch_paths, cfg.common_sr, cfg.clip_samples, cfg.n_fft,
                 n_threads=args.workers,
                 row_len=alloc,  # >= clip+2*pad always (mel.py:158)
+                dtype=wire_dtype,
             )  # decoded straight at megakernel stride: no host re-pad copy
             if batch.shape[0] < args.batch:
                 batch = np.pad(batch, ((0, args.batch - batch.shape[0]), (0, 0)))
@@ -127,7 +134,7 @@ def main() -> None:
     dt = time.perf_counter() - t0
     cps = len(paths) / dt
     print(f"serving (disk->decode->tokens, double-buffered, tier={args.tier}, "
-          f"{'native' if use_native else 'python'} decode): "
+          f"wire={args.wire}, {'native' if use_native else 'python'} decode): "
           f"{cps:.0f} clips/s over {len(paths)} clips "
           f"({dt:.2f}s, {len(paths) * args.seconds / dt:.0f}x realtime)")
 

@@ -619,7 +619,7 @@ bool safe_decode(const char* path, int target_sr, Decoded& out) {
 // ---------------------------------------------------------------------------
 extern "C" {
 
-int atk_version() { return 2; }
+int atk_version() { return 3; }
 
 static std::string g_last_error_copy;
 static std::mutex g_err_mutex;
@@ -650,44 +650,55 @@ int64_t atk_decode_file(const char* path, int target_sr, float* out,
 // host-side re-pad copy is ever needed — a (B, row) re-pad of a 10 s x64
 // batch measured ~0.8 s on a 1-core host, dwarfing the decode itself.
 // lengths[b] = clip samples (clamped to clip_samples), or -1 on decode error.
-// Returns the number of successfully decoded clips, or -1 on bad row_len.
-int atk_decode_batch(const char** paths, int n, int target_sr,
-                     int clip_samples, int n_fft, int n_threads,
-                     int64_t row_len, float* out, int32_t* lengths) {
+// ``fmt``: 0 = float32 rows; 1 = int16 PCM rows (sample = round(x*32768)
+// clamped — the natural wire format: halves the host->device transfer, and
+// the device reconstructs x = s/32768.  Exact roundtrip for mono 16-bit
+// sources at the target rate; resampled/downmixed clips carry <=0.5/32768
+// quantization noise, ~-96 dB).
+// Returns the number of successfully decoded clips, or -1 on bad args.
+}  // extern "C" (templates/overloads below need C++ linkage)
+
+namespace {
+
+inline void convert_sample(float x, float& out) { out = x; }
+inline void convert_sample(float x, int16_t& out) {
+  float v = x * 32768.0f;
+  v = std::max(-32768.0f, std::min(32767.0f, v));
+  out = static_cast<int16_t>(std::lrintf(v));
+}
+
+template <typename T>
+int decode_batch_impl(const char** paths, int n, int target_sr,
+                      int clip_samples, int n_fft, int n_threads,
+                      int64_t row_len, T* out, int32_t* lengths) {
   const int pad = n_fft / 2;
-  const int64_t row_min = int64_t(clip_samples) + 2 * pad;
-  if (row_len == 0) row_len = row_min;
-  if (row_len < row_min) {
-    set_error("row_len " + std::to_string(row_len) + " < clip+2*pad " +
-              std::to_string(row_min));
-    return -1;
-  }
   std::atomic<int> next{0}, n_ok{0};
 
   auto worker = [&]() {
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      float* row = out + int64_t(i) * row_len;
+      T* row = out + int64_t(i) * row_len;
       Decoded d;
       if (!safe_decode(paths[i], target_sr, d) ||
           static_cast<int>(d.mono.size()) < n_fft) {
-        memset(row, 0, row_len * sizeof(float));
+        memset(row, 0, row_len * sizeof(T));
         lengths[i] = -1;
         continue;
       }
       int len = std::min<int>(d.mono.size(), clip_samples);
       const float* x = d.mono.data();
-      memcpy(row + pad, x, len * sizeof(float));
+      for (int j = 0; j < len; ++j) convert_sample(x[j], row[pad + j]);
       for (int j = 0; j < pad; ++j) {
-        row[j] = x[pad - j];                    // head reflect: x[1..pad] reversed
-        row[pad + len + j] = x[len - 2 - j];    // tail reflect
+        // reflect = copies of already-converted samples (order-exact)
+        row[j] = row[pad + (pad - j)];          // head: x[1..pad] reversed
+        row[pad + len + j] = row[pad + len - 2 - j];  // tail reflect
       }
       // zero only the unwritten tail (the head/clip/reflect span is fully
       // written above): full-row memsets cost more than the decode at wide
       // megakernel strides
       const int64_t written = int64_t(pad) + len + pad;
-      memset(row + written, 0, (row_len - written) * sizeof(float));
+      memset(row + written, 0, (row_len - written) * sizeof(T));
       lengths[i] = len;
       n_ok.fetch_add(1);
     }
@@ -701,4 +712,28 @@ int atk_decode_batch(const char** paths, int n, int target_sr,
   return n_ok.load();
 }
 
-}  // extern "C"
+}  // namespace
+
+extern "C" int atk_decode_batch(
+    const char** paths, int n, int target_sr,
+    int clip_samples, int n_fft, int n_threads,
+    int64_t row_len, int fmt, void* out, int32_t* lengths) {
+  const int pad = n_fft / 2;
+  const int64_t row_min = int64_t(clip_samples) + 2 * pad;
+  if (row_len == 0) row_len = row_min;
+  if (row_len < row_min) {
+    set_error("row_len " + std::to_string(row_len) + " < clip+2*pad " +
+              std::to_string(row_min));
+    return -1;
+  }
+  if (fmt == 0)
+    return decode_batch_impl(paths, n, target_sr, clip_samples, n_fft,
+                             n_threads, row_len, static_cast<float*>(out),
+                             lengths);
+  if (fmt == 1)
+    return decode_batch_impl(paths, n, target_sr, clip_samples, n_fft,
+                             n_threads, row_len, static_cast<int16_t*>(out),
+                             lengths);
+  set_error("unknown fmt " + std::to_string(fmt));
+  return -1;
+}

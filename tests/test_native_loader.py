@@ -98,6 +98,38 @@ def test_native_batch_row_len_stride(tmp_path, rng):
                                    row_len=row_min - 1)
 
 
+def test_native_batch_int16_wire_format(tmp_path, rng):
+    """dtype=int16 rows are round(x*32768); for 16-bit mono WAV at the
+    target rate the f32 reconstruction s/32768 is bit-exact, so tokens from
+    the i16 wire equal tokens from the f32 wire."""
+    sr, clip_samples, n_fft = 22050, 22050, 256
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"c{i}.wav"
+        fixtures.write_wav(p, fixtures.synth_clip(i, seconds=0.8), sr=sr)
+        paths.append(p)
+    f32, lengths = native_loader.decode_batch(paths, sr, clip_samples, n_fft)
+    i16, lengths_i = native_loader.decode_batch(paths, sr, clip_samples,
+                                                n_fft, dtype=np.int16)
+    assert i16.dtype == np.int16
+    np.testing.assert_array_equal(lengths, lengths_i)
+    # 16-bit PCM source at target rate: exact roundtrip
+    np.testing.assert_array_equal(i16.astype(np.float32) / 32768.0, f32)
+
+    from audio_tokens_tpu.config import AudioTokensConfig
+    from audio_tokens_tpu.tokenizer import FusedTokenizer
+
+    import jax.numpy as jnp
+
+    cents = rng.standard_normal((8, 16)).astype(np.float32)
+    cfg = AudioTokensConfig(common_sr=sr, n_mels=16, n_fft=n_fft,
+                            hop_length=128, clip_seconds=1.0, vocab_size=8)
+    tok = FusedTokenizer(cfg, cents, use_pallas=False)
+    t_f32 = np.asarray(tok.tokens_from_padded(jnp.asarray(f32)))
+    t_i16 = np.asarray(tok.tokens_from_padded(jnp.asarray(i16)))
+    np.testing.assert_array_equal(t_f32, t_i16)
+
+
 def test_native_batch_failed_decode_marked(tmp_path, rng):
     good = tmp_path / "g.wav"
     fixtures.write_wav(good, fixtures.synth_clip(0, 0.5), sr=22050)
