@@ -6,9 +6,13 @@ input truncated to 512 tokens and a linear head on the position-0 output).
 Built in-repo (no HF dependency): learned token + position embeddings with
 LayerNorm, post-LN encoder blocks (MHA -> Add&LN -> GELU MLP x4 -> Add&LN),
 matching BERT-base block structure (heads = hidden/64, intermediate = 4*
-hidden).  Like the reference, no [CLS] token is inserted — "CLS output" is
-simply position 0 of the encoded sequence, and with the reference's
-degenerate all-ones masks (``lengths=None``) attention is unmasked.
+hidden), exact-erf GELU and layer_norm_eps 1e-12 like HF's BertConfig
+defaults — under weight transplant the forward FUNCTION matches the actual
+HF ``BertModel`` stack the reference instantiated
+(tests/test_torch_parity.py::test_bert_forward_logits_match_hf).  Like the
+reference, no [CLS] token is inserted — "CLS output" is simply position 0
+of the encoded sequence, and with the reference's degenerate all-ones masks
+(``lengths=None``) attention is unmasked.
 
 TPU notes: attention and MLP matmuls run in ``compute_dtype`` (bf16 on the
 MXU) with fp32 accumulation and fp32 LayerNorm/softmax; ``TP_RULES`` maps
@@ -19,6 +23,8 @@ param paths to Megatron-style column/row shardings over a ``model`` mesh axis
 from __future__ import annotations
 
 from typing import Optional
+
+LN_EPS = 1e-12  # HF BertConfig layer_norm_eps — function-level parity
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -59,15 +65,15 @@ class EncoderBlock(nn.Module):
             deterministic=deterministic,
             name="attention",
         )(x, x, mask=attn_mask)
-        x = nn.LayerNorm(dtype=jnp.float32, name="attn_ln")(x + attn)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="attn_ln")(x + attn)
         # --- MLP ---
         h = nn.Dense(4 * self.hidden_size, dtype=self.compute_dtype,
                      param_dtype=jnp.float32, name="mlp_in")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # HF BertConfig default 'gelu' = exact erf
         h = nn.Dense(self.hidden_size, dtype=self.compute_dtype,
                      param_dtype=jnp.float32, name="mlp_out")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.LayerNorm(dtype=jnp.float32, name="mlp_ln")(x + h)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="mlp_ln")(x + h)
 
 
 class TransformerClassifier(nn.Module):
@@ -99,7 +105,7 @@ class TransformerClassifier(nn.Module):
         pos = nn.Embed(self.max_position, self.hidden_size, name="pos_embed")(
             jnp.arange(t)[None, :]
         )
-        x = nn.LayerNorm(dtype=jnp.float32, name="embed_ln")(x + pos)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="embed_ln")(x + pos)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
         if lengths is None:

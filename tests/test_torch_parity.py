@@ -211,6 +211,80 @@ def test_simple_training_trajectory_matches_torch(rng):
 
 
 @pytest.mark.slow
+def test_bert_forward_logits_match_hf(rng):
+    """Third family with a reference-stack mirror: transplanted weights make
+    our in-repo transformer compute the same function as the actual HF
+    ``BertModel(BertConfig(vocab_size, num_hidden_layers, hidden_size))`` +
+    linear head the reference instantiated
+    (reference: models/custom_bert_classifier.py:8-28).  Requires HF
+    defaults our encoder mirrors exactly: 12 heads at hidden 768, 4x MLP,
+    exact-erf GELU, layer_norm_eps 1e-12, post-LN."""
+    import torch
+    from transformers import BertConfig, BertModel
+
+    from audio_tokens_tpu.models.transformer import TransformerClassifier
+
+    vocab, layers, classes, hidden = 64, 2, 7, 768
+    model = TransformerClassifier(
+        vocab_size=vocab, num_layers=layers, num_classes=classes,
+        hidden_size=hidden, dropout=0.0,
+    )
+    toks = rng.integers(0, vocab, (2, 16))
+    params = model.init({"params": jax.random.key(0)},
+                        jnp.asarray(toks, jnp.int32), lengths=None,
+                        deterministic=True)["params"]
+    ours = np.asarray(model.apply({"params": params},
+                                  jnp.asarray(toks, jnp.int32),
+                                  lengths=None, deterministic=True))
+
+    hf = BertModel(BertConfig(vocab_size=vocab, num_hidden_layers=layers,
+                              hidden_size=hidden))
+    head = torch.nn.Linear(hidden, classes)
+    p = jax.device_get(params)
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32))
+
+    with torch.no_grad():
+        emb = hf.embeddings
+        emb.word_embeddings.weight.copy_(t(p["tok_embed"]["embedding"]))
+        emb.position_embeddings.weight.copy_(t(p["pos_embed"]["embedding"]))
+        emb.token_type_embeddings.weight.zero_()  # our model has no segments
+        emb.LayerNorm.weight.copy_(t(p["embed_ln"]["scale"]))
+        emb.LayerNorm.bias.copy_(t(p["embed_ln"]["bias"]))
+        for i in range(layers):
+            src = p[f"layer_{i}"]
+            dst = hf.encoder.layer[i]
+            att = src["attention"]
+            for name in ("query", "key", "value"):
+                lin = getattr(dst.attention.self, name)
+                # flax MHA kernel (H, heads, head_dim) -> HF (H_out, H_in)
+                lin.weight.copy_(t(att[name]["kernel"]).reshape(hidden, hidden).T)
+                lin.bias.copy_(t(att[name]["bias"]).reshape(hidden))
+            dst.attention.output.dense.weight.copy_(
+                t(att["out"]["kernel"]).reshape(hidden, hidden).T)
+            dst.attention.output.dense.bias.copy_(t(att["out"]["bias"]))
+            dst.attention.output.LayerNorm.weight.copy_(t(src["attn_ln"]["scale"]))
+            dst.attention.output.LayerNorm.bias.copy_(t(src["attn_ln"]["bias"]))
+            dst.intermediate.dense.weight.copy_(t(src["mlp_in"]["kernel"]).T)
+            dst.intermediate.dense.bias.copy_(t(src["mlp_in"]["bias"]))
+            dst.output.dense.weight.copy_(t(src["mlp_out"]["kernel"]).T)
+            dst.output.dense.bias.copy_(t(src["mlp_out"]["bias"]))
+            dst.output.LayerNorm.weight.copy_(t(src["mlp_ln"]["scale"]))
+            dst.output.LayerNorm.bias.copy_(t(src["mlp_ln"]["bias"]))
+        head.weight.copy_(t(p["classifier"]["kernel"]).T)
+        head.bias.copy_(t(p["classifier"]["bias"]))
+
+    hf.eval()
+    with torch.no_grad():
+        out = hf(input_ids=torch.from_numpy(toks.astype(np.int64)),
+                 attention_mask=torch.ones_like(
+                     torch.from_numpy(toks.astype(np.int64))))
+        theirs = head(out.last_hidden_state[:, 0, :]).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
 def test_trainer_val_map_parity_on_fixture_corpus(tmp_path):
     """The full Trainer vs the reference-mirror loop end-to-end: matched
     config on a shared tokenized fixture corpus.  Multi-seed (3 independent
