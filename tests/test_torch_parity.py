@@ -210,6 +210,54 @@ def test_simple_training_trajectory_matches_torch(rng):
     assert abs(jax_losses[-1] - torch_losses[-1]) < 2e-2
 
 
+def test_cnn_forward_logits_match_torch(rng):
+    """Fourth family mirror: the NHWC conv/pool stack computes the reference
+    CNN's function (NCHW) exactly under weight transplant (flatten-order
+    permutation included)."""
+    import torch
+
+    from audio_tokens_tpu.models.cnn import CNNClassifier
+    from tests.torch_mirror import TorchCNNClassifier, transplant_cnn_from_flax
+
+    t, m, classes = 24, 16, 7
+    model = CNNClassifier(num_classes=classes)
+    x = rng.standard_normal((3, t, m)).astype(np.float32)
+    params = model.init({"params": jax.random.key(0)}, jnp.asarray(x),
+                        lengths=None, deterministic=True)["params"]
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(x),
+                                  lengths=None, deterministic=True))
+    tm = TorchCNNClassifier(t, m, classes)
+    transplant_cnn_from_flax(tm, jax.device_get(params), t, m)
+    tm.eval()
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
+
+
+def test_mlp_forward_logits_match_torch(rng):
+    """Fifth family mirror: the baseline MLP matches the reference's
+    lazy-init MLP function under weight transplant — all five model
+    families now have reference-stack forward-parity mirrors."""
+    import torch
+
+    from audio_tokens_tpu.models.mlp import BaselineMLPClassifier
+    from tests.torch_mirror import TorchMLPClassifier, transplant_mlp_from_flax
+
+    d, classes = 96, 7
+    model = BaselineMLPClassifier(num_classes=classes)
+    x = rng.standard_normal((4, d)).astype(np.float32)
+    params = model.init({"params": jax.random.key(0)}, jnp.asarray(x),
+                        lengths=None, deterministic=True)["params"]
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(x),
+                                  lengths=None, deterministic=True))
+    tm = TorchMLPClassifier(d, classes)
+    transplant_mlp_from_flax(tm, jax.device_get(params))
+    tm.eval()
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
+
+
 @pytest.mark.slow
 def test_bert_forward_logits_match_hf(rng):
     """Third family with a reference-stack mirror: transplanted weights make

@@ -65,6 +65,76 @@ def transplant_simple_from_flax(model: TorchSimpleClassifier,
         model.classifier.bias.copy_(t(params["classifier"]["bias"]))
 
 
+class TorchCNNClassifier(nn.Module):
+    """reference CNNClassifier (models/cnn_classifier.py:16-43) with the
+    lazy first-batch layer setup replaced by explicit dims."""
+
+    def __init__(self, t, m, num_classes):
+        super().__init__()
+        self.conv1 = nn.Conv2d(1, 32, kernel_size=3, padding=1)
+        self.conv2 = nn.Conv2d(32, 64, kernel_size=3, padding=1)
+        self.pool = nn.MaxPool2d(2, 2)
+        self.fc1 = nn.Linear(64 * (t // 4) * (m // 4), 256)
+        self.fc2 = nn.Linear(256, num_classes)
+
+    def forward(self, x):  # x: (B, T, M)
+        x = x.unsqueeze(1)
+        x = self.pool(torch.relu(self.conv1(x)))
+        x = self.pool(torch.relu(self.conv2(x)))
+        x = x.view(x.size(0), -1)
+        return self.fc2(torch.relu(self.fc1(x)))
+
+
+def transplant_cnn_from_flax(model: TorchCNNClassifier, params: dict,
+                             t: int, m: int) -> None:
+    """Copy the JAX CNN params (models/cnn.py, NHWC) into the torch mirror
+    (NCHW).  The flatten order differs (torch is channel-major), so fc1's
+    input dimension is permuted accordingly."""
+    def tt(x):
+        return torch.from_numpy(np.asarray(x, np.float32))
+
+    h, w = t // 4, m // 4
+    with torch.no_grad():
+        for name in ("conv1", "conv2"):
+            # flax (kh, kw, in, out) -> torch (out, in, kh, kw)
+            model_layer = getattr(model, name)
+            model_layer.weight.copy_(
+                tt(params[name]["kernel"]).permute(3, 2, 0, 1).contiguous())
+            model_layer.bias.copy_(tt(params[name]["bias"]))
+        # flax flatten is (h, w, c)-major; torch is (c, h, w)-major
+        k = tt(params["fc1"]["kernel"]).reshape(h, w, 64, 256)
+        model.fc1.weight.copy_(
+            k.permute(2, 0, 1, 3).reshape(-1, 256).T.contiguous())
+        model.fc1.bias.copy_(tt(params["fc1"]["bias"]))
+        model.fc2.weight.copy_(tt(params["fc2"]["kernel"]).T.contiguous())
+        model.fc2.bias.copy_(tt(params["fc2"]["bias"]))
+
+
+class TorchMLPClassifier(nn.Module):
+    """reference BaselineMLPClassifier (models/baseline_MLP_classifier.py:
+    16-28) with the lazy input-size inference replaced by an explicit dim."""
+
+    def __init__(self, input_size, num_classes):
+        super().__init__()
+        self.fc1 = nn.Linear(input_size, 512)
+        self.fc2 = nn.Linear(512, 256)
+        self.fc3 = nn.Linear(256, num_classes)
+
+    def forward(self, x):
+        return self.fc3(torch.relu(self.fc2(torch.relu(self.fc1(x)))))
+
+
+def transplant_mlp_from_flax(model: TorchMLPClassifier, params: dict) -> None:
+    def tt(x):
+        return torch.from_numpy(np.asarray(x, np.float32))
+
+    with torch.no_grad():
+        for name in ("fc1", "fc2", "fc3"):
+            layer = getattr(model, name)
+            layer.weight.copy_(tt(params[name]["kernel"]).T.contiguous())
+            layer.bias.copy_(tt(params[name]["bias"]))
+
+
 def transplant_from_flax(model: TorchLSTMClassifier, params: dict) -> None:
     """Copy the JAX model's params into the torch mirror (same function).
 
