@@ -89,6 +89,42 @@ def main() -> None:
         mesh=mesh, superbatch_rows=1024, chunk=128,
     )
 
+    # ---- part C: SpecTokenizer stage with per-process ytid sharding ----
+    # proc 0 synthesizes a shared workspace (spectrograms + centroids);
+    # every process runs the SAME stage command; the artifacts must jointly
+    # cover all clips with per-shard ownership and bitwise-stable tokens.
+    from pathlib import Path
+
+    from audio_tokens_tpu.parallel import distributed
+    from audio_tokens_tpu.processors.spec_tokenizer import SpecTokenizer
+
+    ws = Path(outdir) / "tok_ws"
+    n_clips, n_mels = 9, 16
+    srng = np.random.default_rng(11)
+    cents = srng.standard_normal((8, n_mels)).astype(np.float32)
+    specs = {f"clip{i:03d}": srng.standard_normal(
+        (n_mels, 20 + 3 * i)).astype(np.float32) for i in range(n_clips)}
+    if distributed.is_coordinator():
+        for split in ("train", "validation"):
+            d = ws / "spectrograms" / split
+            d.mkdir(parents=True, exist_ok=True)
+        for name, s in specs.items():
+            np.save(ws / "spectrograms" / "train" / f"{name}.npy", s)
+        np.save(ws / "spectrograms" / "validation" / "vclip.npy",
+                srng.standard_normal((n_mels, 25)).astype(np.float32))
+        (ws / "output").mkdir(exist_ok=True)
+        np.save(ws / "output" / "centroids.npy", cents)
+    distributed.barrier("mp-tok-workspace")
+    tok_cfg = AudioTokensConfig(
+        base_dir=str(ws), n_mels=n_mels, vocab_size=8, incremental=False,
+        device_batch_size=4, use_convolution=False,
+    )
+    SpecTokenizer(tok_cfg).run()
+    # run() barriers after each split, so every shard's artifacts exist now
+    files = sorted((ws / "tokenized_audio" / "train").glob("*.npy"))
+    assert len(files) == n_clips, [f.name for f in files]
+    token_cat = np.concatenate([np.load(f) for f in files])
+
     np.savez(
         os.path.join(outdir, f"result_{pid}.npz"),
         train_losses=np.asarray(train_losses, np.float64),
@@ -97,9 +133,10 @@ def main() -> None:
         centroids=centroids,
         obj=np.float64(obj),
         n_total=np.int64(n_total),
+        token_cat=token_cat,
     )
     print(f"[proc {pid}] OK: losses={train_losses} eval_mAP={eval_metrics['mAP']:.4f} "
-          f"kmeans_obj={obj:.4f} n={n_total}", flush=True)
+          f"kmeans_obj={obj:.4f} n={n_total} tokens={token_cat.shape}", flush=True)
 
 
 if __name__ == "__main__":

@@ -116,6 +116,43 @@ def test_two_process_dp_training_matches_single_process(mp_results):
     assert abs(float(r0["eval_map"]) - ref_map) < 1e-3
 
 
+def test_two_process_tokenizer_stage_matches_single_process(mp_results,
+                                                            tmp_path):
+    """The SpecTokenizer stage run by two processes (ytids sharded per
+    process, proc-0 workspace setup + wipe, barriers between) produces the
+    SAME full artifact set a single-process run does — bit for bit."""
+    from audio_tokens_tpu.config import AudioTokensConfig
+    from audio_tokens_tpu.processors.spec_tokenizer import SpecTokenizer
+
+    r0, r1 = mp_results[0], mp_results[1]
+    np.testing.assert_array_equal(r0["token_cat"], r1["token_cat"])
+
+    # identical workspace, single process (this test's own jax runtime)
+    n_clips, n_mels = 9, 16
+    srng = np.random.default_rng(11)
+    cents = srng.standard_normal((8, n_mels)).astype(np.float32)
+    specs = {f"clip{i:03d}": srng.standard_normal(
+        (n_mels, 20 + 3 * i)).astype(np.float32) for i in range(n_clips)}
+    ws = tmp_path / "tok_ws"
+    for split in ("train", "validation"):
+        (ws / "spectrograms" / split).mkdir(parents=True)
+    for name, s in specs.items():
+        np.save(ws / "spectrograms" / "train" / f"{name}.npy", s)
+    np.save(ws / "spectrograms" / "validation" / "vclip.npy",
+            srng.standard_normal((n_mels, 25)).astype(np.float32))
+    (ws / "output").mkdir()
+    np.save(ws / "output" / "centroids.npy", cents)
+    cfg = AudioTokensConfig(
+        base_dir=str(ws), n_mels=n_mels, vocab_size=8, incremental=False,
+        device_batch_size=4, use_convolution=False,
+    )
+    SpecTokenizer(cfg).run()
+    files = sorted((ws / "tokenized_audio" / "train").glob("*.npy"))
+    assert len(files) == n_clips
+    ref_cat = np.concatenate([np.load(f) for f in files])
+    np.testing.assert_array_equal(r0["token_cat"], ref_cat)
+
+
 def test_two_process_streaming_kmeans_matches_single_process(mp_results):
     from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
 
