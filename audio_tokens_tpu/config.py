@@ -203,9 +203,15 @@ class AudioTokensConfig:
     # bit-identical trajectories across mesh shapes matter.
     lstm_backend: str = "auto"
     # Megakernel DFT/mel GEMM tier: 'highest' (f32, bit-exact tokens,
-    # ~16.0k clips/s on v5e), 'bf16x3' (~23.6k, 99.997% agreement),
-    # 'default' (bf16, ~28-36k, 99.3%).  VQ distances always run f32.
+    # ~18.5k clips/s on v5e), 'bf16x3' (~26k, 99.997% agreement),
+    # 'default' (bf16, ~34k, 99.3%).  VQ distances always run f32.
     tokenizer_precision: str = "highest"
+    # Host->device waveform wire format for the fused (native-decode)
+    # pipeline: 'f32', or 'i16' PCM (half the transfer bytes; bit-exact for
+    # mono 16-bit sources at common_sr, <=-96 dB quantization noise for
+    # resampled/downmixed clips — measured 2x transfer+tokenize on
+    # link-bound hosts, BASELINE.md serving section).
+    pcm_wire: str = "f32"
     # Epoch-mAP accumulation: 0 keeps every sigmoid in host RAM (exact,
     # reference semantics; ~4.3 GB/epoch at 2M clips); >0 switches to the
     # constant-memory histogram estimator with this many score buckets
@@ -272,6 +278,9 @@ class AudioTokensConfig:
             self.checkpoint_dir = f"{base}/output/checkpoints"
         if not self.eval_batch_size:
             self.eval_batch_size = self.training_batch_size
+        if self.pcm_wire not in ("f32", "i16"):
+            raise ValueError(f"pcm_wire must be 'f32' or 'i16', "
+                             f"got '{self.pcm_wire}'")
         self.dest_spec_path = Path(self.dest_spec_path)
         self.centroids_path = Path(self.centroids_path)
         self.source_spec_path = Path(self.source_spec_path)

@@ -239,6 +239,7 @@ class SpecTokenizer:
             [p for _, p in chunk], cfg.common_sr, cfg.clip_samples,
             cfg.n_fft, n_threads=cfg.num_workers,
             row_len=alloc,  # >= clip+2*pad always (mel.py:158)
+            dtype=np.int16 if cfg.pcm_wire == "i16" else np.float32,
         )  # decoded straight at megakernel stride: no host re-pad copy
         pad_rows = bs - len(chunk)
         if pad_rows:  # keep the compiled shape / engage the kernel
