@@ -43,6 +43,13 @@ def test_dryrun_never_touches_default_backend(monkeypatch):
     graft.dryrun_multichip(8)
 
 
+def test_dryrun_multiprocess_two_procs():
+    """The driver-facing multi-host hook: two real jax.distributed processes
+    run DP training + sharded streaming K-means and must agree bit-exactly
+    (replicated outputs compared inside the hook)."""
+    graft.dryrun_multiprocess(2)
+
+
 def test_entry_forward_finite():
     fn, (params, tokens) = graft.entry()
     logits = jax.jit(fn)(params, tokens)
