@@ -607,6 +607,20 @@ def kmeans_fit_streaming(
             sharding, arr, global_shape=(n_dev,) + value.shape)
         return np.asarray(_psum_leading(g, mesh, axis_name))
 
+    def _global_sum_int(n: int) -> int:
+        """EXACT cross-process sum of a python int.  float32 psums lose
+        integer exactness past 2^24 — corpus frame counts blow through that
+        — so the value travels as 16-bit limbs in an int32 psum (exact for
+        counts < 2^64 across < 2^15 processes)."""
+        limbs = np.array([(int(n) >> (16 * i)) & 0xFFFF for i in range(4)],
+                         np.int32)
+        arr = np.zeros((n_local_dev, 4), np.int32)
+        arr[0] = limbs
+        g = jax.make_array_from_process_local_data(
+            sharding, arr, global_shape=(n_dev, 4))
+        out = np.asarray(_psum_leading(g, mesh, axis_name))
+        return int(sum(int(v) << (16 * i) for i, v in enumerate(out)))
+
     centroids = None
     if init_centroids is not None:
         centroids = np.asarray(init_centroids, np.float32).reshape(k, d)
@@ -617,8 +631,7 @@ def kmeans_fit_streaming(
         one-hot contribution), so every process starts from identical
         centroids."""
         if mp:
-            fill0 = int(_global_sum(
-                np.float32(fill if jax.process_index() == 0 else 0.0)))
+            fill0 = _global_sum_int(fill if jax.process_index() == 0 else 0)
             if fill0 < k:
                 raise ValueError(
                     f"process 0's first super-batch has {fill0} points < k={k}"
@@ -746,7 +759,7 @@ def kmeans_fit_streaming(
         if it == 0:
             if mp:
                 n_feeds_sched = n_feeds
-                n_total = int(_global_sum(np.float32(n_seen)))
+                n_total = _global_sum_int(n_seen)
             else:
                 n_total = n_seen
             if n_total == 0:

@@ -44,9 +44,14 @@ def maybe_initialize(config=None) -> bool:
 
     Returns True when running multi-process (whether initialized now or
     earlier).  Safe to call from every stage entry point.
+
+    Ordering is critical: ``jax.distributed.initialize`` must run before ANY
+    call that touches the XLA backend — including innocuous-looking queries
+    like ``jax.process_count()`` — so the not-configured decision is made
+    from config/env alone, and backend state is only consulted afterwards.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    if _initialized:
         return jax.process_count() > 1
 
     coord = (getattr(config, "coordinator_address", "") or
@@ -59,7 +64,9 @@ def maybe_initialize(config=None) -> bool:
     explicit = bool(coord or n_proc > 1)
     auto = bool(getattr(config, "distributed", False))
     if not (explicit or auto):
-        return False
+        # not configured: single-process (or a launcher already called
+        # jax.distributed.initialize itself — backend state is truthful)
+        return jax.process_count() > 1
 
     kwargs = {}
     if coord:
@@ -68,7 +75,13 @@ def maybe_initialize(config=None) -> bool:
         kwargs["num_processes"] = n_proc
     if pid >= 0:
         kwargs["process_id"] = pid
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # the launcher beat us to it (e.g. a test harness): fine, as long
+        # as the runtime IS initialized; anything else is a real error
+        if "already initialized" not in str(e).lower():
+            raise
     _initialized = True
     logger.info(
         "jax.distributed initialized: process %d/%d, %d local / %d global devices",

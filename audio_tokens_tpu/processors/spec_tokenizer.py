@@ -313,26 +313,34 @@ class SpecTokenizer:
                         minlength=self.centroids.shape[0])
         )
 
-    def analyze_zipf_and_tail(self, frequencies: np.ndarray) -> dict:
-        """Zipf slope by closed-form least squares over the 10-90% rank band
-        (reference used scipy.linregress; same estimator)."""
-        if len(frequencies) < 4:
-            return {"zipf_slope": float("nan"), "tail_start": 0}
+    @staticmethod
+    def _zipf_fit(frequencies: np.ndarray):
+        """Closed-form least squares of log-freq on log-rank over the 10-90%
+        rank band (reference used scipy.linregress; same estimator).  The
+        SINGLE fit implementation — the reported stats and the plotted line
+        both come from here, so they cannot drift."""
         ranks = np.arange(1, len(frequencies) + 1)
         lo, hi = int(0.1 * len(frequencies)), int(0.9 * len(frequencies))
         lx = np.log(ranks[lo:hi])
-        ly = np.log(frequencies[lo:hi])
+        ly = np.log(np.asarray(frequencies[lo:hi], np.float64))
         vx = lx - lx.mean()
         slope = float((vx * (ly - ly.mean())).sum() / (vx * vx).sum())
+        intercept = float(ly.mean() - slope * lx.mean())
         r = float(
             (vx * (ly - ly.mean())).sum()
             / np.sqrt((vx * vx).sum() * ((ly - ly.mean()) ** 2).sum())
         )
+        return slope, intercept, r * r, lx
+
+    def analyze_zipf_and_tail(self, frequencies: np.ndarray) -> dict:
+        if len(frequencies) < 4:
+            return {"zipf_slope": float("nan"), "tail_start": 0}
+        slope, _, r2, _ = self._zipf_fit(frequencies)
         cum = np.cumsum(frequencies) / frequencies.sum()
         tail_start = int(np.searchsorted(cum, 0.8))
         logger.info("Zipf slope: %.2f (r^2=%.2f); 80%% of mass in top %d tokens",
-                    slope, r * r, tail_start)
-        return {"zipf_slope": slope, "zipf_r2": r * r, "tail_start": tail_start}
+                    slope, r2, tail_start)
+        return {"zipf_slope": slope, "zipf_r2": r2, "tail_start": tail_start}
 
     def plot_token_counts(self, counts: np.ndarray) -> None:
         try:
@@ -374,11 +382,7 @@ class SpecTokenizer:
             if len(freqs) < 4:
                 return
             ranks = np.arange(1, len(freqs) + 1)
-            lo, hi = int(0.1 * len(freqs)), int(0.9 * len(freqs))
-            lx, ly = np.log(ranks[lo:hi]), np.log(freqs[lo:hi])
-            vx = lx - lx.mean()
-            slope = float((vx * (ly - ly.mean())).sum() / (vx * vx).sum())
-            intercept = float(ly.mean() - slope * lx.mean())
+            slope, intercept, _, lx = self._zipf_fit(freqs)
             fig, ax = plt.subplots(figsize=(10, 6))
             ax.scatter(np.log(ranks), np.log(freqs), s=8, alpha=0.6,
                        label="observed")

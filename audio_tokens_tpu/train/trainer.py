@@ -92,12 +92,24 @@ class _AsyncCollector:
             raise self._exc
 
 
-def _mean_losses(losses) -> float:
-    """Mean of per-step device loss scalars with ONE device->host fetch
-    (fetching each scalar costs a dispatch round-trip)."""
-    if not losses:
-        return float("nan")
-    return float(np.mean(np.asarray(jnp.stack(losses))))
+class _LossMean:
+    """Running mean of per-step device loss scalars: accumulate ON DEVICE
+    (one tiny async add per step), fetch ONCE at epoch end.  A stack-then-
+    mean would build a concatenate with n_steps operands — ~31k at the 2M-
+    clip corpus — which XLA cannot reasonably compile."""
+
+    def __init__(self):
+        self._sum = None
+        self._n = 0
+
+    def add(self, loss) -> None:
+        self._sum = loss if self._sum is None else self._sum + loss
+        self._n += 1
+
+    def result(self) -> float:
+        if self._n == 0:
+            return float("nan")
+        return float(np.asarray(self._sum)) / self._n
 
 
 class Trainer:
@@ -504,29 +516,48 @@ class Trainer:
     def _prefetch(self, batch_iter, start_step: int, depth: int = 2):
         """Background-thread device_put pipeline: the next batch's transfer
         overlaps the current step's compute, so the loop runs at
-        max(wire, compute) instead of wire + compute."""
+        max(wire, compute) instead of wire + compute.
+
+        The producer watches a stop event on every (bounded, timed) put, and
+        the generator sets it on ANY exit — including an early consumer break
+        (max_train_steps) or an exception mid-epoch — so no thread is left
+        blocked holding device-resident batches."""
         import queue as _queue
         import threading
 
         q = _queue.Queue(maxsize=depth)
         done = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for i, b in enumerate(batch_iter):
-                    q.put((self._put_batch(b, start_step + i), b))
-                q.put(done)
+                    if not _put((self._put_batch(b, start_step + i), b)):
+                        return
+                _put(done)
             except BaseException as e:
-                q.put(e)
+                _put(e)
 
         threading.Thread(target=produce, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is done:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     def _metric_accumulator(self):
         """Exact mAP by default (reference semantics); constant-memory
@@ -559,7 +590,7 @@ class Trainer:
         collector.submit(stacked, metas)
 
     def _train_epoch(self, train_step, params, opt_state, loader, epoch, step):
-        losses = []
+        losses = _LossMean()
         pending = []
         acc = self._metric_accumulator()
         collector = _AsyncCollector(acc)
@@ -570,7 +601,7 @@ class Trainer:
                     params, opt_state, self._root_key, inputs, lengths, lab,
                     row_w, step_idx,
                 )
-                losses.append(loss)  # device scalar; fetched at epoch end
+                losses.add(loss)  # device-resident running sum
                 pending.append((batch["labels"], p, batch["n_valid"]))
                 if len(pending) >= self._PENDING_FLUSH:
                     self._flush_pending(pending, collector)
@@ -580,10 +611,10 @@ class Trainer:
             self._flush_pending(pending, collector)
         finally:
             collector.join()
-        return params, opt_state, step, _mean_losses(losses), acc.result()
+        return params, opt_state, step, losses.result(), acc.result()
 
     def _eval_epoch(self, eval_step, params, loader):
-        losses = []
+        losses = _LossMean()
         pending = []
         acc = self._metric_accumulator()
         collector = _AsyncCollector(acc)
@@ -592,7 +623,7 @@ class Trainer:
                 inputs, lengths, lab, row_w, step_idx = put
                 loss, p = eval_step(params, inputs, lengths, lab, row_w,
                                     step_idx)
-                losses.append(loss)
+                losses.add(loss)
                 pending.append((batch["labels"], p, batch["n_valid"]))
                 if len(pending) >= self._PENDING_FLUSH:
                     self._flush_pending(pending, collector)
@@ -600,7 +631,7 @@ class Trainer:
         finally:
             collector.join()
         metrics = acc.result()
-        return _mean_losses(losses), metrics
+        return losses.result(), metrics
 
     # ------------------------------------------------------------------
     def _run_diagnostics(self, params, loader, epoch: int) -> None:

@@ -243,7 +243,11 @@ struct BitReader {
         continue;
       }
       count += z;
-      buf <<= z + 1;  // the zeros and the terminating 1
+      // consume the zeros and the terminating 1; z can be 63 (a full
+      // 64-bit run), so shift in two steps — `buf <<= 64` is UB and on
+      // x86 leaves buf unchanged, corrupting the stream
+      buf <<= z;
+      buf <<= 1;
       nbits -= z + 1;
       return count;
     }

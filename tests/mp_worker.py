@@ -29,12 +29,20 @@ def main() -> None:
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+    # Initialize through the PRODUCTION path (parallel/distributed.py reading
+    # the AUDIO_TOKENS_* env vars) — not by calling jax.distributed directly —
+    # so the test exercises exactly what a real multi-host stage launch does.
+    os.environ["AUDIO_TOKENS_COORDINATOR"] = f"localhost:{port}"
+    os.environ["AUDIO_TOKENS_NUM_PROCESSES"] = str(nproc)
+    os.environ["AUDIO_TOKENS_PROCESS_ID"] = str(pid)
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(
-        f"localhost:{port}", num_processes=nproc, process_id=pid
-    )
+
+    from audio_tokens_tpu.parallel import distributed
+
+    assert distributed.maybe_initialize(None)
     assert jax.process_count() == nproc
     assert jax.device_count() == 2 * nproc
 

@@ -39,24 +39,27 @@ def mp_results(tmp_path_factory):
     """Run the two-process worker pair once; yield both result files."""
     outdir = tmp_path_factory.mktemp("mp")
     port = _free_port()
+    # output to files, not pipes: a filled 64 KB pipe buffer would block one
+    # worker mid-collective and deadlock the pair (drained sequentially here)
+    logs = [outdir / f"worker_{pid}.log" for pid in (0, 1)]
     procs = [
         subprocess.Popen(
             [sys.executable, str(REPO / "tests" / "mp_worker.py"),
              str(port), str(pid), "2", str(outdir)],
             env=_clean_env(), cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            stdout=open(logs[pid], "w"), stderr=subprocess.STDOUT,
         )
         for pid in (0, 1)
     ]
-    outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            p.wait(timeout=600)
         except subprocess.TimeoutExpired:
-            p.kill()
-            out, _ = p.communicate()
-        outs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
+            for q in procs:
+                q.kill()
+            p.wait()
+    for pid, p in enumerate(procs):
+        out = logs[pid].read_text()
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
     return {
         pid: dict(np.load(outdir / f"result_{pid}.npz")) for pid in (0, 1)

@@ -98,6 +98,22 @@ def test_native_batch_row_len_stride(tmp_path, rng):
                                    row_len=row_min - 1)
 
 
+def test_native_flac_long_unary_runs(tmp_path):
+    """Rice codes whose unary quotient is 63 produce 64-bit zero runs; a
+    64-bit shift on that path is UB (masked to a no-op on x86), so decode
+    must still match the pure-python decoder bit for bit."""
+    sr, n = 22050, 1000
+    # residual -32 at rice_param=0 encodes as zigzag 63 -> 63 zeros + 1
+    samples = (-32 * np.arange(n)).astype(np.int64)
+    samples = np.clip(samples, -32768, 32767).astype(np.int16)
+    p = tmp_path / "u.flac"
+    p.write_bytes(encode_flac_fixed_order1(samples, sr, rice_param=0))
+    native = native_loader.decode_file(p, sr)
+    python, _ = decode_audio(p, target_sr=sr)
+    assert len(native) == n
+    np.testing.assert_allclose(native, python, atol=1e-7)
+
+
 def test_native_batch_int16_wire_format(tmp_path, rng):
     """dtype=int16 rows are round(x*32768); for 16-bit mono WAV at the
     target rate the f32 reconstruction s/32768 is bit-exact, so tokens from

@@ -326,3 +326,48 @@ def test_trainer_rejects_pallas_lstm_with_tp():
     )
     with pytest.raises(ValueError, match="DP-only mesh"):
         Trainer(cfg)
+
+
+def test_prefetch_threads_released_on_early_break():
+    """max_train_steps breaks out of the epoch loop mid-stream; the prefetch
+    producer must notice (stop event) and exit instead of blocking forever
+    on its queue with device batches pinned."""
+    import gc
+    import threading
+    import time as _time
+
+    from audio_tokens_tpu.config import AudioTokensConfig
+    from audio_tokens_tpu.tools.bench_training import _MemLoader
+    from audio_tokens_tpu.train.trainer import Trainer
+
+    cfg = AudioTokensConfig(
+        model_type="simple", vocab_size=16, hidden_size=8, num_classes=5,
+        max_seq_len=12, training_batch_size=4, dropout=0.0,
+        save_best_checkpoint=False, base_dir="/tmp/att-prefetch-test",
+        max_train_steps=1,
+    )
+    rng = np.random.default_rng(0)
+    batches = [{
+        "inputs": rng.integers(0, 16, (4, 12)).astype(np.int32),
+        "lengths": np.full((4,), 12, np.int32),
+        "labels": (rng.random((4, 5)) < 0.3).astype(np.float32),
+        "n_valid": 4,
+    } for _ in range(20)]
+    trainer = Trainer(cfg)
+    loader = _MemLoader(batches)
+    params, opt_state = trainer._init_state(loader)
+    train_step, _ = trainer._build_steps()
+    before = threading.active_count()
+    step = 0
+    for epoch in range(5):  # every epoch breaks after 1 of 20 batches
+        params, opt_state, step, _, _ = trainer._train_epoch(
+            train_step, params, opt_state, loader, epoch, 0
+        )
+    gc.collect()
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.1)
+    # producers exit within the stop-event timeout; no one thread per epoch
+    assert threading.active_count() <= before + 1, (
+        f"leaked prefetch threads: {threading.active_count()} vs {before}"
+    )
