@@ -133,8 +133,36 @@ def main() -> None:
     assert len(files) == n_clips, [f.name for f in files]
     token_cat = np.concatenate([np.load(f) for f in files])
 
+    # ---- part D: SpectrogramGenerator stage, ytids sharded per process ----
+    # proc 0 builds a wav fixture workspace + split file; both processes run
+    # the same stage command; the joint artifact set must cover every clip.
+    from tests import fixtures
+
+    sws = Path(outdir) / "spec_ws"
+    if distributed.is_coordinator():
+        fixtures.make_workspace(sws, n_clips=8)
+    distributed.barrier("mp-spec-workspace")
+    spec_cfg = fixtures.test_config(sws, dataset_ratio=1.0)
+    if distributed.is_coordinator():
+        from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+        from audio_tokens_tpu.data.splitter import DatasetSplitter
+
+        DatasetSplitter(spec_cfg).create_split_file(
+            AudiosetMetadataProcessor(spec_cfg))
+    distributed.barrier("mp-spec-split")
+    from audio_tokens_tpu.processors.spectrogram_generator import (
+        SpectrogramGenerator,
+    )
+
+    SpectrogramGenerator(spec_cfg).run()
+    spec_files = sorted((sws / "spectrograms" / "train").glob("*.npy"))
+    spec_cat = np.concatenate(
+        [np.load(f).ravel() for f in spec_files]) if spec_files else np.zeros(0)
+
     np.savez(
         os.path.join(outdir, f"result_{pid}.npz"),
+        spec_names=np.array([f.name for f in spec_files]),
+        spec_cat=spec_cat.astype(np.float32),
         train_losses=np.asarray(train_losses, np.float64),
         eval_loss=np.float64(eval_loss),
         eval_map=np.float64(eval_metrics["mAP"]),

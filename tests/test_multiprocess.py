@@ -156,6 +156,34 @@ def test_two_process_tokenizer_stage_matches_single_process(mp_results,
     np.testing.assert_array_equal(r0["token_cat"], ref_cat)
 
 
+def test_two_process_spectrogram_stage_matches_single_process(mp_results,
+                                                              tmp_path):
+    """The SpectrogramGenerator stage run by two processes (ytids sharded,
+    proc-0 workspace + split setup, barriers) produces the same artifact set
+    a single-process run does, bit for bit."""
+    from tests import fixtures
+
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+    from audio_tokens_tpu.data.splitter import DatasetSplitter
+    from audio_tokens_tpu.processors.spectrogram_generator import (
+        SpectrogramGenerator,
+    )
+
+    r0, r1 = mp_results[0], mp_results[1]
+    np.testing.assert_array_equal(r0["spec_names"], r1["spec_names"])
+    np.testing.assert_array_equal(r0["spec_cat"], r1["spec_cat"])
+
+    ws = tmp_path / "spec_ws"
+    fixtures.make_workspace(ws, n_clips=8)
+    cfg = fixtures.test_config(ws, dataset_ratio=1.0)
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+    SpectrogramGenerator(cfg).run()
+    files = sorted((ws / "spectrograms" / "train").glob("*.npy"))
+    assert [f.name for f in files] == list(r0["spec_names"])
+    ref_cat = np.concatenate([np.load(f).ravel() for f in files])
+    np.testing.assert_array_equal(r0["spec_cat"], ref_cat.astype(np.float32))
+
+
 def test_two_process_streaming_kmeans_matches_single_process(mp_results):
     from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
 
