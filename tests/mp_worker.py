@@ -159,8 +159,31 @@ def main() -> None:
     spec_cat = np.concatenate(
         [np.load(f).ravel() for f in spec_files]) if spec_files else np.zeros(0)
 
+    # ---- part E: the FULL remaining pipeline on part D's workspace ----
+    # clustering (streaming Lloyd psum across processes), tokenization
+    # (sharded ytids), and Trainer.run() (cross-process DP) — the capstone
+    # "run_pipeline on a pod slice" proof.
+    full_cfg = fixtures.test_config(
+        sws, dataset_ratio=1.0, kmeans_mode="full", epochs=2,
+        training_batch_size=4, save_best_checkpoint=False, model_type="simple",
+    )
+    from audio_tokens_tpu.processors.cluster_creator import ClusterCreator
+    from audio_tokens_tpu.processors.model_trainer import ModelTrainer
+    from audio_tokens_tpu.processors.spec_tokenizer import SpecTokenizer as ST
+
+    pipeline_centroids = ClusterCreator(full_cfg).run()
+    ST(full_cfg).run()
+    distributed.barrier("mp-pipeline-tokenized")
+    tok_files = sorted((sws / "tokenized_audio" / "train").glob("*.npy"))
+    pipeline_tokens = np.concatenate([np.load(f) for f in tok_files])
+    val_loss, val_metrics = ModelTrainer(full_cfg).run()
+
     np.savez(
         os.path.join(outdir, f"result_{pid}.npz"),
+        pipeline_centroids=np.asarray(pipeline_centroids, np.float32),
+        pipeline_tokens=pipeline_tokens,
+        pipeline_val_loss=np.float64(val_loss),
+        pipeline_val_map=np.float64(val_metrics["mAP"]),
         spec_names=np.array([f.name for f in spec_files]),
         spec_cat=spec_cat.astype(np.float32),
         train_losses=np.asarray(train_losses, np.float64),

@@ -184,6 +184,21 @@ def test_two_process_spectrogram_stage_matches_single_process(mp_results,
     np.testing.assert_array_equal(r0["spec_cat"], ref_cat.astype(np.float32))
 
 
+def test_two_process_full_pipeline_agrees(mp_results):
+    """Capstone: clustering -> tokenization -> Trainer.run() executed by two
+    processes over a shared workspace.  Both processes must observe
+    identical (replicated/shared-artifact) centroids, tokens, and final
+    metrics, and the trained model must beat chance on the fixture corpus."""
+    r0, r1 = mp_results[0], mp_results[1]
+    np.testing.assert_array_equal(r0["pipeline_centroids"],
+                                  r1["pipeline_centroids"])
+    np.testing.assert_array_equal(r0["pipeline_tokens"], r1["pipeline_tokens"])
+    assert r0["pipeline_val_loss"] == r1["pipeline_val_loss"]
+    assert r0["pipeline_val_map"] == r1["pipeline_val_map"]
+    assert np.isfinite(r0["pipeline_val_loss"])
+    assert 0.0 < float(r0["pipeline_val_map"]) <= 1.0
+
+
 def test_two_process_streaming_kmeans_matches_single_process(mp_results):
     from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
 
