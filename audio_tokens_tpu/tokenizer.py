@@ -14,7 +14,7 @@ This is the program `bench.py` measures and `infer.py` serves.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

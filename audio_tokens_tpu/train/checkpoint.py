@@ -12,10 +12,9 @@ from __future__ import annotations
 import json
 import logging
 from pathlib import Path
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 logger = logging.getLogger(__name__)
