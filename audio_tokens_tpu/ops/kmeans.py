@@ -440,61 +440,21 @@ def _psum_leading(x, mesh, axis_name):
                          out_specs=P())(x)
 
 
-class _FeedPipeline:
+def _FeedPipeline(feeder, source, put_fn, depth: int = 2):
     """Producer thread: packs the stream into super-batches and launches the
     host->device transfer, keeping ``depth`` feeds in flight while the
-    consumer's stats dispatches run.  Overlaps host decode/pack/transfer with
-    device compute — the streaming path's round-2 bottleneck (the loop was
-    fully synchronous: pack, transfer, stats, host fetch, repeat)."""
+    consumer's stats dispatches run.  Overlaps host decode/pack/transfer
+    with device compute — the streaming path's round-2 bottleneck (the loop
+    was fully synchronous: pack, transfer, stats, host fetch, repeat).
+    Built on the shared utils/worker.BoundedProducer shutdown plumbing."""
+    from audio_tokens_tpu.utils.worker import BoundedProducer
 
-    _DONE = object()
+    def items():
+        for buf, fill in feeder.feeds(source):
+            x, fills = put_fn(buf, fill)
+            yield (x, fills, fill, buf)
 
-    def __init__(self, feeder, source, put_fn, depth: int = 2):
-        import queue as _queue
-        import threading
-
-        self._q = _queue.Queue(maxsize=depth)
-        self._stop = threading.Event()
-        self._put_fn = put_fn
-
-        def produce():
-            try:
-                for buf, fill in feeder.feeds(source):
-                    x, fills = put_fn(buf, fill)
-                    item = (x, fills, fill, buf)
-                    while not self._stop.is_set():
-                        try:
-                            self._q.put(item, timeout=0.25)
-                            break
-                        except _queue.Full:
-                            continue
-                    if self._stop.is_set():
-                        return
-                self._q.put(_FeedPipeline._DONE)
-            except BaseException as e:  # propagate into the consumer
-                self._q.put(e)
-
-        self._thread = threading.Thread(target=produce, daemon=True)
-        self._thread.start()
-
-    def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is _FeedPipeline._DONE:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-
-    def close(self):
-        self._stop.set()
-        # unblock a producer waiting on a full queue
-        try:
-            while True:
-                self._q.get_nowait()
-        except Exception:
-            pass
-        self._thread.join(timeout=5)
+    return BoundedProducer(items(), depth=depth)
 
 
 def kmeans_fit_streaming(

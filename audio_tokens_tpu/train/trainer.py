@@ -518,46 +518,15 @@ class Trainer:
         overlaps the current step's compute, so the loop runs at
         max(wire, compute) instead of wire + compute.
 
-        The producer watches a stop event on every (bounded, timed) put, and
-        the generator sets it on ANY exit — including an early consumer break
-        (max_train_steps) or an exception mid-epoch — so no thread is left
-        blocked holding device-resident batches."""
-        import queue as _queue
-        import threading
+        Built on utils/worker.BoundedProducer: the producer exits promptly
+        on ANY consumer exit — including an early break (max_train_steps) or
+        an exception mid-epoch — so no thread is left blocked holding
+        device-resident batches."""
+        from audio_tokens_tpu.utils.worker import BoundedProducer
 
-        q = _queue.Queue(maxsize=depth)
-        done = object()
-        stop = threading.Event()
-
-        def _put(item) -> bool:
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.25)
-                    return True
-                except _queue.Full:
-                    continue
-            return False
-
-        def produce():
-            try:
-                for i, b in enumerate(batch_iter):
-                    if not _put((self._put_batch(b, start_step + i), b)):
-                        return
-                _put(done)
-            except BaseException as e:
-                _put(e)
-
-        threading.Thread(target=produce, daemon=True).start()
-        try:
-            while True:
-                item = q.get()
-                if item is done:
-                    return
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            stop.set()
+        items = ((self._put_batch(b, start_step + i), b)
+                 for i, b in enumerate(batch_iter))
+        return BoundedProducer(items, depth=depth)
 
     def _metric_accumulator(self):
         """Exact mAP by default (reference semantics); constant-memory
