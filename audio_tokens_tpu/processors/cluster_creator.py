@@ -259,6 +259,44 @@ class ClusterCreator:
                 f"no decodable training audio under {self.config.audio_source_path}"
             )
 
+    def evaluate_clustering(self, data: np.ndarray, labels: np.ndarray,
+                            sample_size: int = 10000,
+                            seed: int = 0) -> float:
+        """Mean silhouette score on a sample (reference :115-117 — sklearn
+        ``silhouette_score(sample_size=10000)``; that helper was dead code
+        there, working here).  Pure numpy: for each sampled point, a = mean
+        distance to co-cluster points, b = min over other clusters of mean
+        distance; s = (b - a) / max(a, b)."""
+        data = np.asarray(data, np.float32)
+        labels = np.asarray(labels)
+        if len(data) > sample_size:
+            sel = np.random.default_rng(seed).choice(
+                len(data), sample_size, replace=False)
+            data, labels = data[sel], labels[sel]
+        uniq = np.unique(labels)
+        if len(uniq) < 2:
+            return 0.0
+        # pairwise distances on the sample (sample_size^2 floats, ~400 MB max)
+        sq = (data * data).sum(1)
+        d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (data @ data.T), 0.0)
+        dist = np.sqrt(d2, dtype=np.float32)
+        masks = {c: labels == c for c in uniq}
+        counts = {c: int(m.sum()) for c, m in masks.items()}
+        mean_to = np.stack([dist[:, masks[c]].mean(axis=1) for c in uniq],
+                           axis=1)  # (n, n_clusters)
+        scores = np.zeros(len(data), np.float32)
+        for j, c in enumerate(uniq):
+            mine = masks[c]
+            if counts[c] < 2:
+                continue  # singleton clusters score 0 (sklearn convention)
+            # own-cluster mean excludes self: n/(n-1) correction of the mean
+            a = mean_to[mine, j] * counts[c] / (counts[c] - 1)
+            b = np.min(np.delete(mean_to[mine], j, axis=1), axis=1)
+            scores[mine] = (b - a) / np.maximum(np.maximum(a, b), 1e-12)
+        score = float(scores.mean())
+        logger.info("Silhouette Score: %s", score)
+        return score
+
     def visualize_centroids(self, centroids: np.ndarray) -> None:
         """2-D PCA scatter (reference :104-113), PCA via numpy SVD."""
         try:

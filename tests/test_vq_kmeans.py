@@ -424,3 +424,21 @@ class TestEmptyClusterSplit:
         np.testing.assert_allclose(np.asarray(dc), hc, rtol=1e-6)
         np.testing.assert_allclose(np.asarray(dn), hn)
         assert (hn > 0).all()
+
+
+def test_silhouette_matches_sklearn(rng, tmp_path):
+    """ClusterCreator.evaluate_clustering == sklearn silhouette_score (the
+    reference shipped this helper as dead code; here it works)."""
+    from sklearn.metrics import silhouette_score
+
+    from audio_tokens_tpu.processors.cluster_creator import ClusterCreator
+    from tests import fixtures
+
+    centers = rng.standard_normal((5, 8)) * 4
+    labels = rng.integers(0, 5, 600)
+    data = (centers[labels] + 0.3 * rng.standard_normal((600, 8))).astype(
+        np.float32)
+    fixtures.make_workspace(tmp_path, n_clips=4)
+    cc = ClusterCreator(fixtures.test_config(tmp_path))
+    ours = cc.evaluate_clustering(data, labels)
+    assert abs(ours - float(silhouette_score(data, labels))) < 1e-5
