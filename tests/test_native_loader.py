@@ -204,3 +204,28 @@ def test_native_garbage_bytes_never_crash(tmp_path, rng):
         f.write_bytes(b"fLaC" + junk)
         with pytest.raises(RuntimeError):
             native_loader.decode_file(f, 22050)
+
+
+def test_native_flac_random_streams_match_python(tmp_path, rng):
+    """Randomized encoder round-trips: random PCM through verbatim and
+    fixed-order-1 subframes at random rice parameters must decode
+    identically in the native and pure-python decoders."""
+    sr = 22050
+    for trial in range(6):
+        n = int(rng.integers(300, 9000))
+        scale = float(rng.choice([50, 800, 20000]))
+        pcm = np.clip(rng.standard_normal(n) * scale, -32768, 32767
+                      ).astype(np.int16)
+        if trial % 2 == 0:
+            blob = encode_flac_verbatim(pcm, sr,
+                                        block_size=int(rng.integers(64, 4096)))
+        else:
+            blob = encode_flac_fixed_order1(
+                pcm, sr, rice_param=int(rng.integers(0, 14)))
+        p = tmp_path / f"r{trial}.flac"
+        p.write_bytes(blob)
+        native = native_loader.decode_file(p, sr)
+        python, _ = decode_audio(p, target_sr=sr)
+        assert len(native) == n, (trial, len(native), n)
+        np.testing.assert_allclose(native, python, atol=1e-7,
+                                   err_msg=f"trial {trial}")

@@ -90,6 +90,48 @@ def test_megakernel_interpret_matches_xla(rng, vocab):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.slow
+def test_megakernel_mostly_padded_trailing_chunk(rng):
+    """K=1025 with a 512-wide chunk pads the vocab to 1536: the trailing
+    chunk is 1 real centroid + 511 +inf-scored pad rows, and the running
+    argmin must still agree with the flat XLA argmin (a FULLY padded chunk
+    cannot occur — rounding k_pad up to whole chunks adds < one chunk)."""
+    import jax.numpy as jnp
+
+    from audio_tokens_tpu.config import AudioTokensConfig
+    from audio_tokens_tpu.ops import pallas_tokenizer
+    from audio_tokens_tpu.ops.pallas_tokenizer import TokenizerKernel
+    from audio_tokens_tpu.tokenizer import FusedTokenizer
+
+    sr, nm, nf, hop = 22050, 32, 256, 128
+    vocab = 1025
+    cents = rng.standard_normal((vocab, nm)).astype(np.float32)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cfg = AudioTokensConfig(common_sr=sr, n_mels=nm, n_fft=nf, hop_length=hop,
+                            clip_seconds=1.2, vocab_size=vocab)
+    tok = FusedTokenizer(cfg, cents, use_pallas=False)
+    orig_chunk = pallas_tokenizer.K_CHUNK
+    pallas_tokenizer.K_CHUNK = 512
+    try:
+        kern = TokenizerKernel(sr, nm, nf, hop, tok.frontend.frames_max,
+                               cents, interpret=True)
+    finally:
+        pallas_tokenizer.K_CHUNK = orig_chunk
+    assert kern.n_kc == 3  # 1025 -> k_pad 1536 over 512-wide chunks
+    tok.frontend.alloc_len = max(
+        tok.frontend.padded_len,
+        alloc_blocks(tok.frontend.frames_max, hop, nf) * hop,
+    )
+    clips = [rng.standard_normal(int(sr * 1.1)).astype(np.float32)
+             for _ in range(2)]
+    batch, _ = tok.frontend.prepare_batch(clips)
+    x = jnp.asarray(batch)
+    ref = np.asarray(tok._tokens_impl(x))
+    got = np.asarray(kern(x))
+    np.testing.assert_array_equal(got, ref)
+    assert got.max() < vocab  # no padded index ever selected
+
+
 def test_precision_tiers_validated():
     """Tier knob exists and rejects junk; the tiers' token agreement vs
     'highest' (99.997% bf16x3 / 99.3% default) is measured on real TPU by
