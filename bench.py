@@ -276,6 +276,17 @@ def bench_streaming_kmeans() -> None:
         f"(obj={obj:.3e}; host RSS {rss0:.0f} -> {rss1:.0f} MB, "
         f"corpus would be {n_total * N_MELS * 4 / 2**30:.0f} GB)")
 
+    # the faster tier at the same scale (config kmeans_precision=default)
+    t0 = time.perf_counter()
+    _, obj_bf, n_seen = kmeans_fit_streaming(
+        batches, VOCAB, niter, init_centroids=init,
+        superbatch_rows=superbatch, chunk=16384,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    dt = time.perf_counter() - t0
+    log(f"streaming kmeans bf16 tier: {n_seen * niter / dt / 1e6:.1f}M "
+        f"point-iters/s (obj rel diff {abs(obj_bf - obj) / obj:.1e} vs f32)")
+
 
 def main() -> None:
     clips = make_clips(BATCH)
