@@ -77,10 +77,13 @@ def maybe_initialize(config=None) -> bool:
         kwargs["process_id"] = pid
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError as e:
-        # the launcher beat us to it (e.g. a test harness): fine, as long
-        # as the runtime IS initialized; anything else is a real error
-        if "already initialized" not in str(e).lower():
+    except RuntimeError:
+        # Either the launcher beat us to it (the runtime is already up and
+        # multi-process — benign) or this init genuinely came after a
+        # single-process backend was touched (real error).  The messages
+        # overlap across jax versions, so distinguish by the runtime STATE,
+        # which is safe to query now that the backend exists either way.
+        if jax.process_count() <= 1:
             raise
     _initialized = True
     logger.info(

@@ -275,7 +275,11 @@ class ClusterCreator:
             data, labels = data[sel], labels[sel]
         uniq = np.unique(labels)
         if len(uniq) < 2:
-            return 0.0
+            # sklearn raises here too: a single-cluster assignment has no
+            # silhouette; a silent 0.0 would read as a legitimate mid score
+            raise ValueError(
+                "silhouette requires >= 2 clusters in the (sampled) labels"
+            )
         # pairwise distances on the sample (sample_size^2 floats, ~400 MB max)
         sq = (data * data).sum(1)
         d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (data @ data.T), 0.0)

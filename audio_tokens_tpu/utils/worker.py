@@ -38,6 +38,7 @@ class BoundedProducer:
     def __init__(self, items, depth: int = 2):
         self._q = _queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._consumed = False
 
         def produce():
             try:
@@ -66,6 +67,14 @@ class BoundedProducer:
         return False
 
     def __iter__(self):
+        # single-consumption: a second pass would block forever on the
+        # empty queue (the producer already exited) — fail loud instead
+        if self._consumed:
+            raise RuntimeError(
+                "BoundedProducer can only be iterated once; construct a "
+                "fresh pipeline per pass"
+            )
+        self._consumed = True
         try:
             while True:
                 item = self._q.get()

@@ -276,7 +276,13 @@ def bench_streaming_kmeans() -> None:
         f"(obj={obj:.3e}; host RSS {rss0:.0f} -> {rss1:.0f} MB, "
         f"corpus would be {n_total * N_MELS * 4 / 2**30:.0f} GB)")
 
-    # the faster tier at the same scale (config kmeans_precision=default)
+    # the faster tier at the same scale (config kmeans_precision=default);
+    # precision is a static jit arg, so warm the DEFAULT compile first
+    kmeans_fit_streaming(
+        lambda: (gen(i) for i in range(2)), VOCAB, 1, init_centroids=init,
+        superbatch_rows=superbatch, chunk=16384,
+        precision=jax.lax.Precision.DEFAULT,
+    )
     t0 = time.perf_counter()
     _, obj_bf, n_seen = kmeans_fit_streaming(
         batches, VOCAB, niter, init_centroids=init,

@@ -45,6 +45,10 @@ def main() -> None:
     assert distributed.maybe_initialize(None)
     assert jax.process_count() == nproc
     assert jax.device_count() == 2 * nproc
+    # launcher-already-initialized tolerance: a second init attempt (fresh
+    # module state, runtime already up) must succeed, not crash
+    distributed._initialized = False
+    assert distributed.maybe_initialize(None)
 
     import numpy as np
     from jax.sharding import Mesh

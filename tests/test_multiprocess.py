@@ -42,15 +42,15 @@ def mp_results(tmp_path_factory):
     # output to files, not pipes: a filled 64 KB pipe buffer would block one
     # worker mid-collective and deadlock the pair (drained sequentially here)
     logs = [outdir / f"worker_{pid}.log" for pid in (0, 1)]
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(REPO / "tests" / "mp_worker.py"),
-             str(port), str(pid), "2", str(outdir)],
-            env=_clean_env(), cwd=REPO,
-            stdout=open(logs[pid], "w"), stderr=subprocess.STDOUT,
-        )
-        for pid in (0, 1)
-    ]
+    procs = []
+    for pid in (0, 1):
+        with open(logs[pid], "w") as log_f:  # Popen dups the fd
+            procs.append(subprocess.Popen(
+                [sys.executable, str(REPO / "tests" / "mp_worker.py"),
+                 str(port), str(pid), "2", str(outdir)],
+                env=_clean_env(), cwd=REPO,
+                stdout=log_f, stderr=subprocess.STDOUT,
+            ))
     for p in procs:
         try:
             p.wait(timeout=600)
