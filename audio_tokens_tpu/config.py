@@ -206,6 +206,12 @@ class AudioTokensConfig:
     # ~18.5k clips/s on v5e), 'bf16x3' (~26k, 99.997% agreement),
     # 'default' (bf16, ~34k, 99.3%).  VQ distances always run f32.
     tokenizer_precision: str = "highest"
+    # Consolidated memory-mapped training-input cache: token sequences are
+    # packed once into {split}.tokcache.bin (uint16) + offsets, so per-clip
+    # loads become zero-copy slices instead of np.load file opens (built
+    # lazily, staleness-checked against per-clip artifact mtimes, process-0
+    # built under multi-host).  Off: read per-ytid .npy like the reference.
+    token_cache: bool = True
     # Host->device waveform wire format for the fused (native-decode)
     # pipeline: 'f32', or 'i16' PCM (half the transfer bytes; bit-exact for
     # mono 16-bit sources at common_sr, <=-96 dB quantization noise for

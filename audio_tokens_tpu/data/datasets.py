@@ -82,10 +82,73 @@ class ClipDataset:
 class TokenizedSpecDataset(ClipDataset):
     kind = "tokens"
 
+    def __init__(self, config, metadata, split: str = "train"):
+        super().__init__(config, metadata, split)
+        self._cache = None
+        self._offsets = None
+        if (getattr(config, "token_cache", True)
+                and config.vocab_size <= 65535 and self.files):
+            try:
+                self._open_or_build_cache()
+            except Exception as e:  # cache is an optimization, never fatal
+                logger.warning("token cache disabled: %s", e)
+                self._cache = None
+
+    def _cache_paths(self):
+        base = Path(self.config.dest_tokenized_path)
+        return (base / f"{self.split}.tokcache.bin",
+                base / f"{self.split}.tokcache.idx.npz")
+
+    def _open_or_build_cache(self) -> None:
+        """Consolidated uint16 token cache: one memory-mapped flat file +
+        offsets, replacing a per-clip np.load (file open + header parse)
+        with a zero-copy slice.  Stale or mismatched caches (different clip
+        set, or any per-clip artifact newer than the cache) are rebuilt;
+        multi-process, process 0 builds and the rest wait at a barrier."""
+        from audio_tokens_tpu.parallel import distributed
+
+        bin_f, idx_f = self._cache_paths()
+
+        def valid() -> bool:
+            if not (bin_f.exists() and idx_f.exists()):
+                return False
+            cache_mtime = min(bin_f.stat().st_mtime, idx_f.stat().st_mtime)
+            idx = np.load(idx_f, allow_pickle=False)
+            if list(idx["ytids"]) != self.ytids:  # '<U..' string array
+                return False
+            return all(p.stat().st_mtime <= cache_mtime for p in self.files)
+
+        if distributed.is_coordinator() and not valid():
+            offsets = np.zeros(len(self.files) + 1, np.int64)
+            chunks = []
+            for i, p in enumerate(self.files):
+                t = np.load(p)
+                chunks.append(t.astype(np.uint16))
+                offsets[i + 1] = offsets[i] + len(t)
+            flat = (np.concatenate(chunks) if chunks
+                    else np.zeros(0, np.uint16))
+            from audio_tokens_tpu.utils.npy_io import atomic_save_bytes
+
+            atomic_save_bytes(bin_f, flat.tobytes())
+            import io
+
+            buf = io.BytesIO()
+            np.savez(buf, offsets=offsets, ytids=np.asarray(self.ytids))
+            atomic_save_bytes(idx_f, buf.getvalue())
+            logger.info("token cache built: %s (%d clips, %.1f MB)",
+                        bin_f, len(self.files), flat.nbytes / 2**20)
+        distributed.barrier(f"tokcache-{self.split}")
+        idx = np.load(idx_f, allow_pickle=False)
+        self._offsets = idx["offsets"]
+        self._cache = np.memmap(bin_f, dtype=np.uint16, mode="r")
+
     def _base_path(self) -> Path:
         return Path(self.config.dest_tokenized_path) / self.split
 
     def load_features(self, idx: int) -> np.ndarray:
+        if self._cache is not None:
+            lo, hi = self._offsets[idx], self._offsets[idx + 1]
+            return np.asarray(self._cache[lo:hi], np.int32)
         return np.load(self.files[idx]).astype(np.int32)
 
 

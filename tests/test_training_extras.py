@@ -371,3 +371,50 @@ def test_prefetch_threads_released_on_early_break():
     assert threading.active_count() <= before + 1, (
         f"leaked prefetch threads: {threading.active_count()} vs {before}"
     )
+
+
+def test_token_cache_matches_per_file_loads(tmp_path):
+    """The memory-mapped token cache returns the same sequences as per-clip
+    np.load, rebuilds when an artifact changes, and is disabled cleanly."""
+    import json as _json
+
+    from audio_tokens_tpu.data.datasets import TokenizedSpecDataset
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+
+    fixtures.make_workspace(tmp_path, n_clips=4)
+    cfg = fixtures.test_config(tmp_path)
+    tok_dir = tmp_path / "tokenized_audio" / "train"
+    tok_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    split = _json.loads((tmp_path / "metadata" /
+                         "balanced_train_segments.csv").read_text()
+                        ) if False else None
+    from audio_tokens_tpu.data.splitter import DatasetSplitter
+
+    meta = AudiosetMetadataProcessor(cfg)
+    DatasetSplitter(cfg).create_split_file(meta)
+    ytids = _json.loads(open(cfg.split_file).read())["train"]
+    for i, y in enumerate(ytids):
+        np.save(tok_dir / f"{y}.npy",
+                rng.integers(0, cfg.vocab_size, 20 + i).astype(np.int64))
+
+    ds = TokenizedSpecDataset(cfg, meta, "train")
+    assert ds._cache is not None
+    ref = [np.load(f).astype(np.int32) for f in ds.files]
+    for i in range(len(ds)):
+        np.testing.assert_array_equal(ds.load_features(i), ref[i])
+
+    # staleness: touch one artifact with new content -> cache rebuilds
+    np.save(ds.files[0], rng.integers(0, cfg.vocab_size, 33).astype(np.int64))
+    import os as _os
+    _os.utime(ds.files[0], (ds.files[0].stat().st_atime,
+                            ds.files[0].stat().st_mtime + 5))
+    ds2 = TokenizedSpecDataset(cfg, meta, "train")
+    np.testing.assert_array_equal(
+        ds2.load_features(0), np.load(ds.files[0]).astype(np.int32))
+
+    # disabled path
+    cfg_off = fixtures.test_config(tmp_path, token_cache=False)
+    ds3 = TokenizedSpecDataset(cfg_off, meta, "train")
+    assert ds3._cache is None
+    np.testing.assert_array_equal(ds3.load_features(1), ds2.load_features(1))
