@@ -109,11 +109,16 @@ def test_loader_propagates_corrupt_artifact(tmp_workspace):
     SpecTokenizer(cfg).run()
 
     train_loader, _ = DataLoaderCreator(cfg).get_dataloaders()
-    # corrupt one token artifact
+    # corrupt one token artifact (newer mtime -> the training-input cache
+    # is stale for any FRESH loader; within an already-built loader the
+    # cache legitimately keeps serving the snapshot it was built from)
     victim = train_loader.ds.files[0]
     victim.write_bytes(b"not an npy file")
+    import os
+    os.utime(victim, (victim.stat().st_atime, victim.stat().st_mtime + 10))
+    train_loader2, _ = DataLoaderCreator(cfg).get_dataloaders()
     with pytest.raises(Exception):
-        for _ in train_loader.batches(0):
+        for _ in train_loader2.batches(0):
             pass
 
 

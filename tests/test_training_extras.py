@@ -418,3 +418,39 @@ def test_token_cache_matches_per_file_loads(tmp_path):
     ds3 = TokenizedSpecDataset(cfg_off, meta, "train")
     assert ds3._cache is None
     np.testing.assert_array_equal(ds3.load_features(1), ds2.load_features(1))
+
+
+def test_spec_cache_matches_per_file_loads(tmp_path):
+    """The flat cache generalizes to the raw-spectrogram datasets (cnn /
+    baseline families): cached loads equal per-file np.load().T."""
+    import json as _json
+
+    from audio_tokens_tpu.data.datasets import (
+        RawSTFTDataset, RawSTFTFlatDataset,
+    )
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+    from audio_tokens_tpu.data.splitter import DatasetSplitter
+
+    fixtures.make_workspace(tmp_path, n_clips=4)
+    cfg = fixtures.test_config(tmp_path)
+    meta = AudiosetMetadataProcessor(cfg)
+    DatasetSplitter(cfg).create_split_file(meta)
+    ytids = _json.loads(open(cfg.split_file).read())["train"]
+    spec_dir = tmp_path / "spectrograms" / "train"
+    spec_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i, y in enumerate(ytids):
+        np.save(spec_dir / f"{y}.npy",
+                rng.standard_normal((cfg.n_mels, 15 + i)).astype(np.float32))
+
+    ds = RawSTFTDataset(cfg, meta, "train")
+    assert ds._cache is not None
+    for i, f in enumerate(ds.files):
+        np.testing.assert_array_equal(
+            ds.load_features(i), np.load(f).T.astype(np.float32))
+    # the flat variant shares the same cache file
+    ds_flat = RawSTFTFlatDataset(cfg, meta, "train")
+    assert ds_flat._cache is not None
+    np.testing.assert_array_equal(ds_flat.load_features(1),
+                                  ds.load_features(1))
+    assert len(list((tmp_path / "spectrograms").glob("*.bin"))) == 1
