@@ -212,6 +212,13 @@ class AudioTokensConfig:
     # lazily, staleness-checked against per-clip artifact mtimes, process-0
     # built under multi-host).  Off: read per-ytid .npy like the reference.
     token_cache: bool = True
+    # Byte budget for building that cache (MB): construction is skipped when
+    # the encoded corpus would exceed it (the float32 spectrogram cache of a
+    # 2M-clip corpus is ~880 GB — per-file loads remain correct).  The
+    # 2M-clip uint16 TOKEN corpus is ~6.6 GB and fits the default.  0 = no
+    # budget.  The build streams clip-at-a-time to disk either way (host RAM
+    # stays one clip deep).
+    input_cache_budget_mb: int = 8192
     # Host->device waveform wire format for the fused (native-decode)
     # pipeline: 'f32', or 'i16' PCM (half the transfer bytes; bit-exact for
     # mono 16-bit sources at common_sr, <=-96 dB quantization noise for

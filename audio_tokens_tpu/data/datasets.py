@@ -106,37 +106,97 @@ class ClipDataset:
         bin_f, idx_f = self._cache_paths()
 
         def valid() -> bool:
-            if not (bin_f.exists() and idx_f.exists()):
+            try:
+                if not (bin_f.exists() and idx_f.exists()):
+                    return False
+                cache_mtime = min(bin_f.stat().st_mtime, idx_f.stat().st_mtime)
+                idx = np.load(idx_f, allow_pickle=False)
+                if list(idx["ytids"]) != self.ytids:  # '<U..' string array
+                    return False
+                return all(p.stat().st_mtime <= cache_mtime for p in self.files)
+            except Exception as e:  # corrupt idx etc. -> rebuild, never raise
+                logger.warning("training-input cache invalid (%s); rebuilding", e)
                 return False
-            cache_mtime = min(bin_f.stat().st_mtime, idx_f.stat().st_mtime)
-            idx = np.load(idx_f, allow_pickle=False)
-            if list(idx["ytids"]) != self.ytids:  # '<U..' string array
-                return False
-            return all(p.stat().st_mtime <= cache_mtime for p in self.files)
 
+        # The build runs under try so the barrier below executes on EVERY
+        # path: a coordinator failure (corrupt artifact, disk full, budget
+        # exceeded) must not leave the other processes blocked in the
+        # barrier.  A failed/skipped build leaves the cache files absent and
+        # all processes fall back to per-file loads after the barrier.
         if distributed.is_coordinator() and not valid():
-            offsets = np.zeros(len(self.files) + 1, np.int64)
-            chunks = []
-            for i, p in enumerate(self.files):
-                enc = self._cache_encode(np.load(p))
-                chunks.append(np.ascontiguousarray(enc, self._cache_dtype))
-                offsets[i + 1] = offsets[i] + enc.size
-            flat = (np.concatenate(chunks) if chunks
-                    else np.zeros(0, self._cache_dtype))
-            from audio_tokens_tpu.utils.npy_io import atomic_save_bytes
-
-            atomic_save_bytes(bin_f, flat.tobytes())
-            import io
-
-            buf = io.BytesIO()
-            np.savez(buf, offsets=offsets, ytids=np.asarray(self.ytids))
-            atomic_save_bytes(idx_f, buf.getvalue())
-            logger.info("training-input cache built: %s (%d clips, %.1f MB)",
-                        bin_f, len(self.files), flat.nbytes / 2**20)
+            try:
+                self._build_cache(bin_f, idx_f)
+            except Exception as e:
+                logger.warning("training-input cache build failed: %s", e)
+                for p in (bin_f, idx_f):  # no partial artifacts for followers
+                    try:
+                        p.unlink()
+                    except OSError:
+                        pass
         distributed.barrier(f"{self.kind}cache-{self.split}")
+        if not (bin_f.exists() and idx_f.exists()):
+            logger.info("%s/%s: no training-input cache; using per-file loads",
+                        type(self).__name__, self.split)
+            return  # self._cache stays None
         idx = np.load(idx_f, allow_pickle=False)
+        if list(idx["ytids"]) != self.ytids:
+            logger.warning("training-input cache clip set mismatch; "
+                           "using per-file loads")
+            return
         self._offsets = idx["offsets"]
         self._cache = np.memmap(bin_f, dtype=self._cache_dtype, mode="r")
+
+    def _build_cache(self, bin_f: Path, idx_f: Path) -> None:
+        """Stream-encode every clip into one flat binary.
+
+        Chunks go straight to a temp file (``arr.tofile``) so host RAM stays
+        one clip deep regardless of corpus size, and construction is skipped
+        (or aborted) when the encoded corpus would exceed
+        ``config.input_cache_budget_mb`` — the float32 spectrogram cache of a
+        2M-clip corpus is hundreds of GB and must never be attempted."""
+        import io
+        import os
+
+        from audio_tokens_tpu.utils.npy_io import atomic_save_bytes
+
+        budget_mb = getattr(self.config, "input_cache_budget_mb", 8192)
+        budget = budget_mb * 2**20 if budget_mb else None
+        itemsize = np.dtype(self._cache_dtype).itemsize
+        # cheap upfront estimate: first clip's encoded size x clip count
+        # (10 s clips are near-uniform length); the running total below is
+        # the hard stop for corpora with uneven clips
+        est = (self._cache_encode(np.load(self.files[0])).size
+               * itemsize * len(self.files))
+        if budget is not None and est > budget:
+            logger.info(
+                "training-input cache skipped: estimated %.0f MB exceeds "
+                "input_cache_budget_mb=%d", est / 2**20, budget_mb)
+            return
+        offsets = np.zeros(len(self.files) + 1, np.int64)
+        tmp = bin_f.with_name(bin_f.name + f".tmp.{os.getpid()}")
+        try:
+            with open(tmp, "wb") as f:
+                for i, p in enumerate(self.files):
+                    enc = np.ascontiguousarray(
+                        self._cache_encode(np.load(p)), self._cache_dtype)
+                    enc.tofile(f)
+                    offsets[i + 1] = offsets[i] + enc.size
+                    if budget is not None and offsets[i + 1] * itemsize > budget:
+                        raise RuntimeError(
+                            f"encoded corpus exceeds input_cache_budget_mb="
+                            f"{budget_mb} at clip {i + 1}/{len(self.files)}")
+            os.replace(tmp, bin_f)
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        buf = io.BytesIO()
+        np.savez(buf, offsets=offsets, ytids=np.asarray(self.ytids))
+        atomic_save_bytes(idx_f, buf.getvalue())
+        logger.info("training-input cache built: %s (%d clips, %.1f MB)",
+                    bin_f, len(self.files),
+                    offsets[-1] * itemsize / 2**20)
 
     # ---------------------------------------------------------------------
     def _base_path(self) -> Path:

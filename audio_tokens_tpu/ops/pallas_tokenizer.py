@@ -120,7 +120,8 @@ def alloc_blocks(n_frames: int, hop: int, n_fft: int) -> int:
     return n_tiles * tile_t + r  # last window: (n_tiles-1)*tile_t .. +tile_t+r-1
 
 
-def kernel_fits(k: int, d: int, budget_bytes: int = 12 * 1024 * 1024) -> bool:
+def kernel_fits(k: int, d: int, hop: int = 128, n_fft: int = 512,
+                budget_bytes: int = 12 * 1024 * 1024) -> bool:
     """Whether the megakernel working set fits per-core VMEM.  The vocabulary
     is grid-chunked (K_CHUNK centroid rows resident, double-buffered by
     Pallas), so the bound depends on the chunk and the feature width, not on
@@ -129,11 +130,12 @@ def kernel_fits(k: int, d: int, budget_bytes: int = 12 * 1024 * 1024) -> bool:
     m_pad = _round_up(d, 128)
     k_res = min(_round_up(k, 128), K_CHUNK)
     tile_t = 1024  # upper bound from plan_tiles
+    r = -(-n_fft // hop)  # window rows per frame (call sites ensure hop | n_fft)
     need = 4 * (
         2 * k_res * m_pad        # centroid chunk, double-buffered
         + 2 * tile_t * k_res     # fc + scores transients
         + 3 * tile_t * m_pad     # f scratch + mel/power transients
-        + 2 * (tile_t + 8) * 128  # window double-buffer (hop <= 128 typical)
+        + 2 * (tile_t + r) * _round_up(hop, 128)  # window double-buffer
     )
     return need <= budget_bytes
 

@@ -82,7 +82,8 @@ class FusedTokenizer:
         # in VMEM scratch), so the 16k north-star vocab runs single-kernel;
         # only extreme feature widths route to the staged fused-VQ path
         if kernel_fits is not None and kernel_fits(
-            self.centroids.shape[0], self.centroids.shape[1]
+            self.centroids.shape[0], self.centroids.shape[1],
+            hop=config.hop_length, n_fft=config.n_fft,
         ):
 
             self.kernel = TokenizerKernel(

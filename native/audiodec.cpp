@@ -774,6 +774,14 @@ extern "C" int atk_decode_batch(
     int64_t row_len, int fmt, void* out, int32_t* lengths) {
   const int pad = n_fft / 2;
   const int64_t row_min = int64_t(clip_samples) + 2 * pad;
+  if (clip_samples < n_fft) {
+    // the head/tail reflections read back pad already-written samples of the
+    // clip span, which requires len >= pad+1 on every decoded row; clips are
+    // clamped to clip_samples, so requiring a full analysis window bounds it
+    set_error("clip_samples " + std::to_string(clip_samples) + " < n_fft " +
+              std::to_string(n_fft) + " (reflection padding needs one window)");
+    return -1;
+  }
   if (row_len == 0) row_len = row_min;
   if (row_len < row_min) {
     set_error("row_len " + std::to_string(row_len) + " < clip+2*pad " +
