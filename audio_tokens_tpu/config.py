@@ -202,6 +202,13 @@ class AudioTokensConfig:
     # training RNG stream with mesh shape.  Pin lstm_backend='xla' when
     # bit-identical trajectories across mesh shapes matter.
     lstm_backend: str = "auto"
+    # Transformer attention window (model_type='bert').  512 reproduces the
+    # reference, which slices every clip to its first 512 tokens — ~3 s of a
+    # 10 s clip (reference: models/custom_bert_classifier.py:21-22).  On TPU
+    # full-clip attention is affordable (SURVEY.md §5): set this to
+    # max_seq_len (1728) to attend over the whole clip; position embeddings
+    # size to this value.  Checkpoints are tied to the setting.
+    transformer_max_position: int = 512
     # Megakernel DFT/mel GEMM tier: 'highest' (f32, bit-exact tokens,
     # ~18.5k clips/s on v5e), 'bf16x3' (~26k, 99.997% agreement),
     # 'default' (bf16, ~34k, 99.3%).  VQ distances always run f32.
@@ -225,6 +232,14 @@ class AudioTokensConfig:
     # resampled/downmixed clips — measured 2x transfer+tokenize on
     # link-bound hosts, BASELINE.md serving section).
     pcm_wire: str = "f32"
+    # Device-resident training corpus (train/device_epoch.py): ship each
+    # split's inputs/labels to HBM once and compile whole epochs into single
+    # XLA programs (on-device batch gathers + exact on-device mAP; an epoch
+    # fetches two scalars).  'auto' engages when the corpora fit the budget
+    # below and the mesh is DP-only; 'on' forces (errors under TP); 'off'
+    # always streams per-step batches (required at spec-corpus scale).
+    device_corpus: str = "auto"
+    device_corpus_budget_mb: int = 4096
     # Epoch-mAP accumulation: 0 keeps every sigmoid in host RAM (exact,
     # reference semantics; ~4.3 GB/epoch at 2M clips); >0 switches to the
     # constant-memory histogram estimator with this many score buckets

@@ -77,6 +77,7 @@ def get_model(config: AudioTokensConfig) -> nn.Module:
             num_layers=config.num_layers,
             num_classes=config.num_classes,
             hidden_size=config.hidden_size,
+            max_position=config.transformer_max_position,
             dropout=config.dropout,
             compute_dtype=compute_dtype,
         )

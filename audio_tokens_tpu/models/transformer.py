@@ -81,7 +81,11 @@ class TransformerClassifier(nn.Module):
     num_layers: int
     num_classes: int
     hidden_size: int = 768
-    max_position: int = 512  # reference truncates to 512 (custom_bert_classifier.py:21-22)
+    # 512 = reference compat (input sliced to the first 512 tokens — ~3 s of
+    # a 10 s clip, custom_bert_classifier.py:21-22).  Full-clip attention is
+    # the TPU-native mode: config.transformer_max_position = max_seq_len
+    # attends over every frame (position-embedding table sizes to match).
+    max_position: int = 512
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
 

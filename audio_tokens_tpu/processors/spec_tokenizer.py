@@ -41,6 +41,89 @@ from audio_tokens_tpu.utils.seeding import set_seed
 logger = logging.getLogger(__name__)
 
 
+class _CountLedger:
+    """Whole-corpus token statistics across incremental runs.
+
+    The reference always re-tokenizes destructively, so its stats/plots are
+    always whole-corpus (reference: processors/spec_tokenizer.py:129-240).
+    Incremental runs only tokenize missing/stale clips — this ledger keeps
+    the reported statistics whole-corpus anyway:
+
+      * ``{split}.token_counts.npz`` next to the token dir persists the
+        aggregate per-token counts plus a MANIFEST of the clip stems they
+        cover and the centroid mtime they were computed against;
+      * on an incremental run, fresh already-tokenized clips NOT in the
+        manifest (e.g. written by an interrupted run that never saved
+        counts) are "caught up" by bincounting their token files — far
+        cheaper than re-tokenizing;
+      * the prior is dropped wholesale when the centroids changed (every
+        token file is stale then anyway) or when a manifest clip's token
+        file disappeared (its counts could not be subtracted).
+
+    Net effect: incremental-run statistics artifacts match a destructive
+    rerun's exactly (tested in tests/test_incremental_counts.py).
+    """
+
+    def __init__(self, token_dir: Path, vocab: int, cent_mtime: float,
+                 load_prior: bool):
+        self.token_dir = token_dir
+        self.path = token_dir.parent / f"{token_dir.name}.token_counts.npz"
+        self.vocab = vocab
+        self.cent_mtime = cent_mtime
+        self.prior = np.zeros(vocab, np.int64)
+        self.prior_set = frozenset()
+        if not load_prior or not self.path.exists():
+            return
+        try:
+            z = np.load(self.path, allow_pickle=False)
+            if float(z["cent_mtime"]) != cent_mtime:
+                return  # new codebook: every prior count is stale
+            counts = np.asarray(z["counts"], np.int64)
+            if counts.shape != (vocab,):
+                return
+            stems = set(str(s) for s in z["ytids"])
+            on_disk = {f.stem for f in token_dir.glob("*.npy")}
+            if not stems <= on_disk:
+                logger.info(
+                    "token-count ledger dropped: %d counted clips no longer "
+                    "on disk", len(stems - on_disk))
+                return
+            self.prior = counts
+            self.prior_set = frozenset(stems)
+        except Exception as e:
+            logger.warning("token-count ledger unreadable (%s); rebuilding", e)
+
+    def catchup_counts(self, fresh_stems) -> np.ndarray:
+        """Counts for already-tokenized clips outside the manifest (call with
+        THIS process's shard; results are psum'd with the new counts)."""
+        counts = np.zeros(self.vocab, np.int64)
+        missing = [s for s in fresh_stems if s not in self.prior_set]
+        for stem in missing:
+            toks = np.load(self.token_dir / f"{stem}.npy")
+            counts += np.bincount(np.asarray(toks, np.int64),
+                                  minlength=self.vocab)
+        if missing:
+            logger.info("token-count ledger: caught up %d clips from token "
+                        "files", len(missing))
+        return counts
+
+    def save(self, merged_counts: np.ndarray) -> None:
+        """Persist merged counts + the manifest of fresh clips they cover
+        (coordinator only; atomic)."""
+        import io
+
+        from audio_tokens_tpu.utils.npy_io import atomic_save_bytes
+
+        manifest = sorted(
+            f.stem for f in self.token_dir.glob("*.npy")
+            if f.stat().st_mtime >= self.cent_mtime
+        )
+        buf = io.BytesIO()
+        np.savez(buf, counts=np.asarray(merged_counts, np.int64),
+                 ytids=np.asarray(manifest),
+                 cent_mtime=np.float64(self.cent_mtime))
+        atomic_save_bytes(self.path, buf.getvalue())
+
 
 class SpecTokenizer:
     def __init__(self, config: AudioTokensConfig):
@@ -76,25 +159,46 @@ class SpecTokenizer:
                     tokenized_dir.mkdir(parents=True)
                 distributed.barrier(f"tok-wipe-{split}")
             logger.info("Tokenizing %s: %s --> %s", split, source_dir, tokenized_dir)
+            ledger = self._make_ledger(split, tokenized_dir)
             with maybe_trace(self.config.profile_dir), \
                     StageTimer(f"tokenize/{split}") as timer:
-                counts = self.tokenize_directory(source_dir, tokenized_dir)
+                counts = self.tokenize_directory(source_dir, tokenized_dir,
+                                                 ledger)
                 timer.count("frames", int(counts.sum()))
             distributed.barrier(f"tok-done-{split}")
             if split == "train":
-                counts = distributed.all_sum_hosts(counts)  # global stats
-                if counts.sum() == 0:
-                    logger.info("no new tokens; keeping previous statistics/plots")
-                    stats[split] = {"total_tokens": 0, "unique_tokens": 0}
-                else:
-                    stats[split] = self.analyze_token_counts(counts)
-                    if distributed.is_coordinator():
-                        self.plot_token_counts(counts)
+                stats[split] = self._finish_train_stats(counts, ledger)
         return stats
 
-    def tokenize_directory(self, source_dir: Path, tokenized_dir: Path) -> np.ndarray:
+    def _make_ledger(self, split: str, tokenized_dir: Path):
+        """Ledger for the train split's whole-corpus statistics (prior counts
+        only load on incremental runs; destructive runs rebuild and save)."""
+        if split != "train":
+            return None
+        cent_mtime = Path(self.config.centroids_path).stat().st_mtime
+        return _CountLedger(tokenized_dir, self.centroids.shape[0],
+                            cent_mtime, load_prior=self.config.incremental)
+
+    def _finish_train_stats(self, counts: np.ndarray, ledger) -> dict:
+        """Global (cross-process) whole-corpus counts -> stats + plots +
+        persisted ledger."""
+        counts = distributed.all_sum_hosts(counts)  # new + caught-up, global
+        counts = counts + ledger.prior
+        if counts.sum() == 0:
+            logger.info("no tokens on record; skipping statistics/plots")
+            return {"total_tokens": 0, "unique_tokens": 0}
+        stats = self.analyze_token_counts(counts)
+        if distributed.is_coordinator():
+            ledger.save(counts)
+            self.plot_token_counts(counts)
+        return stats
+
+    def tokenize_directory(self, source_dir: Path, tokenized_dir: Path,
+                           ledger=None) -> np.ndarray:
         """Tokenize every spec file; returns per-token counts (vocab,) —
-        O(vocab) host memory regardless of corpus size."""
+        O(vocab) host memory regardless of corpus size.  On incremental runs
+        the counts include this shard's caught-up already-tokenized clips
+        (see _CountLedger), so merged statistics stay whole-corpus."""
         counts = np.zeros(self.centroids.shape[0], np.int64)
         spec_files = distributed.process_shard(sorted(source_dir.glob("*.npy")))
         if self.config.incremental:
@@ -102,19 +206,18 @@ class SpecTokenizer:
             # an existing token file only counts if it was produced AFTER the
             # current centroids — otherwise it encodes a stale codebook
             cent_mtime = Path(self.config.centroids_path).stat().st_mtime
-            spec_files = [
-                f for f in spec_files
-                if not (tokenized_dir / f.name).exists()
-                or (tokenized_dir / f.name).stat().st_mtime < cent_mtime
-            ]
-            n_skipped = before - len(spec_files)
+            skipped, todo = [], []
+            for f in spec_files:
+                tok = tokenized_dir / f.name
+                if tok.exists() and tok.stat().st_mtime >= cent_mtime:
+                    skipped.append(f)
+                else:
+                    todo.append(f)
+            spec_files = todo
             logger.info("incremental: %d/%d clips already tokenized",
-                        n_skipped, before)
-            if n_skipped:
-                logger.warning(
-                    "incremental tokenize: token statistics / plots cover only "
-                    "the %d newly tokenized clips", len(spec_files),
-                )
+                        before - len(spec_files), before)
+            if ledger is not None:
+                counts += ledger.catchup_counts(f.stem for f in skipped)
         bs = self.config.tokenizer_batch_size
         for i in range(0, len(spec_files), bs):
             batch_tokens = self.process_batch(spec_files[i : i + bs], tokenized_dir)
@@ -174,27 +277,28 @@ class SpecTokenizer:
             # sorted like the staged glob, so batch composition matches;
             # each process takes its strided slice of the split
             ytids = distributed.process_shard(sorted(split_map[split]))
-            if cfg.incremental:
-                cent_mtime = Path(cfg.centroids_path).stat().st_mtime
-                before = len(ytids)
-                ytids = [
-                    y for y in ytids
-                    if not (tokenized_dir / f"{y}.npy").exists()
-                    or (tokenized_dir / f"{y}.npy").stat().st_mtime < cent_mtime
-                ]
-                logger.info("incremental: %d/%d clips already tokenized",
-                            before - len(ytids), before)
-                if before - len(ytids):
-                    logger.warning(
-                        "incremental tokenize: token statistics / plots cover "
-                        "only the %d newly tokenized clips", len(ytids),
-                    )
-            logger.info("Fused-tokenizing %s: audio --> %s", split, tokenized_dir)
-            found = [(y, p) for y in ytids
-                     if (p := find_audio_file(cfg, y)) is not None]
+            ledger = self._make_ledger(split, tokenized_dir)
             # bounded stats accumulation (O(vocab), not O(corpus)): the train
             # split's reports only need per-token counts
             counts = np.zeros(self.centroids.shape[0], np.int64)
+            if cfg.incremental:
+                cent_mtime = Path(cfg.centroids_path).stat().st_mtime
+                before = len(ytids)
+                skipped, todo = [], []
+                for y in ytids:
+                    tok = tokenized_dir / f"{y}.npy"
+                    if tok.exists() and tok.stat().st_mtime >= cent_mtime:
+                        skipped.append(y)
+                    else:
+                        todo.append(y)
+                ytids = todo
+                logger.info("incremental: %d/%d clips already tokenized",
+                            before - len(ytids), before)
+                if ledger is not None:
+                    counts += ledger.catchup_counts(skipped)
+            logger.info("Fused-tokenizing %s: audio --> %s", split, tokenized_dir)
+            found = [(y, p) for y in ytids
+                     if (p := find_audio_file(cfg, y)) is not None]
             n_frames_total = 0
             bs = cfg.device_batch_size
             with maybe_trace(cfg.profile_dir), \

@@ -24,11 +24,18 @@ from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.models import get_model
 from audio_tokens_tpu.utils.seeding import key_for
 
-# (model_type, batch, seq, config overrides)
+# (case name, model_type, batch, seq, config overrides)
 DEFAULT_CASES = [
-    ("simple", 64, 1728, dict(hidden_size=768)),
-    ("bert", 32, 512, dict(hidden_size=768, num_layers=2, dropout=0.0)),
-    ("lstm", 64, 1728, dict(lstm_embed_dim=256, lstm_hidden_dim=512, num_layers=1)),
+    ("simple", "simple", 64, 1728, dict(hidden_size=768)),
+    ("bert", "bert", 32, 512, dict(hidden_size=768, num_layers=2, dropout=0.0)),
+    # full-clip attention (transformer_max_position = whole 10 s clip); the
+    # TPU-native mode SURVEY.md §5 names — ~11x the 512-window attention
+    # FLOPs, so the batch drops to keep the (B, H, T, T) score tensor sane
+    ("bert_full", "bert", 8, 1728, dict(hidden_size=768, num_layers=2,
+                                        dropout=0.0,
+                                        transformer_max_position=1728)),
+    ("lstm", "lstm", 64, 1728, dict(lstm_embed_dim=256, lstm_hidden_dim=512,
+                                    num_layers=1)),
 ]
 
 
@@ -96,7 +103,8 @@ def _train_flops(model_type, cfg, batch, seq):
         return 3.0 * per_tok * batch * seq
     if model_type == "bert":
         hs = cfg.hidden_size
-        t = min(seq, 512)  # the model truncates like the reference
+        # the model truncates to its attention window (512 = reference)
+        t = min(seq, cfg.transformer_max_position)
         per_tok_layer = 2.0 * 12 * hs * hs  # qkv/proj + 4x MLP, fwd
         attn = 4.0 * t * t * hs  # scores + weighted sum, fwd
         return 3.0 * (per_tok_layer * t + attn) * cfg.num_layers * batch
@@ -166,24 +174,82 @@ def bench_real_loop(model_type: str, batch: int, seq: int, epochs: int,
     )
 
 
+def bench_device_loop(model_type: str, batch: int, seq: int, epochs: int,
+                      n_batches: int, **overrides) -> None:
+    """Epoch rate of the device-resident path (train/device_epoch.py): the
+    corpus lives in HBM, an epoch is ONE compiled program (scan over steps +
+    on-device exact mAP), and the host fetches two scalars per epoch — the
+    loop that replaces per-step device_put/prediction fetches entirely."""
+    from audio_tokens_tpu.train.device_epoch import DeviceEpochRunner
+    from audio_tokens_tpu.train.trainer import Trainer
+
+    kwargs = dict(
+        model_type=model_type, vocab_size=500, num_classes=543,
+        max_seq_len=seq, training_batch_size=batch, dropout=0.0,
+        save_best_checkpoint=False,
+    )
+    kwargs.update(overrides)
+    cfg = AudioTokensConfig(**kwargs)
+    rng = np.random.default_rng(0)
+    n = batch * n_batches
+    inputs = rng.integers(0, cfg.vocab_size, (n, seq)).astype(np.uint16)
+    lengths = np.full(n, seq, np.int32)
+    labels = (rng.random((n, cfg.num_classes)) < 0.05).astype(np.uint8)
+    init_batch = {
+        "inputs": inputs[:batch].astype(np.int32),
+        "lengths": lengths[:batch],
+        "labels": labels[:batch].astype(np.float32),
+        "n_valid": batch,
+    }
+    trainer = Trainer(cfg)
+    params, opt_state = trainer._init_state(_MemLoader([init_batch]))
+    runner = DeviceEpochRunner(trainer.model, trainer.optimizer, cfg,
+                               trainer.mesh, trainer.use_lengths)
+    runner.set_corpus_arrays("train", inputs, lengths, labels, n, batch)
+
+    # warm epoch: compiles + the one-time corpus transfer already happened
+    t0 = time.perf_counter()
+    params, opt_state, step, _, _ = runner.train_epoch(
+        params, opt_state, trainer._root_key, 0, 0)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for e in range(1, epochs + 1):
+        params, opt_state, step, loss, m = runner.train_epoch(
+            params, opt_state, trainer._root_key, e, step)
+    dt = time.perf_counter() - t0
+    clips = batch * n_batches * epochs
+    ms = dt / (n_batches * epochs) * 1e3
+    print(
+        f"{model_type:8s} B={batch} T={seq}: device-resident epoch loop "
+        f"{ms:7.1f} ms/step -> {clips / dt:8.0f} clips/s "
+        f"(compile {compile_s:.1f}s; incl. on-device shuffle + exact mAP, "
+        f"2 scalars fetched/epoch)"
+    )
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--models", default="simple,bert,lstm")
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--real-loop", action="store_true",
                         help="also run the real Trainer epoch loop")
+    parser.add_argument("--device-loop", action="store_true",
+                        help="also run the device-resident epoch loop")
     parser.add_argument("--epochs", type=int, default=3,
-                        help="epochs for --real-loop timing")
+                        help="epochs for --real-loop/--device-loop timing")
     parser.add_argument("--batches", type=int, default=32,
-                        help="batches per epoch for --real-loop")
+                        help="batches per epoch for --real-loop/--device-loop")
     args = parser.parse_args()
     wanted = set(args.models.split(","))
-    for model_type, batch, seq, overrides in DEFAULT_CASES:
-        if model_type in wanted:
+    for name, model_type, batch, seq, overrides in DEFAULT_CASES:
+        if name in wanted or model_type in wanted:
             bench_case(model_type, batch, seq, args.iters, **overrides)
             if args.real_loop:
                 bench_real_loop(model_type, batch, seq, args.epochs,
                                 args.batches, **overrides)
+            if args.device_loop:
+                bench_device_loop(model_type, batch, seq, args.epochs,
+                                  args.batches, **overrides)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,352 @@
+"""Device-resident training corpus: whole epochs as single XLA programs.
+
+The streaming Trainer ships every batch over the host link each epoch and
+fetches every batch's sigmoid matrix back for mAP — ~400 KB of wire per step,
+a hard floor on dispatch-latency hosts even with prefetch/async collection.
+But a full balanced-corpus token epoch is ~76 MB of uint16 — it fits in HBM
+hundreds of times over.  This module ships each split's corpus to the device
+ONCE and compiles the ENTIRE epoch into one program:
+
+    scan over steps:
+        gather batch rows by a per-epoch permutation (device gather)
+        loss / grad / AdamW update        (same objective as the step paths)
+        emit sigmoid predictions          (stay on device)
+    exact macro mAP over the epoch's predictions (utils/device_metrics.py)
+
+so one epoch costs one dispatch + a two-scalar fetch (loss, mAP) — no
+per-step host involvement at all.  The reference's hot loop being replaced:
+processors/model_trainer.py:99-125 (per-batch .to(device) / .cpu()).
+
+Batch composition, shuffle order (same seeded RNG as BatchLoader), padded-row
+weighting, loss semantics and dropout-key derivation are identical to the
+streaming paths — tests/test_device_epoch.py asserts trajectory equality.
+
+Meshes: single device (plain jit) and DP meshes (the whole epoch under one
+``shard_map`` — corpus replicated, each device gathers its batch shard,
+gradients psum'd per step; this is also what lets the Pallas LSTM sequence
+kernel run device-resident, since pallas_call cannot be GSPMD-partitioned).
+TP meshes fall back to the streaming path.  Residency is gated by
+``config.device_corpus_budget_mb`` — spec corpora at real scale stream.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from audio_tokens_tpu.train.objective import make_local_loss, make_loss_fn
+from audio_tokens_tpu.utils.device_metrics import macro_map_device
+
+logger = logging.getLogger(__name__)
+
+
+def corpus_arrays(ds, batch_size: int, max_seq_len: int):
+    """Pack a ClipDataset split into fixed-shape host arrays.
+
+    Rows are padded to a whole number of batches so every scan step has the
+    full batch shape; ``n_real`` marks real rows (pad rows weigh 0 in the
+    loss and are excluded from mAP exactly).  Tokens pack as uint16 when the
+    vocabulary fits (the minimized wire/HBM format, cast back in the loss).
+    """
+    cfg = ds.config
+    n = len(ds)
+    n_pad = -(-n // batch_size) * batch_size
+    t, m = max_seq_len, cfg.n_mels
+    if ds.kind == "tokens":
+        dtype = np.uint16 if cfg.vocab_size <= 0xFFFF else np.int32
+        inputs = np.zeros((n_pad, t), dtype)
+    elif ds.kind == "spec":
+        inputs = np.zeros((n_pad, t, m), np.float32)
+    else:  # flat
+        inputs = np.zeros((n_pad, t * m), np.float32)
+    lengths = np.zeros(n_pad, np.int32)
+    labels = np.zeros((n_pad, cfg.num_classes), np.uint8)
+    for i in range(n):
+        feats = ds.load_features(i)
+        k = min(len(feats), t)
+        lengths[i] = k
+        if ds.kind == "flat":
+            buf = np.zeros((t, m), np.float32)
+            buf[:k] = feats[:k]
+            inputs[i] = buf.reshape(-1)
+        else:
+            inputs[i, :k] = feats[:k]
+        labels[i] = ds.labels_for(i)
+    return inputs, lengths, labels, n
+
+
+def corpus_nbytes(n_clips: int, batch_size: int, max_seq_len: int,
+                  n_mels: int, kind: str, num_classes: int,
+                  vocab_size: int) -> int:
+    """HBM estimate for one resident split: corpus + labels + the epoch's
+    prediction buffer (scan output + the mAP computation's sorted copies)."""
+    n_pad = -(-max(n_clips, 1) // batch_size) * batch_size
+    if kind == "tokens":
+        row = max_seq_len * (2 if vocab_size <= 0xFFFF else 4)
+    else:
+        row = max_seq_len * n_mels * 4
+    preds = n_pad * num_classes * 4
+    return n_pad * (row + num_classes + 4) + 4 * preds
+
+
+class _Corpus:
+    def __init__(self, inputs, lengths, labels, n_real: int, batch_size: int,
+                 put):
+        self.inputs = put(inputs)
+        self.lengths = put(lengths)
+        self.labels = put(labels)
+        self.n_real = int(n_real)
+        self.n_pad = int(inputs.shape[0])
+        self.batch_size = int(batch_size)
+        self.n_steps = self.n_pad // self.batch_size
+
+
+class DeviceEpochRunner:
+    """Holds the resident corpora and the compiled whole-epoch programs."""
+
+    def __init__(self, model, optimizer, config, mesh, use_lengths: bool):
+        self.model = model
+        self.optimizer = optimizer
+        self.config = config
+        self.mesh = mesh
+        self.use_lengths = use_lengths
+        self.corpora: Dict[str, _Corpus] = {}
+        self._train_fns: Dict[int, object] = {}
+        self._eval_fn = None
+
+    # -- corpus residency ------------------------------------------------
+    def _put(self, x: np.ndarray):
+        if self.mesh is None:
+            return jax.device_put(x)
+        from audio_tokens_tpu.parallel import distributed
+
+        sh = NamedSharding(self.mesh, P())
+        if distributed.is_multiprocess():
+            # every process holds the identical full array (same artifacts)
+            return jax.make_array_from_process_local_data(
+                sh, x, global_shape=x.shape)
+        return jax.device_put(x, sh)
+
+    def set_corpus_arrays(self, split: str, inputs, lengths, labels,
+                          n_real: int, batch_size: int) -> None:
+        self.corpora[split] = _Corpus(
+            inputs, lengths, labels, n_real, batch_size, self._put)
+
+    def set_corpus(self, split: str, ds, batch_size: int,
+                   max_seq_len: int) -> None:
+        inputs, lengths, labels, n_real = corpus_arrays(
+            ds, batch_size, max_seq_len)
+        logger.info(
+            "device corpus %s: %d clips (%d padded), %.1f MB resident",
+            split, n_real, inputs.shape[0],
+            (inputs.nbytes + labels.nbytes + lengths.nbytes) / 2**20,
+        )
+        self.set_corpus_arrays(split, inputs, lengths, labels, n_real,
+                               batch_size)
+
+    # -- per-epoch permutation (same RNG as BatchLoader._index_batches) --
+    def _perm(self, c: _Corpus, epoch: int, shuffle: bool) -> jax.Array:
+        order = np.arange(c.n_real, dtype=np.int32)
+        if shuffle:
+            np.random.default_rng(
+                self.config.random_seed + epoch).shuffle(order)
+        perm = np.concatenate(
+            [order, np.arange(c.n_real, c.n_pad, dtype=np.int32)])
+        return self._put(perm)
+
+    # -- epoch program builders -----------------------------------------
+    def _epoch_map(self, preds, labels, perm, n_real: int, n_rows: int):
+        scores = preds.reshape(n_rows, -1)
+        rows = perm[:n_rows]
+        return macro_map_device(
+            scores, jnp.take(labels, rows, axis=0), rows < n_real)
+
+    def _build_train_fn(self, n_steps: int):
+        c = self.corpora["train"]
+        b, n_real = c.batch_size, c.n_real
+        optimizer = self.optimizer
+
+        if self.mesh is None:
+            loss_fn = make_loss_fn(self.model, self.use_lengths)
+
+            def epoch(params, opt_state, root_key, inputs, lengths, labels,
+                      perm, step0):
+                def body(carry, i):
+                    params, opt_state, loss_sum = carry
+                    idx = jax.lax.dynamic_slice(perm, (i * b,), (b,))
+                    row_w = (idx < n_real).astype(jnp.float32)
+                    key = jax.random.fold_in(root_key, step0 + i)
+                    (loss, logits), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(params, jnp.take(inputs, idx, axis=0),
+                      jnp.take(lengths, idx, axis=0),
+                      jnp.take(labels, idx, axis=0), row_w, key, False)
+                    updates, opt_state = optimizer.update(
+                        grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return ((params, opt_state, loss_sum + loss),
+                            jax.nn.sigmoid(logits))
+
+                (params, opt_state, loss_sum), preds = jax.lax.scan(
+                    body, (params, opt_state, jnp.float32(0.0)),
+                    jnp.arange(n_steps))
+                m = self._epoch_map(preds, labels, perm, n_real, n_steps * b)
+                return params, opt_state, loss_sum / n_steps, m
+
+            return jax.jit(epoch)
+
+        # DP mesh: the whole epoch under one shard_map (works for every
+        # model incl. the Pallas LSTM kernel, which GSPMD cannot partition)
+        mesh = self.mesh
+        ndev = mesh.shape["data"]
+        b_local = b // ndev
+        local_loss = make_local_loss(self.model, self.use_lengths)
+        n_classes = self.config.num_classes
+
+        def local_epoch(params, opt_state, root_key, inputs, lengths, labels,
+                        perm, step0):
+            rank = jax.lax.axis_index("data")
+
+            def body(carry, i):
+                params, opt_state, loss_sum = carry
+                idx = jax.lax.dynamic_slice(
+                    perm, (i * b + rank * b_local,), (b_local,))
+                row_w = (idx < n_real).astype(jnp.float32)
+                key = jax.random.fold_in(root_key, step0 + i)
+                (num, logits), grads = jax.value_and_grad(
+                    local_loss, has_aux=True
+                )(params, jnp.take(inputs, idx, axis=0),
+                  jnp.take(lengths, idx, axis=0),
+                  jnp.take(labels, idx, axis=0), row_w, key, False)
+                denom = jnp.maximum(
+                    jax.lax.psum(row_w.sum(), "data") * n_classes, 1.0)
+                grads = jax.tree_util.tree_map(
+                    lambda g: jax.lax.psum(g, "data") / denom, grads)
+                loss = jax.lax.psum(num, "data") / denom
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return ((params, opt_state, loss_sum + loss),
+                        jax.nn.sigmoid(logits))
+
+            (params, opt_state, loss_sum), preds = jax.lax.scan(
+                body, (params, opt_state, jnp.float32(0.0)),
+                jnp.arange(n_steps))
+            return params, opt_state, loss_sum / n_steps, preds
+
+        sm = jax.shard_map(
+            local_epoch, mesh=mesh,
+            in_specs=(P(),) * 8,
+            out_specs=(P(), P(), P(), P(None, "data", None)),
+            check_vma=False,  # pallas outputs carry no vma info
+        )
+
+        def epoch(params, opt_state, root_key, inputs, lengths, labels,
+                  perm, step0):
+            params, opt_state, mean_loss, preds = sm(
+                params, opt_state, root_key, inputs, lengths, labels, perm,
+                step0)
+            m = self._epoch_map(preds, labels, perm, n_real, n_steps * b)
+            return params, opt_state, mean_loss, m
+
+        return jax.jit(epoch)
+
+    def _build_eval_fn(self):
+        c = self.corpora["validation"]
+        b, n_real, n_steps = c.batch_size, c.n_real, c.n_steps
+
+        if self.mesh is None:
+            loss_fn = make_loss_fn(self.model, self.use_lengths)
+
+            def epoch(params, inputs, lengths, labels, perm):
+                def body(loss_sum, i):
+                    idx = jax.lax.dynamic_slice(perm, (i * b,), (b,))
+                    row_w = (idx < n_real).astype(jnp.float32)
+                    loss, logits = loss_fn(
+                        params, jnp.take(inputs, idx, axis=0),
+                        jnp.take(lengths, idx, axis=0),
+                        jnp.take(labels, idx, axis=0), row_w, None, True)
+                    return loss_sum + loss, jax.nn.sigmoid(logits)
+
+                loss_sum, preds = jax.lax.scan(
+                    body, jnp.float32(0.0), jnp.arange(n_steps))
+                m = self._epoch_map(preds, labels, perm, n_real, n_steps * b)
+                return loss_sum / n_steps, m
+
+            return jax.jit(epoch)
+
+        mesh = self.mesh
+        b_local = b // mesh.shape["data"]
+        local_loss = make_local_loss(self.model, self.use_lengths)
+        n_classes = self.config.num_classes
+
+        def local_epoch(params, inputs, lengths, labels, perm):
+            rank = jax.lax.axis_index("data")
+
+            def body(loss_sum, i):
+                idx = jax.lax.dynamic_slice(
+                    perm, (i * b + rank * b_local,), (b_local,))
+                row_w = (idx < n_real).astype(jnp.float32)
+                num, logits = local_loss(
+                    params, jnp.take(inputs, idx, axis=0),
+                    jnp.take(lengths, idx, axis=0),
+                    jnp.take(labels, idx, axis=0), row_w, None, True)
+                denom = jnp.maximum(
+                    jax.lax.psum(row_w.sum(), "data") * n_classes, 1.0)
+                return (loss_sum + jax.lax.psum(num, "data") / denom,
+                        jax.nn.sigmoid(logits))
+
+            loss_sum, preds = jax.lax.scan(
+                body, jnp.float32(0.0), jnp.arange(n_steps))
+            return loss_sum / n_steps, preds
+
+        sm = jax.shard_map(
+            local_epoch, mesh=mesh,
+            in_specs=(P(),) * 5,
+            out_specs=(P(), P(None, "data", None)),
+            check_vma=False,
+        )
+
+        def epoch(params, inputs, lengths, labels, perm):
+            mean_loss, preds = sm(params, inputs, lengths, labels, perm)
+            m = self._epoch_map(preds, labels, perm, n_real, n_steps * b)
+            return mean_loss, m
+
+        return jax.jit(epoch)
+
+    # -- public epoch entry points ---------------------------------------
+    def train_epoch(
+        self, params, opt_state, root_key, epoch: int, step: int,
+        max_steps: int = 0,
+    ) -> Tuple[object, object, int, float, Dict[str, float]]:
+        c = self.corpora["train"]
+        n_steps = c.n_steps
+        if max_steps:
+            n_steps = min(n_steps, max_steps - step)
+        if n_steps <= 0:
+            return params, opt_state, step, float("nan"), {"mAP": 0.0}
+        fn = self._train_fns.get(n_steps)
+        if fn is None:
+            fn = self._train_fns[n_steps] = self._build_train_fn(n_steps)
+        perm = self._perm(c, epoch, shuffle=True)
+        params, opt_state, loss, m = fn(
+            params, opt_state, root_key, c.inputs, c.lengths, c.labels,
+            perm, jnp.int32(step))
+        return (params, opt_state, step + n_steps,
+                float(np.asarray(loss)), {"mAP": float(np.asarray(m))})
+
+    def eval_epoch(self, params) -> Tuple[float, Dict[str, float]]:
+        c = self.corpora["validation"]
+        if c.n_real == 0:
+            return float("nan"), {"mAP": 0.0}
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval_fn()
+        perm = self._perm(c, 0, shuffle=False)
+        loss, m = self._eval_fn(params, c.inputs, c.lengths, c.labels, perm)
+        return float(np.asarray(loss)), {"mAP": float(np.asarray(m))}

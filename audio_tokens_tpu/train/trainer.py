@@ -149,7 +149,10 @@ class Trainer:
             raise RuntimeError("no training data found — run the pipeline stages first")
 
         params, opt_state = self._init_state(train_loader)
-        train_step, eval_step = self._build_steps()
+        runner = self._maybe_device_runner(train_loader, val_loader)
+        train_step = eval_step = None
+        if runner is None:
+            train_step, eval_step = self._build_steps()
 
         best_metric = 0.0
         epochs_since_best = 0
@@ -186,10 +189,17 @@ class Trainer:
 
         for epoch in range(cfg.epochs):
             t0 = time.time()
-            params, opt_state, step, train_loss, train_metrics = self._train_epoch(
-                train_step, params, opt_state, train_loader, epoch, step
-            )
-            val_loss, val_metrics = self._eval_epoch(eval_step, params, val_loader)
+            if runner is not None:
+                params, opt_state, step, train_loss, train_metrics = (
+                    runner.train_epoch(params, opt_state, self._root_key,
+                                       epoch, step, cfg.max_train_steps)
+                )
+                val_loss, val_metrics = runner.eval_epoch(params)
+            else:
+                params, opt_state, step, train_loss, train_metrics = self._train_epoch(
+                    train_step, params, opt_state, train_loader, epoch, step
+                )
+                val_loss, val_metrics = self._eval_epoch(eval_step, params, val_loader)
             if (cfg.diagnostics_every and epoch % cfg.diagnostics_every == 0
                     and distributed.is_coordinator()):
                 self._run_diagnostics(params, train_loader, epoch)
@@ -318,6 +328,56 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         return params, opt_state
 
+    def _maybe_device_runner(self, train_loader, val_loader):
+        """Build the device-resident epoch runner (train/device_epoch.py)
+        when configured and the corpora fit ``device_corpus_budget_mb`` of
+        HBM.  Returns None to use the streaming per-step paths (TP meshes,
+        over-budget corpora, or ``device_corpus='off'``)."""
+        cfg = self.config
+        mode = getattr(cfg, "device_corpus", "auto")
+        if mode == "off":
+            return None
+        if self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
+            if mode == "on":
+                raise ValueError(
+                    "device_corpus='on' is incompatible with model_parallel "
+                    "> 1 (the epoch programs assume a DP-only mesh); set "
+                    "device_corpus='off' or model_parallel=1"
+                )
+            return None
+        if getattr(train_loader.ds, "kind", None) is None:
+            return None  # non-ClipDataset loader (e.g. bench harnesses)
+        from audio_tokens_tpu.train.device_epoch import (
+            DeviceEpochRunner, corpus_nbytes,
+        )
+
+        est = sum(
+            corpus_nbytes(len(loader.ds), bs, cfg.max_seq_len, cfg.n_mels,
+                          loader.ds.kind, cfg.num_classes, cfg.vocab_size)
+            for loader, bs in (
+                (train_loader, cfg.training_batch_size),
+                (val_loader, cfg.eval_batch_size),
+            )
+        )
+        budget = cfg.device_corpus_budget_mb * 2**20
+        if est > budget:
+            msg = ("device corpus %s: estimated %.0f MB exceeds "
+                   "device_corpus_budget_mb=%d")
+            if mode == "on":  # forced: proceed, but say so
+                logger.warning(msg + " (forced on)", "over budget",
+                               est / 2**20, cfg.device_corpus_budget_mb)
+            else:
+                logger.info(msg + "; streaming batches instead", "disabled",
+                            est / 2**20, cfg.device_corpus_budget_mb)
+                return None
+        runner = DeviceEpochRunner(self.model, self.optimizer, cfg,
+                                   self.mesh, self.use_lengths)
+        runner.set_corpus("train", train_loader.ds,
+                          cfg.training_batch_size, cfg.max_seq_len)
+        runner.set_corpus("validation", val_loader.ds,
+                          cfg.eval_batch_size, cfg.max_seq_len)
+        return runner
+
     def _shard_params(self, params):
         """Place params on the mesh: TP_RULES shardings when a model axis is
         active, replicated otherwise.  Used by init, resume and evaluate so
@@ -339,23 +399,10 @@ class Trainer:
     def _build_steps(self):
         if self._use_shard_map_steps():
             return self._build_steps_shard_map()
-        model, optimizer = self.model, self.optimizer
-        use_lengths = self.use_lengths
+        optimizer = self.optimizer
+        from audio_tokens_tpu.train.objective import make_loss_fn
 
-        def loss_fn(params, inputs, lengths, labels, row_w, key, deterministic):
-            labels = labels.astype(jnp.float32)  # shipped uint8
-            if jnp.issubdtype(inputs.dtype, jnp.integer):
-                inputs = inputs.astype(jnp.int32)  # shipped uint16
-            logits = model.apply(
-                {"params": params},
-                inputs,
-                lengths=lengths if use_lengths else None,
-                deterministic=deterministic,
-                rngs=None if deterministic else {"dropout": key},
-            )
-            bce = optax.sigmoid_binary_cross_entropy(logits, labels)  # (B, C)
-            denom = jnp.maximum(row_w.sum() * labels.shape[1], 1.0)
-            return (bce * row_w[:, None]).sum() / denom, logits
+        loss_fn = make_loss_fn(self.model, self.use_lengths)
 
         replicate_preds = (self.mesh is not None
                            and distributed.is_multiprocess())
@@ -402,30 +449,14 @@ class Trainer:
         )
 
     def _build_steps_shard_map(self):
-        model, optimizer = self.model, self.optimizer
-        use_lengths = self.use_lengths
+        optimizer = self.optimizer
         mesh = self.mesh
+        from audio_tokens_tpu.train.objective import make_local_loss
 
-        def local_loss(params, inputs, lengths, labels, row_w, key,
-                       deterministic):
-            """Per-device numerator/weight of the GLOBAL weighted-mean loss
-            (the jit path's (bce*w).sum() / max(w.sum()*C, 1) computed with
-            psum'd totals — identical semantics under sharding)."""
-            labels = labels.astype(jnp.float32)  # shipped uint8
-            if jnp.issubdtype(inputs.dtype, jnp.integer):
-                inputs = inputs.astype(jnp.int32)  # shipped uint16
-            if key is not None:
-                # decorrelate dropout across devices
-                key = jax.random.fold_in(key, jax.lax.axis_index("data"))
-            logits = model.apply(
-                {"params": params},
-                inputs,
-                lengths=lengths if use_lengths else None,
-                deterministic=deterministic,
-                rngs=None if deterministic else {"dropout": key},
-            )
-            bce = optax.sigmoid_binary_cross_entropy(logits, labels)
-            return (bce * row_w[:, None]).sum(), logits
+        # per-device numerator of the GLOBAL weighted-mean loss (the jit
+        # path's (bce*w).sum() / max(w.sum()*C, 1) computed with psum'd
+        # totals — identical semantics under sharding)
+        local_loss = make_local_loss(self.model, self.use_lengths)
 
         n_classes = self.config.num_classes
 

@@ -1,0 +1,206 @@
+"""Device-resident epoch programs (train/device_epoch.py).
+
+Covers: exact on-device mAP vs the numpy/sklearn-parity implementation
+(tie groups, zero-positive classes, padded-row exclusion), trajectory
+equality between the whole-epoch device programs and the streaming per-step
+Trainer paths (both the single-device jit and the 8-device shard_map mesh),
+Trainer.run() integration (auto engagement + budget fallback), and
+max_train_steps truncation.
+"""
+
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from audio_tokens_tpu.data.datasets import DataLoaderCreator
+from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+from audio_tokens_tpu.data.splitter import DatasetSplitter
+from audio_tokens_tpu.train.device_epoch import DeviceEpochRunner
+from audio_tokens_tpu.train.trainer import Trainer
+from audio_tokens_tpu.utils.device_metrics import macro_map_device
+from audio_tokens_tpu.utils.metrics import macro_mean_average_precision
+from tests import fixtures
+
+N_CLIPS = 18
+
+
+# ---------------------------------------------------------------------------
+# on-device exact mAP
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("quantize", [0, 4, 1])  # 0 = continuous, else ties
+def test_macro_map_device_matches_numpy(rng, quantize):
+    n, c = 120, 9
+    scores = rng.random((n, c)).astype(np.float32)
+    if quantize:
+        scores = np.round(scores * quantize) / quantize  # heavy ties
+    labels = (rng.random((n, c)) < 0.3).astype(np.float32)
+    labels[:, -1] = 0.0  # a zero-positive class (must be excluded)
+    valid = np.ones(n, bool)
+    valid[100:] = False  # padded tail rows (must be excluded exactly)
+
+    got = float(macro_map_device(scores, labels, valid))
+    want = macro_mean_average_precision(labels[:100], scores[:100])
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_macro_map_device_no_positives(rng):
+    scores = rng.random((16, 3)).astype(np.float32)
+    labels = np.zeros((16, 3), np.float32)
+    assert float(macro_map_device(scores, labels, np.ones(16, bool))) == 0.0
+
+
+def test_macro_map_device_saturated_ties(rng):
+    """Saturated sigmoids (exact 0.0/1.0 runs) — the tie case trained models
+    actually hit."""
+    n, c = 64, 5
+    scores = rng.choice([0.0, 0.25, 1.0], size=(n, c)).astype(np.float32)
+    labels = (rng.random((n, c)) < 0.4).astype(np.float32)
+    got = float(macro_map_device(scores, labels, np.ones(n, bool)))
+    want = macro_mean_average_precision(labels, scores)
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# synthetic tokenized workspace (no audio stages needed)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def token_ws(tmp_path_factory):
+    base = tmp_path_factory.mktemp("dev_epoch_ws")
+    meta = base / "metadata"
+    meta.mkdir(parents=True)
+    fixtures.make_ontology(meta / "ontology.json")
+    fixtures.make_segments_csv(meta / "balanced_train_segments.csv",
+                               n_clips=N_CLIPS)
+    (base / "output").mkdir()
+    cfg = fixtures.test_config(base, max_seq_len=48)
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+    split = json.loads(Path(cfg.split_file).read_text())
+    rng = np.random.default_rng(3)
+    for sp in ("train", "validation"):
+        d = Path(cfg.dest_tokenized_path) / sp
+        d.mkdir(parents=True)
+        for y in split[sp]:
+            n = int(rng.integers(30, 48))
+            np.save(d / f"{y}.npy",
+                    rng.integers(0, cfg.vocab_size, n).astype(np.int64))
+    return base
+
+
+def _cfg(base, **kw):
+    defaults = dict(model_type="simple", epochs=2, dropout=0.0,
+                    max_seq_len=48, save_best_checkpoint=False,
+                    learning_rate=3e-3)
+    defaults.update(kw)
+    return fixtures.test_config(base, **defaults)
+
+
+def _tree_allclose(a, b, rtol=1e-4, atol=1e-6):
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+# ---------------------------------------------------------------------------
+# trajectory equality vs the streaming paths
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("batch", [4, 8])  # 4: mesh None (jit); 8: shard_map
+def test_device_epoch_matches_streaming(token_ws, batch):
+    cfg = _cfg(token_ws, training_batch_size=batch, device_corpus="off")
+    trainer = Trainer(cfg)
+    train_loader, val_loader = DataLoaderCreator(cfg).get_dataloaders()
+    params0, opt0 = trainer._init_state(train_loader)
+    if batch == 8:
+        assert trainer.mesh is not None  # 8 CPU devices
+    else:
+        assert trainer.mesh is None
+    train_step, eval_step = trainer._build_steps()
+
+    p1, o1, step = params0, opt0, 0
+    stream_losses, stream_maps = [], []
+    for epoch in range(cfg.epochs):
+        p1, o1, step, loss, m = trainer._train_epoch(
+            train_step, p1, o1, train_loader, epoch, step)
+        stream_losses.append(loss)
+        stream_maps.append(m["mAP"])
+    ev_loss, ev_m = trainer._eval_epoch(eval_step, p1, val_loader)
+
+    runner = DeviceEpochRunner(trainer.model, trainer.optimizer, cfg,
+                               trainer.mesh, trainer.use_lengths)
+    runner.set_corpus("train", train_loader.ds, batch, cfg.max_seq_len)
+    runner.set_corpus("validation", val_loader.ds, cfg.eval_batch_size,
+                      cfg.max_seq_len)
+    p2, o2, step = params0, opt0, 0
+    for epoch in range(cfg.epochs):
+        p2, o2, step, loss, m = runner.train_epoch(
+            p2, o2, trainer._root_key, epoch, step)
+        # identical batch composition + objective => same per-epoch numbers
+        assert loss == pytest.approx(stream_losses[epoch], rel=1e-4, abs=1e-6)
+        assert m["mAP"] == pytest.approx(stream_maps[epoch], abs=1e-4)
+    dv_loss, dv_m = runner.eval_epoch(p2)
+    assert dv_loss == pytest.approx(ev_loss, rel=1e-4, abs=1e-6)
+    assert dv_m["mAP"] == pytest.approx(ev_m["mAP"], abs=1e-4)
+    _tree_allclose(p1, p2)
+
+
+def test_device_epoch_lstm_and_bert(token_ws):
+    """The scan-wrapped epoch compiles and trains the recurrent and
+    transformer families too (single epoch, finite results)."""
+    for model_type in ("lstm", "bert"):
+        cfg = _cfg(token_ws, model_type=model_type, epochs=1, num_layers=1,
+                   training_batch_size=8, device_corpus="on")
+        val_loss, val_m = Trainer(cfg).run()
+        assert np.isfinite(val_loss)
+        assert 0.0 <= val_m["mAP"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Trainer.run() integration
+# ---------------------------------------------------------------------------
+def test_run_engages_device_corpus_by_default(token_ws, caplog):
+    cfg = _cfg(token_ws, epochs=1)
+    with caplog.at_level("INFO", logger="audio_tokens_tpu.train.device_epoch"):
+        val_loss, val_m = Trainer(cfg).run()
+    assert any("device corpus train" in r.message for r in caplog.records)
+    assert np.isfinite(val_loss)
+
+
+def test_budget_falls_back_to_streaming(token_ws, caplog):
+    cfg = _cfg(token_ws, epochs=1, device_corpus_budget_mb=0)
+    trainer = Trainer(cfg)
+    train_loader, val_loader = DataLoaderCreator(cfg).get_dataloaders()
+    trainer._init_state(train_loader)
+    with caplog.at_level("INFO", logger="audio_tokens_tpu.train.trainer"):
+        runner = trainer._maybe_device_runner(train_loader, val_loader)
+    assert runner is None
+    assert any("streaming batches instead" in r.message
+               for r in caplog.records)
+
+
+def test_device_corpus_off_respected(token_ws):
+    cfg = _cfg(token_ws, epochs=1, device_corpus="off")
+    trainer = Trainer(cfg)
+    train_loader, val_loader = DataLoaderCreator(cfg).get_dataloaders()
+    trainer._init_state(train_loader)
+    assert trainer._maybe_device_runner(train_loader, val_loader) is None
+
+
+def test_max_train_steps_truncates_epoch(token_ws):
+    cfg = _cfg(token_ws, training_batch_size=4, device_corpus="on")
+    trainer = Trainer(cfg)
+    train_loader, val_loader = DataLoaderCreator(cfg).get_dataloaders()
+    params, opt = trainer._init_state(train_loader)
+    runner = trainer._maybe_device_runner(train_loader, val_loader)
+    assert runner is not None
+    full_steps = runner.corpora["train"].n_steps
+    assert full_steps >= 2
+    params, opt, step, loss, m = runner.train_epoch(
+        params, opt, trainer._root_key, 0, 0, max_steps=full_steps - 1)
+    assert step == full_steps - 1
+    assert np.isfinite(loss)
+    # exhausted budget: a further call is a no-op
+    _, _, step2, loss2, _ = runner.train_epoch(
+        params, opt, trainer._root_key, 1, step, max_steps=full_steps - 1)
+    assert step2 == step and np.isnan(loss2)
