@@ -188,7 +188,19 @@ struct BitReader {
   bool fail = false;
 
   void refill() {
-    while (nbits <= 56 && byte_pos < size) {
+    if (byte_pos + 8 <= size) {
+      // one unaligned 8-byte big-endian load inserts every whole byte that
+      // fits (up to 7), replacing the per-byte loop on the decode hot path
+      uint64_t chunk;
+      memcpy(&chunk, data + byte_pos, 8);
+      chunk = __builtin_bswap64(chunk);
+      int bytes = (63 - nbits) >> 3;  // 0..7, keeps nbits <= 63
+      buf |= (chunk & ~(~0ULL >> (bytes * 8))) >> nbits;
+      nbits += bytes * 8;
+      byte_pos += bytes;
+      return;
+    }
+    while (nbits <= 56 && byte_pos < size) {  // stream tail
       buf |= uint64_t(data[byte_pos++]) << (56 - nbits);
       nbits += 8;
     }
@@ -326,12 +338,70 @@ bool decode_residual(BitReader& br, int block_size, int order,
       for (int i = 0; i < n; ++i)
         residual[idx++] = raw_bits ? br.read_signed(raw_bits) : 0;
     } else {
+      // Fused rice fast path: local register copies of the reader state,
+      // one bulk refill + one CLZ per sample when the whole
+      // (unary run + stop bit + param remainder) sample fits the buffer —
+      // removes the per-sample function-call/double-refill overhead of
+      // read_unary()+read().  Long runs / stream tails take the slow path.
+      uint64_t buf = br.buf;
+      int nbits = br.nbits;
+      size_t byte_pos = br.byte_pos;
+      const uint8_t* data = br.data;
+      const size_t size = br.size;
+      const int upfront = static_cast<int>(param) + 16;  // covers runs <= 15
       for (int i = 0; i < n; ++i) {
-        uint64_t q = br.read_unary();
-        uint64_t r = param ? br.read(param) : 0;
-        uint64_t v = (q << param) | r;
+        if (nbits < upfront && byte_pos + 8 <= size) {
+          // predictive refill: well-matched rice params put most runs
+          // under 16, so this keeps the common case at ONE clz per sample
+          uint64_t chunk;
+          memcpy(&chunk, data + byte_pos, 8);
+          chunk = __builtin_bswap64(chunk);
+          int bytes = (63 - nbits) >> 3;
+          buf |= (chunk & ~(~0ULL >> (bytes * 8))) >> nbits;
+          nbits += bytes * 8;
+          byte_pos += bytes;
+        }
+        int z = buf ? __builtin_clzll(buf) : 64;
+        int need = z + 1 + static_cast<int>(param);
+        if (need > nbits && byte_pos + 8 <= size) {
+          // refill ON DEMAND (not per sample): short samples drain the
+          // buffer across iterations; the run length can change once new
+          // bits land below an all-zero prefix, so recompute
+          uint64_t chunk;
+          memcpy(&chunk, data + byte_pos, 8);
+          chunk = __builtin_bswap64(chunk);
+          int bytes = (63 - nbits) >> 3;
+          buf |= (chunk & ~(~0ULL >> (bytes * 8))) >> nbits;
+          nbits += bytes * 8;
+          byte_pos += bytes;
+          z = buf ? __builtin_clzll(buf) : 64;
+          need = z + 1 + static_cast<int>(param);
+        }
+        uint64_t v;
+        if (need <= nbits) {  // nbits <= 63 after refill: all shifts < 64
+          uint64_t rest = buf << z;  // drop the zeros...
+          rest <<= 1;                // ...and the terminating 1
+          uint64_t r = param ? (rest >> (64 - param)) : 0;
+          buf = rest << param;
+          nbits -= need;
+          v = (uint64_t(z) << param) | r;
+        } else {  // run exceeds the buffer (or tail): the general reader
+          br.buf = buf;
+          br.nbits = nbits;
+          br.byte_pos = byte_pos;
+          uint64_t q = br.read_unary();
+          uint64_t r = param ? br.read(param) : 0;
+          v = (q << param) | r;
+          buf = br.buf;
+          nbits = br.nbits;
+          byte_pos = br.byte_pos;
+          if (br.fail) break;
+        }
         residual[idx++] = (v >> 1) ^ -(int64_t)(v & 1);  // zigzag
       }
+      br.buf = buf;
+      br.nbits = nbits;
+      br.byte_pos = byte_pos;
     }
     if (br.fail) {
       set_error("unexpected end of FLAC stream");

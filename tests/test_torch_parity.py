@@ -268,7 +268,6 @@ def test_bert_forward_logits_match_hf(rng):
     defaults our encoder mirrors exactly: 12 heads at hidden 768, 4x MLP,
     exact-erf GELU, layer_norm_eps 1e-12, post-LN."""
     import torch
-    from transformers import BertConfig, BertModel
 
     from audio_tokens_tpu.models.transformer import TransformerClassifier
 
@@ -285,50 +284,16 @@ def test_bert_forward_logits_match_hf(rng):
                                   jnp.asarray(toks, jnp.int32),
                                   lengths=None, deterministic=True))
 
-    hf = BertModel(BertConfig(vocab_size=vocab, num_hidden_layers=layers,
-                              hidden_size=hidden))
-    head = torch.nn.Linear(hidden, classes)
-    p = jax.device_get(params)
+    from tests.torch_mirror import (
+        TorchBertClassifier,
+        transplant_bert_from_flax,
+    )
 
-    def t(x):
-        return torch.from_numpy(np.asarray(x, np.float32))
-
+    tm = TorchBertClassifier(vocab, layers, hidden, classes)
+    transplant_bert_from_flax(tm, jax.device_get(params), hidden, layers)
+    tm.eval()
     with torch.no_grad():
-        emb = hf.embeddings
-        emb.word_embeddings.weight.copy_(t(p["tok_embed"]["embedding"]))
-        emb.position_embeddings.weight.copy_(t(p["pos_embed"]["embedding"]))
-        emb.token_type_embeddings.weight.zero_()  # our model has no segments
-        emb.LayerNorm.weight.copy_(t(p["embed_ln"]["scale"]))
-        emb.LayerNorm.bias.copy_(t(p["embed_ln"]["bias"]))
-        for i in range(layers):
-            src = p[f"layer_{i}"]
-            dst = hf.encoder.layer[i]
-            att = src["attention"]
-            for name in ("query", "key", "value"):
-                lin = getattr(dst.attention.self, name)
-                # flax MHA kernel (H, heads, head_dim) -> HF (H_out, H_in)
-                lin.weight.copy_(t(att[name]["kernel"]).reshape(hidden, hidden).T)
-                lin.bias.copy_(t(att[name]["bias"]).reshape(hidden))
-            dst.attention.output.dense.weight.copy_(
-                t(att["out"]["kernel"]).reshape(hidden, hidden).T)
-            dst.attention.output.dense.bias.copy_(t(att["out"]["bias"]))
-            dst.attention.output.LayerNorm.weight.copy_(t(src["attn_ln"]["scale"]))
-            dst.attention.output.LayerNorm.bias.copy_(t(src["attn_ln"]["bias"]))
-            dst.intermediate.dense.weight.copy_(t(src["mlp_in"]["kernel"]).T)
-            dst.intermediate.dense.bias.copy_(t(src["mlp_in"]["bias"]))
-            dst.output.dense.weight.copy_(t(src["mlp_out"]["kernel"]).T)
-            dst.output.dense.bias.copy_(t(src["mlp_out"]["bias"]))
-            dst.output.LayerNorm.weight.copy_(t(src["mlp_ln"]["scale"]))
-            dst.output.LayerNorm.bias.copy_(t(src["mlp_ln"]["bias"]))
-        head.weight.copy_(t(p["classifier"]["kernel"]).T)
-        head.bias.copy_(t(p["classifier"]["bias"]))
-
-    hf.eval()
-    with torch.no_grad():
-        out = hf(input_ids=torch.from_numpy(toks.astype(np.int64)),
-                 attention_mask=torch.ones_like(
-                     torch.from_numpy(toks.astype(np.int64))))
-        theirs = head(out.last_hidden_state[:, 0, :]).numpy()
+        theirs = tm(torch.from_numpy(toks.astype(np.int64))).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
 
 
@@ -412,3 +377,76 @@ def test_trainer_val_map_parity_on_fixture_corpus(tmp_path):
         f"jax mAPs {jax_maps} (mean {jax_mean:.3f}) vs torch mirror "
         f"{torch_maps} (mean {torch_mean:.3f})"
     )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bert_training_trajectory_matches_torch(seed):
+    """Golden-trajectory parity for the transformer family (VERDICT r3 #5):
+    same transplanted weights, same batches, same AdamW/BCE -> same loss
+    trajectory as the actual HF BertModel stack the reference trained.  The
+    most numerically delicate family (LayerNorm/softmax/GELU interacting
+    with AdamW); 3 seeds.  Known parameterization difference, documented:
+    the HF stack also trains token_type row 0 (we have no segment
+    embeddings), an extra additive degree of freedom — trajectories track
+    within the lstm harness's tolerance, step 0 matches to f32 noise."""
+    import torch
+
+    from audio_tokens_tpu.models.transformer import TransformerClassifier
+    from tests.torch_mirror import (
+        TorchBertClassifier,
+        train_reference_mirror,
+        transplant_bert_from_flax,
+    )
+
+    vocab, layers, classes, hidden = 64, 2, 7, 768
+    model = TransformerClassifier(
+        vocab_size=vocab, num_layers=layers, num_classes=classes,
+        hidden_size=hidden, dropout=0.0,
+    )
+    rng = np.random.default_rng(seed)
+    toks0 = jnp.zeros((2, 16), jnp.int32)
+    params = model.init({"params": jax.random.key(seed)}, toks0,
+                        lengths=None, deterministic=True)["params"]
+    torch.manual_seed(seed)
+    tm = TorchBertClassifier(vocab, layers, hidden, classes)
+    transplant_bert_from_flax(tm, jax.device_get(params), hidden, layers)
+
+    batches = []
+    for _ in range(8):
+        batches.append((rng.integers(0, vocab, (4, 16)),
+                        (rng.random((4, classes)) < 0.3).astype(np.float32)))
+    lr = 1e-4  # the reference's default (audio_tokens_config.py:72); larger
+    # rates make the 768-hidden stack's early steps chaotic and useless for
+    # trajectory comparison
+    torch_losses = train_reference_mirror(tm, batches, lr=lr)
+
+    optimizer = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, toks, labs):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, toks, lengths=None,
+                                 deterministic=True)
+            return optax.sigmoid_binary_cross_entropy(logits, labs).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jax_losses = []
+    for toks, labs in batches:
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(toks, jnp.int32),
+            jnp.asarray(labs, jnp.float32),
+        )
+        jax_losses.append(float(loss))
+
+    torch_losses = np.asarray(torch_losses)
+    jax_losses = np.asarray(jax_losses)
+    assert abs(jax_losses[0] - torch_losses[0]) < 5e-6
+    np.testing.assert_allclose(jax_losses, torch_losses, atol=2e-2)
+    # (no loss-decrease assertion: 8 steps at the reference lr on random
+    # labels measure parity, not optimization progress)
+    assert abs(jax_losses[-1] - torch_losses[-1]) < 2e-2

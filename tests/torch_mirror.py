@@ -187,3 +187,68 @@ def train_reference_mirror(
             optimizer.step()
             losses.append(float(loss))
     return losses
+
+
+class TorchBertClassifier(nn.Module):
+    """The reference's exact transformer stack: HF ``BertModel(BertConfig)``
+    + linear head on position 0, input truncated to 512 tokens
+    (reference: models/custom_bert_classifier.py:8-28).  Dropout probs are
+    zeroed so training trajectories are deterministic and comparable."""
+
+    def __init__(self, vocab_size, num_layers, hidden_size, num_classes):
+        from transformers import BertConfig, BertModel
+
+        super().__init__()
+        self.bert = BertModel(BertConfig(
+            vocab_size=vocab_size, num_hidden_layers=num_layers,
+            hidden_size=hidden_size,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        ))
+        self.head = nn.Linear(hidden_size, num_classes)
+
+    def forward(self, x):
+        x = x[:, :512]  # reference truncation (custom_bert_classifier.py:21-22)
+        out = self.bert(input_ids=x, attention_mask=torch.ones_like(x))
+        return self.head(out.last_hidden_state[:, 0, :])
+
+
+def transplant_bert_from_flax(model: TorchBertClassifier, params: dict,
+                              hidden: int, layers: int) -> None:
+    """Copy the flax transformer's weights into the HF stack (segment
+    embeddings zeroed — our encoder has none; the HF pooler is unused)."""
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32))
+
+    p = params
+    hf = model.bert
+    with torch.no_grad():
+        emb = hf.embeddings
+        emb.word_embeddings.weight.copy_(t(p["tok_embed"]["embedding"]))
+        emb.position_embeddings.weight[: p["pos_embed"]["embedding"].shape[0]] \
+            .copy_(t(p["pos_embed"]["embedding"]))
+        emb.token_type_embeddings.weight.zero_()
+        emb.LayerNorm.weight.copy_(t(p["embed_ln"]["scale"]))
+        emb.LayerNorm.bias.copy_(t(p["embed_ln"]["bias"]))
+        for i in range(layers):
+            src = p[f"layer_{i}"]
+            dst = hf.encoder.layer[i]
+            att = src["attention"]
+            for name in ("query", "key", "value"):
+                lin = getattr(dst.attention.self, name)
+                # flax MHA kernel (H, heads, head_dim) -> HF (H_out, H_in)
+                lin.weight.copy_(t(att[name]["kernel"]).reshape(hidden, hidden).T)
+                lin.bias.copy_(t(att[name]["bias"]).reshape(hidden))
+            dst.attention.output.dense.weight.copy_(
+                t(att["out"]["kernel"]).reshape(hidden, hidden).T)
+            dst.attention.output.dense.bias.copy_(t(att["out"]["bias"]))
+            dst.attention.output.LayerNorm.weight.copy_(t(src["attn_ln"]["scale"]))
+            dst.attention.output.LayerNorm.bias.copy_(t(src["attn_ln"]["bias"]))
+            dst.intermediate.dense.weight.copy_(t(src["mlp_in"]["kernel"]).T)
+            dst.intermediate.dense.bias.copy_(t(src["mlp_in"]["bias"]))
+            dst.output.dense.weight.copy_(t(src["mlp_out"]["kernel"]).T)
+            dst.output.dense.bias.copy_(t(src["mlp_out"]["bias"]))
+            dst.output.LayerNorm.weight.copy_(t(src["mlp_ln"]["scale"]))
+            dst.output.LayerNorm.bias.copy_(t(src["mlp_ln"]["bias"]))
+        model.head.weight.copy_(t(p["classifier"]["kernel"]).T)
+        model.head.bias.copy_(t(p["classifier"]["bias"]))
