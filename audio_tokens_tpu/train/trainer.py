@@ -255,8 +255,14 @@ class Trainer:
         params, _ = self._init_state(train_loader)
         params = ckpt.load_params(cfg.checkpoint_dir, checkpoint_name, params)
         params = self._shard_params(params)
-        _, eval_step = self._build_steps()
-        val_loss, val_metrics = self._eval_epoch(eval_step, params, val_loader)
+        runner = self._maybe_device_runner(train_loader, val_loader,
+                                           eval_only=True)
+        if runner is not None:
+            val_loss, val_metrics = runner.eval_epoch(params)
+        else:
+            _, eval_step = self._build_steps()
+            val_loss, val_metrics = self._eval_epoch(eval_step, params,
+                                                     val_loader)
         logger.info("Eval: loss %.4f, mAP %.4f", val_loss, val_metrics["mAP"])
         return val_loss, val_metrics
 
@@ -328,11 +334,13 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         return params, opt_state
 
-    def _maybe_device_runner(self, train_loader, val_loader):
+    def _maybe_device_runner(self, train_loader, val_loader,
+                             eval_only: bool = False):
         """Build the device-resident epoch runner (train/device_epoch.py)
         when configured and the corpora fit ``device_corpus_budget_mb`` of
         HBM.  Returns None to use the streaming per-step paths (TP meshes,
-        over-budget corpora, or ``device_corpus='off'``)."""
+        over-budget corpora, or ``device_corpus='off'``).  ``eval_only``
+        loads just the validation corpus (the evaluate() entry point)."""
         cfg = self.config
         mode = getattr(cfg, "device_corpus", "auto")
         if mode == "off":
@@ -351,13 +359,14 @@ class Trainer:
             DeviceEpochRunner, corpus_nbytes,
         )
 
+        wanted = ((val_loader, cfg.eval_batch_size),) if eval_only else (
+            (train_loader, cfg.training_batch_size),
+            (val_loader, cfg.eval_batch_size),
+        )
         est = sum(
             corpus_nbytes(len(loader.ds), bs, cfg.max_seq_len, cfg.n_mels,
                           loader.ds.kind, cfg.num_classes, cfg.vocab_size)
-            for loader, bs in (
-                (train_loader, cfg.training_batch_size),
-                (val_loader, cfg.eval_batch_size),
-            )
+            for loader, bs in wanted
         )
         budget = cfg.device_corpus_budget_mb * 2**20
         if est > budget:
@@ -372,8 +381,9 @@ class Trainer:
                 return None
         runner = DeviceEpochRunner(self.model, self.optimizer, cfg,
                                    self.mesh, self.use_lengths)
-        runner.set_corpus("train", train_loader.ds,
-                          cfg.training_batch_size, cfg.max_seq_len)
+        if not eval_only:
+            runner.set_corpus("train", train_loader.ds,
+                              cfg.training_batch_size, cfg.max_seq_len)
         runner.set_corpus("validation", val_loader.ds,
                           cfg.eval_batch_size, cfg.max_seq_len)
         return runner

@@ -204,3 +204,51 @@ def test_max_train_steps_truncates_epoch(token_ws):
     _, _, step2, loss2, _ = runner.train_epoch(
         params, opt, trainer._root_key, 1, step, max_steps=full_steps - 1)
     assert step2 == step and np.isnan(loss2)
+
+
+# ---------------------------------------------------------------------------
+# spec-input families (cnn / baseline) — resident float32 spec corpus
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def spec_ws(tmp_path_factory):
+    base = tmp_path_factory.mktemp("dev_epoch_spec_ws")
+    meta = base / "metadata"
+    meta.mkdir(parents=True)
+    fixtures.make_ontology(meta / "ontology.json")
+    fixtures.make_segments_csv(meta / "balanced_train_segments.csv",
+                               n_clips=N_CLIPS)
+    (base / "output").mkdir()
+    cfg = fixtures.test_config(base, max_seq_len=32, n_mels=16)
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+    split = json.loads(Path(cfg.split_file).read_text())
+    rng = np.random.default_rng(5)
+    for sp in ("train", "validation"):
+        d = Path(cfg.source_spec_path) / sp
+        d.mkdir(parents=True)
+        for y in split[sp]:
+            t = int(rng.integers(20, 32))
+            np.save(d / f"{y}.npy",
+                    rng.standard_normal((cfg.n_mels, t)).astype(np.float32))
+    return base
+
+
+@pytest.mark.parametrize("model_type,dataset_type", [
+    ("cnn", "RawSTFTDataset"),
+    ("baseline", "RawSTFTFlatDataset"),
+])
+def test_device_epoch_spec_families(spec_ws, model_type, dataset_type):
+    """The float32 spec corpus rides the same residency path (budget-gated);
+    cnn/baseline train a device-resident epoch and match the streaming
+    trainer's numbers."""
+    results = {}
+    for mode in ("on", "off"):
+        cfg = fixtures.test_config(
+            spec_ws, model_type=model_type, dataset_type=dataset_type,
+            epochs=2, dropout=0.0, max_seq_len=32, n_mels=16,
+            training_batch_size=8, save_best_checkpoint=False,
+            learning_rate=3e-3, device_corpus=mode,
+        )
+        results[mode] = Trainer(cfg).run()
+    (on_loss, on_m), (off_loss, off_m) = results["on"], results["off"]
+    assert on_loss == pytest.approx(off_loss, rel=1e-4, abs=1e-6)
+    assert on_m["mAP"] == pytest.approx(off_m["mAP"], abs=1e-4)
