@@ -356,17 +356,25 @@ def kmeans_fit(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk", "precision", "mesh", "axis_name"),
-    donate_argnums=(3, 4, 5),
+    static_argnames=("chunk", "precision", "mesh", "axis_name", "include_x2"),
+    donate_argnums=(3, 4, 5, 6),
 )
-def _stats_accum_jit(x, fill, centroids, sums, counts, obj_acc,
-                     chunk, precision, mesh, axis_name):
+def _stats_accum_jit(x, fill, centroids, sums, counts, obj_acc, x2_acc,
+                     chunk, precision, mesh, axis_name,
+                     include_x2: bool = True):
     """One assignment pass over a fixed-capacity super-batch, ADDED into
     device-resident accumulators (donated — updated in place, no host fetch).
 
     The streaming loop launches these back to back and fetches the
     accumulators ONCE per Lloyd iteration; with dispatch being async, the
     device pipelines super-batch i's stats with super-batch i+1's transfer.
+
+    The objective splits into the centroid-dependent ``c^2 - 2xc`` part
+    (``obj_acc``) and the centroid-independent ``sum ||x||^2`` part
+    (``x2_acc``).  The stream is lock-step deterministic across Lloyd
+    iterations, so the caller collects ``x2_acc`` on iteration 0 only
+    (``include_x2=False`` afterwards — at the bf16 tier the per-point x2
+    add was the VPU bottleneck of the whole pass).
 
     Unsharded, ``fill`` is a traced scalar marking the valid leading rows.
     Sharded, ``fill`` is an (n_dev,) int32 array sharded over the mesh axis —
@@ -380,26 +388,33 @@ def _stats_accum_jit(x, fill, centroids, sums, counts, obj_acc,
         xs = x.reshape(-1, chunk, d)
         ms = (jnp.arange(x.shape[0], dtype=jnp.int32) < fill).astype(
             jnp.float32).reshape(-1, chunk)
-        s, c, o = _lloyd_stats(xs, ms, centroids, precision, None)
-        return sums + s, counts + c, obj_acc + o
+        s, c, o = _lloyd_stats(xs, ms, centroids, precision, None,
+                               include_x2=False)
+        if include_x2:
+            x2_acc = x2_acc + jnp.sum(jnp.sum(xs * xs, axis=2) * ms)
+        return sums + s, counts + c, obj_acc + o, x2_acc
 
-    def sharded(xl, fl, c, sm, cn, ob):
+    def sharded(xl, fl, c, sm, cn, ob, x2a):
         n_local = xl.shape[0]
         idx = jnp.arange(n_local, dtype=jnp.int32)
         ml = (idx < fl[0]).astype(jnp.float32)  # per-device prefix fill
-        s, cnt, o = _lloyd_stats(
-            xl.reshape(-1, chunk, d), ml.reshape(-1, chunk), c, precision,
-            axis_name,
-        )
+        xs_l = xl.reshape(-1, chunk, d)
+        ms_l = ml.reshape(-1, chunk)
+        s, cnt, o = _lloyd_stats(xs_l, ms_l, c, precision, axis_name,
+                                 include_x2=False)
+        if include_x2:
+            x2a = x2a + jax.lax.psum(
+                jnp.sum(jnp.sum(xs_l * xs_l, axis=2) * ms_l), axis_name)
         return (sm + jax.lax.psum(s, axis_name),
                 cn + jax.lax.psum(cnt, axis_name),
-                ob + jax.lax.psum(o, axis_name))
+                ob + jax.lax.psum(o, axis_name),
+                x2a)
 
     return jax.shard_map(
         sharded, mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(), P(), P(), P()),
-        out_specs=(P(), P(), P()),
-    )(x, fill, centroids, sums, counts, obj_acc)
+        in_specs=(P(axis_name), P(axis_name), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+    )(x, fill, centroids, sums, counts, obj_acc, x2_acc)
 
 
 class _SuperbatchFeeder:
@@ -643,6 +658,7 @@ def kmeans_fit_streaming(
 
     n_total = 0
     obj = float("nan")
+    x2_total = None  # sum ||x||^2: iteration-invariant, collected on iter 0
     ax = axis_name if mesh else None
     for it in range(niter):
         t_iter = _time.perf_counter()
@@ -650,10 +666,11 @@ def kmeans_fit_streaming(
         sums = jnp.zeros((k, d), jnp.float32)
         counts = jnp.zeros((k,), jnp.float32)
         obj_acc = jnp.float32(0.0)
+        x2_acc = jnp.float32(0.0)
         if mesh is not None:
-            sums, counts, obj_acc = (
+            sums, counts, obj_acc, x2_acc = (
                 jax.device_put(v, NamedSharding(mesh, P()))
-                for v in (sums, counts, obj_acc)
+                for v in (sums, counts, obj_acc, x2_acc)
             )
         n_seen = 0
         from_cache = cache is not None and cache_sealed and it > 0
@@ -704,9 +721,10 @@ def kmeans_fit_streaming(
                 if centroids_dev is None:  # init from the first super-batch
                     centroids = _init_centroids_from(buf, fill)
                     centroids_dev = jnp.asarray(centroids)
-                sums, counts, obj_acc = _stats_accum_jit(
-                    x, fills, centroids_dev, sums, counts, obj_acc,
+                sums, counts, obj_acc, x2_acc = _stats_accum_jit(
+                    x, fills, centroids_dev, sums, counts, obj_acc, x2_acc,
                     chunk, precision, mesh, ax,
+                    include_x2=x2_total is None,
                 )
                 n_feeds += 1
                 n_seen += fill
@@ -747,6 +765,8 @@ def kmeans_fit_streaming(
                             len(cache), cache_bytes / (1 << 20))
         # the single host sync point of the iteration (accumulators are
         # replicated shard_map outputs — addressable on every process)
+        if x2_total is None:
+            x2_total = float(np.asarray(x2_acc))
         sums_h = np.asarray(sums)
         counts_h = np.asarray(counts)
         nonempty = counts_h > 0
@@ -757,7 +777,7 @@ def kmeans_fit_streaming(
         ).astype(np.float32)
         if empty_policy == "split_largest":
             centroids, _ = _split_empty_clusters_np(centroids, counts_h)
-        obj = float(np.asarray(obj_acc))
+        obj = float(np.asarray(obj_acc)) + x2_total
         logger.info(
             "streaming kmeans iter %d/%d: %d pts%s, obj=%.4f (%.2fs%s)",
             it + 1, niter, n_total, " global" if mp else "", obj,
