@@ -121,9 +121,15 @@ class ClipDataset:
         # The build runs under try so the barrier below executes on EVERY
         # path: a coordinator failure (corrupt artifact, disk full, budget
         # exceeded) must not leave the other processes blocked in the
-        # barrier.  A failed/skipped build leaves the cache files absent and
-        # all processes fall back to per-file loads after the barrier.
+        # barrier.  The STALE files are removed before building — a skipped
+        # or failed build must leave nothing behind, or the post-barrier
+        # open would happily memmap an outdated corpus.
         if distributed.is_coordinator() and not valid():
+            for p in (bin_f, idx_f):
+                try:
+                    p.unlink()
+                except OSError:
+                    pass
             try:
                 self._build_cache(bin_f, idx_f)
             except Exception as e:
@@ -162,11 +168,14 @@ class ClipDataset:
         budget_mb = getattr(self.config, "input_cache_budget_mb", 8192)
         budget = budget_mb * 2**20 if budget_mb else None
         itemsize = np.dtype(self._cache_dtype).itemsize
+        if not self.files:
+            return  # empty split: per-file loads are trivially correct
         # cheap upfront estimate: first clip's encoded size x clip count
         # (10 s clips are near-uniform length); the running total below is
         # the hard stop for corpora with uneven clips
-        est = (self._cache_encode(np.load(self.files[0])).size
-               * itemsize * len(self.files))
+        first = np.ascontiguousarray(
+            self._cache_encode(np.load(self.files[0])), self._cache_dtype)
+        est = first.size * itemsize * len(self.files)
         if budget is not None and est > budget:
             logger.info(
                 "training-input cache skipped: estimated %.0f MB exceeds "
@@ -177,7 +186,7 @@ class ClipDataset:
         try:
             with open(tmp, "wb") as f:
                 for i, p in enumerate(self.files):
-                    enc = np.ascontiguousarray(
+                    enc = first if i == 0 else np.ascontiguousarray(
                         self._cache_encode(np.load(p)), self._cache_dtype)
                     enc.tofile(f)
                     offsets[i + 1] = offsets[i] + enc.size
@@ -266,6 +275,23 @@ class RawSTFTFlatDataset(RawSTFTDataset):
                 base / f"{self.split}.speccache.idx.npz")
 
 
+def pack_features_row(feats: np.ndarray, kind: str, out_row: np.ndarray,
+                      t: int, n_mels: int) -> int:
+    """Write one clip's features into a preallocated fixed-shape row;
+    returns the true (pre-padding) length.  The ONE implementation of the
+    truncate/pad/flatten semantics, shared by BatchLoader batch assembly and
+    the device-resident corpus packer (train/device_epoch.py) so the
+    streaming and device training paths can never drift."""
+    n = min(len(feats), t)
+    if kind == "flat":  # zero-pad then flatten (reference raw_stft_flat :58-69)
+        buf = np.zeros((t, n_mels), np.float32)
+        buf[:n] = feats[:n]
+        out_row[:] = buf.reshape(-1)
+    else:  # tokens / spec: left-aligned rows, zero tail
+        out_row[:n] = feats[:n]
+    return n
+
+
 _DATASET_TYPES = {
     "TokenizedSpecDataset": TokenizedSpecDataset,
     "RawSTFTDataset": RawSTFTDataset,
@@ -327,16 +353,8 @@ class BatchLoader:
         labels = np.zeros((bs, cfg.num_classes), np.float32)
         for row, idx in enumerate(idxs):
             feats = self.ds.load_features(int(idx))
-            n = min(len(feats), T)
-            lengths[row] = n
-            if kind == "tokens":
-                inputs[row, :n] = feats[:n]
-            elif kind == "spec":
-                inputs[row, :n] = feats[:n]
-            else:  # flat: zero-pad then flatten (reference raw_stft_flat :58-69)
-                buf = np.zeros((T, self.n_mels), np.float32)
-                buf[:n] = feats[:n]
-                inputs[row] = buf.reshape(-1)
+            lengths[row] = pack_features_row(feats, kind, inputs[row], T,
+                                             self.n_mels)
             labels[row] = self.ds.labels_for(int(idx))
         return {
             "inputs": inputs,

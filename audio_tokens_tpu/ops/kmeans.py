@@ -66,10 +66,11 @@ def _lloyd_stats(x_chunks, mask_chunks, centroids, precision, axis_name=None,
     """Scan over chunks: centroid sums (K,d), counts (K,), objective scalar.
 
     ``include_x2=False`` accumulates only the ``c^2 - 2xc`` part of the
-    objective — the ``||x||^2`` term is centroid-independent, so the Lloyd
-    LOOP hoists it out of all niter iterations and adds it once (measured
-    +8% full-fit throughput on v5e; the streaming path keeps the default
-    since its accumulators span super-batches)."""
+    objective — the ``||x||^2`` term is centroid-independent, so both
+    callers hoist it: the in-memory Lloyd loop computes it once before its
+    fori_loop (measured +8% full-fit throughput on v5e), and the streaming
+    path collects it into a separate ``x2_acc`` during iteration 0 only
+    (see ``_stats_accum_jit``; +24% at the bf16 tier)."""
     k, d = centroids.shape
     c2 = jnp.sum(centroids * centroids, axis=1)[None, :]
 

@@ -93,19 +93,28 @@ class _CountLedger:
         except Exception as e:
             logger.warning("token-count ledger unreadable (%s); rebuilding", e)
 
-    def catchup_counts(self, fresh_stems) -> np.ndarray:
-        """Counts for already-tokenized clips outside the manifest (call with
-        THIS process's shard; results are psum'd with the new counts)."""
+    def catchup_counts(self, fresh_stems):
+        """(counts, failed_stems) for already-tokenized clips outside the
+        manifest (call with THIS process's shard; counts are psum'd with the
+        new counts).  A clip whose token file turns out unreadable (e.g. a
+        torn write from a killed run) is returned in ``failed_stems`` so the
+        caller re-tokenizes it instead of failing the stage."""
         counts = np.zeros(self.vocab, np.int64)
         missing = [s for s in fresh_stems if s not in self.prior_set]
+        failed = []
         for stem in missing:
-            toks = np.load(self.token_dir / f"{stem}.npy")
-            counts += np.bincount(np.asarray(toks, np.int64),
-                                  minlength=self.vocab)
+            try:
+                toks = np.load(self.token_dir / f"{stem}.npy")
+                counts += np.bincount(np.asarray(toks, np.int64),
+                                      minlength=self.vocab)
+            except Exception as e:
+                logger.warning("token file %s unreadable (%s); re-tokenizing",
+                               stem, e)
+                failed.append(stem)
         if missing:
             logger.info("token-count ledger: caught up %d clips from token "
-                        "files", len(missing))
-        return counts
+                        "files", len(missing) - len(failed))
+        return counts, failed
 
     def save(self, merged_counts: np.ndarray) -> None:
         """Persist merged counts + the manifest of fresh clips they cover
@@ -217,7 +226,12 @@ class SpecTokenizer:
             logger.info("incremental: %d/%d clips already tokenized",
                         before - len(spec_files), before)
             if ledger is not None:
-                counts += ledger.catchup_counts(f.stem for f in skipped)
+                caught, failed = ledger.catchup_counts(
+                    [f.stem for f in skipped])
+                counts += caught
+                if failed:  # unreadable token files: re-tokenize those clips
+                    by_stem = {f.stem: f for f in skipped}
+                    spec_files = spec_files + [by_stem[s] for s in failed]
         bs = self.config.tokenizer_batch_size
         for i in range(0, len(spec_files), bs):
             batch_tokens = self.process_batch(spec_files[i : i + bs], tokenized_dir)
@@ -295,7 +309,9 @@ class SpecTokenizer:
                 logger.info("incremental: %d/%d clips already tokenized",
                             before - len(ytids), before)
                 if ledger is not None:
-                    counts += ledger.catchup_counts(skipped)
+                    caught, failed = ledger.catchup_counts(skipped)
+                    counts += caught
+                    ytids = ytids + failed  # re-tokenize unreadable clips
             logger.info("Fused-tokenizing %s: audio --> %s", split, tokenized_dir)
             found = [(y, p) for y in ytids
                      if (p := find_audio_file(cfg, y)) is not None]
@@ -322,14 +338,7 @@ class SpecTokenizer:
             logger.info("%s: %d/%d clips tokenized (fused)", split, n_clips,
                         len(ytids))
             if split == "train":
-                counts = distributed.all_sum_hosts(counts)  # global stats
-                if counts.sum() == 0:
-                    logger.info("no new tokens; keeping previous statistics/plots")
-                    stats[split] = {"total_tokens": 0, "unique_tokens": 0}
-                else:
-                    stats[split] = self.analyze_token_counts(counts)
-                    if distributed.is_coordinator():
-                        self.plot_token_counts(counts)
+                stats[split] = self._finish_train_stats(counts, ledger)
         return stats
 
     def _fused_tokens_native(self, ft, chunk, bs):

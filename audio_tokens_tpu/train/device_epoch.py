@@ -68,16 +68,11 @@ def corpus_arrays(ds, batch_size: int, max_seq_len: int):
         inputs = np.zeros((n_pad, t * m), np.float32)
     lengths = np.zeros(n_pad, np.int32)
     labels = np.zeros((n_pad, cfg.num_classes), np.uint8)
+    from audio_tokens_tpu.data.datasets import pack_features_row
+
     for i in range(n):
         feats = ds.load_features(i)
-        k = min(len(feats), t)
-        lengths[i] = k
-        if ds.kind == "flat":
-            buf = np.zeros((t, m), np.float32)
-            buf[:k] = feats[:k]
-            inputs[i] = buf.reshape(-1)
-        else:
-            inputs[i, :k] = feats[:k]
+        lengths[i] = pack_features_row(feats, ds.kind, inputs[i], t, m)
         labels[i] = ds.labels_for(i)
     return inputs, lengths, labels, n
 

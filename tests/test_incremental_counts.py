@@ -139,3 +139,62 @@ def test_new_centroids_drop_prior(tmp_path):
         _load_counts(base),
         np.asarray(np.load(_counts_file(base))["counts"], np.int64))
     assert stats_inc["most_common"] == stats_full["most_common"]
+
+
+def test_corrupt_token_file_recovered_by_retokenize(tmp_path):
+    """A torn token file from a killed run must not abort the stage: the
+    ledger's catch-up reports it and the clip is re-tokenized."""
+    base = tmp_path / "ws"
+    _make_ws(base, 6)
+    _destructive_stats(base)
+    counts_full = _load_counts(base)
+    os.unlink(_counts_file(base))  # interrupted-run shape: no ledger
+    victim = base / "tokenized_audio" / "train" / "clip003.npy"
+    victim.write_bytes(b"\x93NUMPY garbage")  # torn write
+
+    stats_inc = SpecTokenizer(_cfg(base, incremental=True)).run()["train"]
+    np.testing.assert_array_equal(_load_counts(base), counts_full)
+    assert stats_inc["total_tokens"] == int(counts_full.sum())
+    # the clip's token artifact is whole again
+    assert len(np.load(victim)) > 0
+
+
+def test_fused_incremental_stats_match_destructive(tmp_path):
+    """The fused (wav->tokens) path merges the ledger too: incremental
+    statistics equal a destructive fused rerun's."""
+    from tests import fixtures
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+    from audio_tokens_tpu.data.splitter import DatasetSplitter
+
+    base = tmp_path / "ws"
+    fixtures.make_workspace(base, n_clips=8)
+    cfg0 = fixtures.test_config(base, fused_pipeline=True)
+    DatasetSplitter(cfg0).create_split_file(AudiosetMetadataProcessor(cfg0))
+    rng = np.random.default_rng(2)
+    cents = rng.standard_normal((cfg0.vocab_size, cfg0.n_mels)).astype(np.float32)
+    np.save(cfg0.centroids_path, cents)
+
+    def run(incremental):
+        cfg = fixtures.test_config(base, fused_pipeline=True,
+                                   incremental=incremental)
+        return SpecTokenizer(cfg).run()["train"]
+
+    stats0 = run(incremental=False)
+    assert stats0["total_tokens"] > 0
+    counts0 = np.asarray(
+        np.load(base / "tokenized_audio" / "train.token_counts.npz")["counts"])
+
+    # incremental rerun with nothing new: must still report the whole corpus
+    stats_inc = run(incremental=True)
+    assert stats_inc["total_tokens"] == stats0["total_tokens"]
+    assert stats_inc["most_common"] == stats0["most_common"]
+
+    # delete one token file: re-tokenized, ledger rebuilt, stats unchanged
+    victims = sorted((base / "tokenized_audio" / "train").glob("*.npy"))
+    os.unlink(victims[1])
+    stats_inc2 = run(incremental=True)
+    assert stats_inc2["total_tokens"] == stats0["total_tokens"]
+    np.testing.assert_array_equal(
+        np.asarray(np.load(
+            base / "tokenized_audio" / "train.token_counts.npz")["counts"]),
+        counts0)

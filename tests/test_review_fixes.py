@@ -278,3 +278,54 @@ def test_fused_pipeline_skips_nonfinite_clips_like_staged(tmp_path):
         }
     assert f"{victim}.npy" not in results["staged"]
     assert results["fused"] == results["staged"]  # identical artifact sets
+
+
+def test_stale_cache_removed_when_budget_skips_rebuild(tmp_path, monkeypatch):
+    """Round-4 review: a known-stale consolidated cache must never survive a
+    budget-skipped rebuild — the files are unlinked before the build
+    decision, so the dataset falls back to per-file loads."""
+    import json
+    import time
+
+    import numpy as np
+
+    from audio_tokens_tpu.data.datasets import TokenizedSpecDataset
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+    from audio_tokens_tpu.data.splitter import DatasetSplitter
+    from tests import fixtures
+
+    base = tmp_path
+    meta = base / "metadata"
+    meta.mkdir(parents=True)
+    fixtures.make_ontology(meta / "ontology.json")
+    fixtures.make_segments_csv(meta / "balanced_train_segments.csv", n_clips=6)
+    (base / "output").mkdir()
+    cfg = fixtures.test_config(base, max_seq_len=16)
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+    split = json.loads((base / "output" / "bal_train_data_split.json").read_text())
+    d = base / "tokenized_audio" / "train"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for y in split["train"]:
+        np.save(d / f"{y}.npy", rng.integers(0, 16, 12).astype(np.int64))
+
+    md = AudiosetMetadataProcessor(cfg)
+    ds = TokenizedSpecDataset(cfg, md, split="train")
+    assert ds._cache is not None  # built
+    bin_f, idx_f = ds._cache_paths()
+    old_vals = ds.load_features(0).copy()
+
+    time.sleep(0.02)
+    y0 = split["train"][0]
+    np.save(d / f"{y0}.npy", np.full(12, 7, np.int64))  # stale the cache
+
+    # a build that DECLINES (budget skip / any bail-out path) must still
+    # have removed the stale files first
+    monkeypatch.setattr(TokenizedSpecDataset, "_build_cache",
+                        lambda self, b, i: None)
+    cfg2 = fixtures.test_config(base, max_seq_len=16)
+    ds2 = TokenizedSpecDataset(cfg2, md, split="train")
+    assert ds2._cache is None  # no cache materialized...
+    assert not bin_f.exists() and not idx_f.exists()  # ...and nothing stale left
+    np.testing.assert_array_equal(ds2.load_features(0), np.full(12, 7))
+    assert not np.array_equal(old_vals, np.full(12, 7))
