@@ -180,12 +180,22 @@ class AudioTokensConfig:
     # transfer pipeline depth); oversized corpora drop the cache and log the
     # per-iteration stream cost.
     kmeans_stream_cache_mb: int = 0
+    # Streaming K-means host->device wire format: 'f32', or 'bf16' (frames
+    # rounded once on the host, cast back to f32 on device — half the stream
+    # bytes AND half the stream-cache RAM; the 10k-clip rehearsal showed the
+    # clustering stage is pure wire on link-bound hosts).  Accumulation
+    # precision is unchanged; assignment churn is the bf16-rounding class
+    # already measured for kmeans_precision=default.
+    kmeans_wire: str = "f32"
 
     # Trainer extensions.
     resume_from: str = ""  # checkpoint name under checkpoint_dir to resume from
     eval_batch_size: int = 0  # 0 -> same as training_batch_size
     checkpoint_dir: str = ""  # resolved under base_dir/output
     save_best_checkpoint: bool = True
+    # Streaming-path progress log cadence (0 disables).  The device-resident
+    # epoch path compiles whole epochs into single programs, so it logs per
+    # epoch, not per step.
     log_every_steps: int = 50
     early_stopping_patience: int = 0  # 0 disables (reference stub never fired)
     max_train_steps: int = 0  # 0 = no cap (useful for smoke tests)

@@ -377,6 +377,9 @@ def _stats_accum_jit(x, fill, centroids, sums, counts, obj_acc, x2_acc,
     (``include_x2=False`` afterwards — at the bf16 tier the per-point x2
     add was the VPU bottleneck of the whole pass).
 
+    ``x`` may arrive in a reduced wire dtype (bf16): it is cast back to
+    float32 here, on device, so accumulation precision is wire-independent.
+
     Unsharded, ``fill`` is a traced scalar marking the valid leading rows.
     Sharded, ``fill`` is an (n_dev,) int32 array sharded over the mesh axis —
     each device masks its OWN shard's prefix, which makes the program
@@ -384,6 +387,8 @@ def _stats_accum_jit(x, fill, centroids, sums, counts, obj_acc, x2_acc,
     shard independently.  Masks are built on device (an 8 MB host mask per
     feed would swamp slow host<->device links)."""
     d = x.shape[1]
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)  # reduced wire dtype -> f32 accumulation
 
     if mesh is None:
         xs = x.reshape(-1, chunk, d)
@@ -425,11 +430,18 @@ class _SuperbatchFeeder:
     transfer (and optionally retained by the stream cache), so it must
     outlive the yield.  Live host memory is bounded by the pipeline depth
     (a few super-batches), not the corpus.  Device-resident inputs of
-    exactly one capacity pass through untouched."""
+    exactly one capacity pass through untouched.
 
-    def __init__(self, capacity: int, d: int):
+    ``wire_dtype=ml_dtypes.bfloat16`` packs the super-batches in bf16 —
+    HALF the host->device bytes and half the stream-cache RAM for the
+    pipeline's binding stage on link-bound hosts (frames are rounded once
+    on the host; the device casts back to f32, so accumulation precision is
+    unchanged — assignment churn is the already-measured bf16-input class)."""
+
+    def __init__(self, capacity: int, d: int, wire_dtype=np.float32):
         self.capacity = capacity
         self.d = d
+        self.wire_dtype = wire_dtype
 
     def feeds(self, batches):
         buf = None
@@ -440,7 +452,9 @@ class _SuperbatchFeeder:
                 # device-resident, exactly one super-batch: zero-copy path
                 yield batch, self.capacity
                 continue
-            batch = np.asarray(batch, np.float32)
+            batch = np.asarray(batch)
+            if batch.dtype != self.wire_dtype:
+                batch = batch.astype(self.wire_dtype)
             if batch.shape[1] != self.d:
                 raise ValueError(
                     f"feed dim {batch.shape[1]} != expected {self.d}"
@@ -448,7 +462,7 @@ class _SuperbatchFeeder:
             pos = 0
             while pos < len(batch):
                 if buf is None:
-                    buf = np.zeros((self.capacity, self.d), np.float32)
+                    buf = np.zeros((self.capacity, self.d), self.wire_dtype)
                 take = min(self.capacity - fill, len(batch) - pos)
                 buf[fill : fill + take] = batch[pos : pos + take]
                 fill += take
@@ -507,6 +521,7 @@ def kmeans_fit_streaming(
     empty_policy: str = "keep",
     cache_mb: int = 0,
     pipeline_depth: int = 2,
+    wire_dtype=np.float32,
 ) -> Tuple[np.ndarray, float, int]:
     """Full-corpus Lloyd over a data stream too large for host RAM / HBM.
 
@@ -534,6 +549,14 @@ def kmeans_fit_streaming(
     Init without explicit centroids draws from the FIRST super-batch
     (seeded sample / k-means++), mirroring FAISS's subsampled training.
     Returns (centroids, final objective, total points seen).
+
+    ``wire_dtype=ml_dtypes.bfloat16`` (config ``kmeans_wire='bf16'``) halves
+    the host->device stream bytes and the stream-cache RAM: frames are
+    rounded to bf16 once on the host and cast back to f32 on device, so the
+    Lloyd accumulation itself stays f32 at any ``precision`` tier.  On
+    link-bound hosts the streaming stage is wire-bound (BASELINE.md 10k-clip
+    rehearsal), making this ~2x stage wall-clock; centroid movement is the
+    already-measured bf16-rounding class.
     """
     import time as _time
 
@@ -560,7 +583,7 @@ def kmeans_fit_streaming(
     capacity_local = n_local_dev * per_dev_rows  # this process's share
     # multi-process: each process packs its OWN local shard of every global
     # super-batch from its own stream (the caller feeds local data)
-    feeder = _SuperbatchFeeder(capacity_local, d)
+    feeder = _SuperbatchFeeder(capacity_local, d, wire_dtype)
     rng = np.random.default_rng(seed)
 
     def _device_fills(fill_local: int) -> np.ndarray:
@@ -630,7 +653,7 @@ def kmeans_fit_streaming(
                     f"process 0's first super-batch has {fill0} points < k={k}"
                 )
             if jax.process_index() == 0:
-                sample = np.asarray(buf[:fill])
+                sample = np.asarray(buf[:fill], np.float32)
                 if init == "kmeans++":
                     c0 = np.asarray(kmeans_plusplus_init(sample, k, seed=seed))
                 elif init == "random":
@@ -642,7 +665,7 @@ def kmeans_fit_streaming(
             return _global_sum(np.asarray(c0, np.float32)).astype(np.float32)
         if fill < k:
             raise ValueError(f"first super-batch has {fill} points < k={k}")
-        sample = np.asarray(buf[:fill])
+        sample = np.asarray(buf[:fill], np.float32)
         if init == "kmeans++":
             c0 = kmeans_plusplus_init(sample, k, seed=seed)
         elif init == "random":
@@ -714,7 +737,7 @@ def kmeans_fit_streaming(
                     if item is None:  # exhausted locally; others continue
                         if zeros_local is None:
                             zeros_local = np.zeros((capacity_local, d),
-                                                   np.float32)
+                                                   wire_dtype)
                         item = (*put_fn(zeros_local, 0), 0, None)
                 elif item is None:
                     break
@@ -800,7 +823,7 @@ class _CacheReplay:
     def feeds(self, cached):
         for arr, fill in cached:
             if arr.shape[0] != self.capacity:
-                buf = np.zeros((self.capacity, self.d), np.float32)
+                buf = np.zeros((self.capacity, self.d), arr.dtype)
                 buf[:fill] = arr
                 yield buf, fill
             else:

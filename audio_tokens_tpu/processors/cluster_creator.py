@@ -83,6 +83,16 @@ class ClusterCreator:
                         "streaming path",
                         self.config.max_points_per_centroid,
                     )
+                wire = self.config.kmeans_wire
+                if wire == "bf16":
+                    import ml_dtypes
+
+                    wire_dtype = ml_dtypes.bfloat16
+                elif wire == "f32":
+                    wire_dtype = np.float32
+                else:
+                    raise ValueError(
+                        f"kmeans_wire must be 'f32' or 'bf16', got '{wire}'")
                 centroids, obj, n = kmeans_fit_streaming(
                     lambda: self._batch_generator(
                         self.config.clustering_batch_size
@@ -97,6 +107,7 @@ class ClusterCreator:
                     empty_policy=self.config.kmeans_empty_policy,
                     precision=precision_from_str(self.config.kmeans_precision),
                     cache_mb=self.config.kmeans_stream_cache_mb,
+                    wire_dtype=wire_dtype,
                 )
                 logger.info("streaming kmeans over %d frames: obj=%.2f", n, obj)
             else:

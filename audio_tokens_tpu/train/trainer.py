@@ -616,6 +616,11 @@ class Trainer:
                 if len(pending) >= self._PENDING_FLUSH:
                     self._flush_pending(pending, collector)
                 step += 1
+                if (self.config.log_every_steps
+                        and step % self.config.log_every_steps == 0):
+                    # progress only — fetching the loss here would sync the
+                    # device every N steps and cap the loop at RPC latency
+                    logger.info("epoch %d: step %d", epoch, step)
                 if self.config.max_train_steps and step >= self.config.max_train_steps:
                     break
             self._flush_pending(pending, collector)

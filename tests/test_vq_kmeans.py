@@ -442,3 +442,54 @@ def test_silhouette_matches_sklearn(rng, tmp_path):
     cc = ClusterCreator(fixtures.test_config(tmp_path))
     ours = cc.evaluate_clustering(data, labels)
     assert abs(ours - float(silhouette_score(data, labels))) < 1e-5
+
+
+def test_streaming_bf16_wire_close_to_f32():
+    """kmeans_wire='bf16': frames rounded once on the host, accumulation
+    still f32 — centroids land within bf16-rounding distance of the f32-wire
+    run and the objective matches to ~1e-2 relative."""
+    import ml_dtypes
+
+    from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((6, 16)).astype(np.float32) * 5
+    x = (centers[rng.integers(0, 6, 4096)]
+         + 0.1 * rng.standard_normal((4096, 16))).astype(np.float32)
+    init = x[rng.choice(4096, 6, replace=False)].copy()
+    feeds = [x[i: i + 700] for i in range(0, len(x), 700)]
+
+    c32, o32, n32 = kmeans_fit_streaming(
+        lambda: iter(feeds), 6, niter=4, d=16, init_centroids=init,
+        superbatch_rows=1024, chunk=128)
+    c16, o16, n16 = kmeans_fit_streaming(
+        lambda: iter(feeds), 6, niter=4, d=16, init_centroids=init,
+        superbatch_rows=1024, chunk=128, wire_dtype=ml_dtypes.bfloat16)
+    assert n16 == n32 == 4096
+    np.testing.assert_allclose(c16, c32, rtol=2e-2, atol=5e-2)
+    assert abs(o16 - o32) / abs(o32) < 2e-2
+
+
+def test_streaming_bf16_wire_with_cache_and_mesh():
+    """bf16 wire composes with the stream cache and the 8-device mesh."""
+    import jax
+    import ml_dtypes
+    from jax.sharding import Mesh
+
+    from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((4096, 16)).astype(np.float32)
+    init = x[:8].copy()
+    feeds = [x[i: i + 600] for i in range(0, len(x), 600)]
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    c1, o1, n1 = kmeans_fit_streaming(
+        lambda: iter(feeds), 8, niter=3, d=16, init_centroids=init,
+        superbatch_rows=1024, chunk=128, mesh=mesh, cache_mb=64,
+        wire_dtype=ml_dtypes.bfloat16)
+    c2, o2, n2 = kmeans_fit_streaming(
+        lambda: iter(feeds), 8, niter=3, d=16, init_centroids=init,
+        superbatch_rows=1024, chunk=128, wire_dtype=ml_dtypes.bfloat16)
+    assert n1 == n2 == 4096
+    # sharded == unsharded on identical bf16-rounded inputs (fp reassoc only)
+    np.testing.assert_allclose(c1, c2, rtol=2e-4, atol=2e-4)
