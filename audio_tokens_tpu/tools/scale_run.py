@@ -41,6 +41,9 @@ def main() -> None:
     parser.add_argument("--cache_mb", type=int, default=24_000,
                         help="kmeans stream cache budget (frames produced "
                              "once, replayed niter times)")
+    parser.add_argument("--kmeans_wire", default="f32",
+                        help="'bf16' halves the clustering stage's host-link "
+                             "bytes (the binding stage on link-bound hosts)")
     args = parser.parse_args()
 
     import tempfile
@@ -77,6 +80,7 @@ def main() -> None:
         fused_pipeline=not args.staged,
         kmeans_mode="full",
         kmeans_stream_cache_mb=args.cache_mb,
+        kmeans_wire=args.kmeans_wire,
         pcm_wire="i16",           # halves the waveform wire (BASELINE.md)
         max_train_steps=0,
     )
