@@ -179,7 +179,10 @@ def train_reference_mirror(
     model.train()
     for _ in range(epochs):
         for tokens, labels in batches:
-            inputs = torch.from_numpy(tokens.astype(np.int64))
+            # token families feed int64 ids; cnn/baseline feed float specs
+            in_dtype = (np.int64 if np.issubdtype(tokens.dtype, np.integer)
+                        else np.float32)
+            inputs = torch.from_numpy(tokens.astype(in_dtype))
             target = torch.from_numpy(labels.astype(np.float32))
             optimizer.zero_grad()
             loss = criterion(model(inputs), target)
