@@ -110,6 +110,11 @@ class _CountLedger:
             except Exception as e:
                 logger.warning("token file %s unreadable (%s); re-tokenizing",
                                stem, e)
+                # drop the corrupt file now: if re-tokenization can't happen
+                # (fused mode with the source audio gone) a fresh-mtime file
+                # would be claimed by the saved manifest without its counts
+                # ever entering the ledger
+                (self.token_dir / f"{stem}.npy").unlink(missing_ok=True)
                 failed.append(stem)
         if missing:
             logger.info("token-count ledger: caught up %d clips from token "
@@ -171,9 +176,11 @@ class SpecTokenizer:
             ledger = self._make_ledger(split, tokenized_dir)
             with maybe_trace(self.config.profile_dir), \
                     StageTimer(f"tokenize/{split}") as timer:
-                counts = self.tokenize_directory(source_dir, tokenized_dir,
-                                                 ledger)
-                timer.count("frames", int(counts.sum()))
+                counts, fresh_frames = self.tokenize_directory(
+                    source_dir, tokenized_dir, ledger)
+                # only frames tokenized THIS run count toward the stage's
+                # throughput; ledger catch-up bincounts are cheap host reads
+                timer.count("frames", fresh_frames)
             distributed.barrier(f"tok-done-{split}")
             if split == "train":
                 stats[split] = self._finish_train_stats(counts, ledger)
@@ -203,11 +210,13 @@ class SpecTokenizer:
         return stats
 
     def tokenize_directory(self, source_dir: Path, tokenized_dir: Path,
-                           ledger=None) -> np.ndarray:
-        """Tokenize every spec file; returns per-token counts (vocab,) —
-        O(vocab) host memory regardless of corpus size.  On incremental runs
-        the counts include this shard's caught-up already-tokenized clips
-        (see _CountLedger), so merged statistics stay whole-corpus."""
+                           ledger=None):
+        """Tokenize every spec file; returns (per-token counts (vocab,),
+        frames tokenized this run) — O(vocab) host memory regardless of
+        corpus size.  On incremental runs the counts include this shard's
+        caught-up already-tokenized clips (see _CountLedger), so merged
+        statistics stay whole-corpus; the frame count covers only freshly
+        tokenized clips (the stage's actual throughput)."""
         counts = np.zeros(self.centroids.shape[0], np.int64)
         spec_files = distributed.process_shard(sorted(source_dir.glob("*.npy")))
         if self.config.incremental:
@@ -233,10 +242,12 @@ class SpecTokenizer:
                     by_stem = {f.stem: f for f in skipped}
                     spec_files = spec_files + [by_stem[s] for s in failed]
         bs = self.config.tokenizer_batch_size
+        fresh_frames = 0
         for i in range(0, len(spec_files), bs):
             batch_tokens = self.process_batch(spec_files[i : i + bs], tokenized_dir)
             counts += np.bincount(batch_tokens, minlength=len(counts))
-        return counts
+            fresh_frames += len(batch_tokens)
+        return counts, fresh_frames
 
     def process_batch(self, batch_files: List[Path], tokenized_dir: Path) -> np.ndarray:
         batch_specs = [np.load(f).T for f in batch_files]  # (T_i, n_mels) each

@@ -36,7 +36,26 @@ DEFAULT_CASES = [
                                         transformer_max_position=1728)),
     ("lstm", "lstm", 64, 1728, dict(lstm_embed_dim=256, lstm_hidden_dim=512,
                                     num_layers=1)),
+    # spec-input families at the reference's full-clip spectrogram shape
+    ("cnn", "cnn", 64, 1728, dict()),
+    ("baseline", "baseline", 64, 1728, dict()),
 ]
+
+
+def _bench_inputs(cfg, batch: int, seq: int, rng):
+    """Synthetic inputs matching what the model family consumes
+    (models/registry.py::model_input_kind)."""
+    from audio_tokens_tpu.models import model_input_kind
+
+    kind = model_input_kind(cfg)
+    if kind == "tokens":
+        return jnp.asarray(
+            rng.integers(0, cfg.vocab_size, (batch, seq)), jnp.int32)
+    if kind == "spec":
+        return jnp.asarray(
+            rng.standard_normal((batch, seq, cfg.n_mels)), jnp.float32)
+    return jnp.asarray(
+        rng.standard_normal((batch, seq * cfg.n_mels)), jnp.float32)
 
 
 def bench_case(model_type: str, batch: int, seq: int, iters: int, **overrides):
@@ -46,7 +65,7 @@ def bench_case(model_type: str, batch: int, seq: int, iters: int, **overrides):
     )
     model = get_model(cfg)
     rng = np.random.default_rng(0)
-    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, seq)), jnp.int32)
+    toks = _bench_inputs(cfg, batch, seq, rng)
     labels = jnp.asarray((rng.random((batch, cfg.num_classes)) < 0.05), jnp.float32)
     params = model.init(
         {"params": key_for(0, "bench")}, toks, lengths=None, deterministic=True
@@ -108,6 +127,15 @@ def _train_flops(model_type, cfg, batch, seq):
         per_tok_layer = 2.0 * 12 * hs * hs  # qkv/proj + 4x MLP, fwd
         attn = 4.0 * t * t * hs  # scores + weighted sum, fwd
         return 3.0 * (per_tok_layer * t + attn) * cfg.num_layers * batch
+    if model_type == "cnn":
+        t, m = seq, cfg.n_mels
+        conv1 = 2.0 * t * m * 9 * 1 * 32
+        conv2 = 2.0 * (t // 2) * (m // 2) * 9 * 32 * 64
+        fc = 2.0 * ((t // 4) * (m // 4) * 64 * 256 + 256 * cfg.num_classes)
+        return 3.0 * (conv1 + conv2 + fc) * batch
+    if model_type == "baseline":
+        d = seq * cfg.n_mels
+        return 3.0 * 2.0 * (d * 512 + 512 * 256 + 256 * cfg.num_classes) * batch
     return None
 
 
@@ -147,7 +175,7 @@ def bench_real_loop(model_type: str, batch: int, seq: int, epochs: int,
     batches = []
     for _ in range(n_batches):
         batches.append({
-            "inputs": rng.integers(0, cfg.vocab_size, (batch, seq)).astype(np.int32),
+            "inputs": np.asarray(_bench_inputs(cfg, batch, seq, rng)),
             "lengths": np.full((batch,), seq, np.int32),
             "labels": (rng.random((batch, cfg.num_classes)) < 0.05).astype(np.float32),
             "n_valid": batch,
@@ -189,14 +217,23 @@ def bench_device_loop(model_type: str, batch: int, seq: int, epochs: int,
         save_best_checkpoint=False,
     )
     kwargs.update(overrides)
+    from audio_tokens_tpu.models import model_input_kind
+
     cfg = AudioTokensConfig(**kwargs)
     rng = np.random.default_rng(0)
     n = batch * n_batches
-    inputs = rng.integers(0, cfg.vocab_size, (n, seq)).astype(np.uint16)
+    kind = model_input_kind(cfg)
+    if kind == "tokens":
+        inputs = rng.integers(0, cfg.vocab_size, (n, seq)).astype(np.uint16)
+        init_inputs = inputs[:batch].astype(np.int32)
+    else:
+        shape = (n, seq, cfg.n_mels) if kind == "spec" else (n, seq * cfg.n_mels)
+        inputs = rng.standard_normal(shape).astype(np.float32)
+        init_inputs = inputs[:batch]
     lengths = np.full(n, seq, np.int32)
     labels = (rng.random((n, cfg.num_classes)) < 0.05).astype(np.uint8)
     init_batch = {
-        "inputs": inputs[:batch].astype(np.int32),
+        "inputs": init_inputs,
         "lengths": lengths[:batch],
         "labels": labels[:batch].astype(np.float32),
         "n_valid": batch,
@@ -229,7 +266,10 @@ def bench_device_loop(model_type: str, batch: int, seq: int, epochs: int,
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--models", default="simple,bert,lstm")
+    parser.add_argument(
+        "--models", default="simple,bert,lstm",
+        help="comma list of case names: "
+             + ",".join(c[0] for c in DEFAULT_CASES))
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--real-loop", action="store_true",
                         help="also run the real Trainer epoch loop")
@@ -242,7 +282,9 @@ def main() -> None:
     args = parser.parse_args()
     wanted = set(args.models.split(","))
     for name, model_type, batch, seq, overrides in DEFAULT_CASES:
-        if name in wanted or model_type in wanted:
+        # match by case name only ('bert' selects the reference 512-window
+        # case, not also 'bert_full' — which must be asked for by name)
+        if name in wanted:
             bench_case(model_type, batch, seq, args.iters, **overrides)
             if args.real_loop:
                 bench_real_loop(model_type, batch, seq, args.epochs,

@@ -144,7 +144,8 @@ def main() -> None:
             print(f"{k:>16s}: {per_epoch * scale / 3600:8.1f} h/epoch")
         else:
             print(f"{k:>16s}: {timings[k] * scale / 3600:8.1f} h")
-    print(f"(clustering moves ~{n_train * frames_per_clip * cfg.n_mels * 4 * args.niter / 2**30:.0f} GiB "
+    wire_bytes = 2 if cfg.kmeans_wire == "bf16" else 4
+    print(f"(clustering moves ~{n_train * frames_per_clip * cfg.n_mels * wire_bytes * args.niter / 2**30:.0f} GiB "
           f"of frames over the host link at niter={args.niter}; "
           f"compute itself is ~{n_train * frames_per_clip * args.niter / 74e6:.0f} s "
           f"at the measured 74M point-iters/s — on slow-link hosts the stage "

@@ -198,3 +198,46 @@ def test_fused_incremental_stats_match_destructive(tmp_path):
         np.asarray(np.load(
             base / "tokenized_audio" / "train.token_counts.npz")["counts"]),
         counts0)
+
+
+def test_fused_corrupt_token_with_missing_audio_is_dropped(tmp_path):
+    """A corrupt token file whose source audio is ALSO gone can never be
+    re-tokenized; the catch-up must unlink it so the saved manifest doesn't
+    claim a clip whose counts were never merged (whole-corpus statistics
+    must match a destructive rerun of the surviving corpus)."""
+    from tests import fixtures
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+    from audio_tokens_tpu.data.splitter import DatasetSplitter
+
+    base = tmp_path / "ws"
+    fixtures.make_workspace(base, n_clips=8)
+    cfg0 = fixtures.test_config(base, fused_pipeline=True)
+    DatasetSplitter(cfg0).create_split_file(AudiosetMetadataProcessor(cfg0))
+    rng = np.random.default_rng(2)
+    cents = rng.standard_normal((cfg0.vocab_size, cfg0.n_mels)).astype(np.float32)
+    np.save(cfg0.centroids_path, cents)
+
+    def run(incremental):
+        cfg = fixtures.test_config(base, fused_pipeline=True,
+                                   incremental=incremental)
+        return SpecTokenizer(cfg).run()["train"]
+
+    run(incremental=False)
+    # interrupted-run shape: token files exist but the ledger was never saved
+    os.unlink(base / "tokenized_audio" / "train.token_counts.npz")
+    victim = sorted((base / "tokenized_audio" / "train").glob("*.npy"))[1]
+    victim.write_bytes(b"\x93NUMPY garbage")  # torn write
+    ytid = victim.stem
+    for audio in (base / "audioset").rglob(f"{ytid}.*"):
+        os.unlink(audio)  # the clip's source audio is gone too
+
+    stats_inc = run(incremental=True)
+    # the unreadable artifact must not survive with a fresh mtime
+    assert not victim.exists()
+    manifest = set(str(s) for s in np.load(
+        base / "tokenized_audio" / "train.token_counts.npz")["ytids"])
+    assert ytid not in manifest
+    # statistics equal a destructive rerun over the surviving corpus
+    stats_full = run(incremental=False)
+    assert stats_inc["total_tokens"] == stats_full["total_tokens"]
+    assert stats_inc["most_common"] == stats_full["most_common"]
