@@ -522,6 +522,8 @@ def kmeans_fit_streaming(
     cache_mb: int = 0,
     pipeline_depth: int = 2,
     wire_dtype=np.float32,
+    start_iter: int = 0,
+    checkpoint_fn=None,
 ) -> Tuple[np.ndarray, float, int]:
     """Full-corpus Lloyd over a data stream too large for host RAM / HBM.
 
@@ -557,6 +559,18 @@ def kmeans_fit_streaming(
     link-bound hosts the streaming stage is wire-bound (BASELINE.md 10k-clip
     rehearsal), making this ~2x stage wall-clock; centroid movement is the
     already-measured bf16-rounding class.
+
+    Mid-fit resume: ``checkpoint_fn(completed_iters, centroids, obj)`` is
+    called after every Lloyd iteration (the centroid update is the natural
+    restart point — it is the only cross-iteration state besides the
+    iteration-invariant corpus).  ``start_iter=j`` with
+    ``init_centroids=<checkpointed centroids>`` resumes exactly where a
+    killed run stopped: because the stream is deterministic across
+    iterations (a documented requirement of this API), the resumed
+    trajectory is bit-identical to an uninterrupted run's — the ``sum
+    ||x||^2`` objective term is simply re-collected on the first resumed
+    iteration.  The reference had no counterpart: FAISS ``Kmeans.train``
+    (reference processors/cluster_creator.py:42-56) restarts from zero.
     """
     import time as _time
 
@@ -640,6 +654,12 @@ def kmeans_fit_streaming(
     centroids = None
     if init_centroids is not None:
         centroids = np.asarray(init_centroids, np.float32).reshape(k, d)
+    if start_iter > 0 and centroids is None:
+        raise ValueError(
+            "start_iter > 0 resumes a prior fit and requires its "
+            "checkpointed centroids as init_centroids")
+    if start_iter >= niter:
+        raise ValueError(f"start_iter {start_iter} >= niter {niter}")
 
     def _init_centroids_from(buf, fill) -> np.ndarray:
         """Seeded init from the first super-batch.  Multi-process: process 0
@@ -684,7 +704,8 @@ def kmeans_fit_streaming(
     obj = float("nan")
     x2_total = None  # sum ||x||^2: iteration-invariant, collected on iter 0
     ax = axis_name if mesh else None
-    for it in range(niter):
+    for it in range(start_iter, niter):
+        first_pass = it == start_iter
         t_iter = _time.perf_counter()
         t_wait = 0.0
         sums = jnp.zeros((k, d), jnp.float32)
@@ -697,7 +718,7 @@ def kmeans_fit_streaming(
                 for v in (sums, counts, obj_acc, x2_acc)
             )
         n_seen = 0
-        from_cache = cache is not None and cache_sealed and it > 0
+        from_cache = cache is not None and cache_sealed and not first_pass
         if from_cache:
             source_iter = _FeedPipeline(
                 _CacheReplay(capacity_local, d), cache, put_fn,
@@ -752,7 +773,7 @@ def kmeans_fit_streaming(
                 )
                 n_feeds += 1
                 n_seen += fill
-                if (cache is not None and not cache_sealed and it == 0
+                if (cache is not None and not cache_sealed and first_pass
                         and buf is not None):
                     if isinstance(buf, jax.Array):
                         logger.info(
@@ -775,7 +796,7 @@ def kmeans_fit_streaming(
                 t_last = _time.perf_counter()
         finally:
             source_iter.close()
-        if it == 0:
+        if first_pass:
             if mp:
                 n_feeds_sched = n_feeds
                 n_total = _global_sum_int(n_seen)
@@ -809,6 +830,8 @@ def kmeans_fit_streaming(
             ", cached stream" if from_cache else
             f", waiting on stream {t_wait:.2f}s",
         )
+        if checkpoint_fn is not None:
+            checkpoint_fn(it + 1, centroids, obj)
     return centroids, obj, n_total
 
 

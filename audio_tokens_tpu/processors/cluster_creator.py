@@ -93,23 +93,37 @@ class ClusterCreator:
                 else:
                     raise ValueError(
                         f"kmeans_wire must be 'f32' or 'bf16', got '{wire}'")
-                centroids, obj, n = kmeans_fit_streaming(
-                    lambda: self._batch_generator(
-                        self.config.clustering_batch_size
-                    ),
-                    self.config.vocab_size,
-                    self.config.niter,
-                    d=self.feature_dim,
-                    seed=self.config.random_seed,
-                    mesh=self.mesh,
-                    superbatch_rows=self.config.kmeans_superbatch_rows,
-                    init=self.config.kmeans_init,
-                    empty_policy=self.config.kmeans_empty_policy,
-                    precision=precision_from_str(self.config.kmeans_precision),
-                    cache_mb=self.config.kmeans_stream_cache_mb,
-                    wire_dtype=wire_dtype,
-                )
-                logger.info("streaming kmeans over %d frames: obj=%.2f", n, obj)
+                start_iter, init_c = self._load_kmeans_checkpoint()
+                if start_iter >= self.config.niter:
+                    # the fit finished but the run died before saving
+                    # centroids.npy — the checkpoint IS the result
+                    logger.info(
+                        "streaming kmeans checkpoint already complete "
+                        "(%d iterations); skipping the fit", start_iter)
+                    centroids = init_c
+                else:
+                    centroids, obj, n = kmeans_fit_streaming(
+                        lambda: self._batch_generator(
+                            self.config.clustering_batch_size
+                        ),
+                        self.config.vocab_size,
+                        self.config.niter,
+                        d=self.feature_dim,
+                        seed=self.config.random_seed,
+                        init_centroids=init_c,
+                        start_iter=start_iter,
+                        checkpoint_fn=self._save_kmeans_checkpoint,
+                        mesh=self.mesh,
+                        superbatch_rows=self.config.kmeans_superbatch_rows,
+                        init=self.config.kmeans_init,
+                        empty_policy=self.config.kmeans_empty_policy,
+                        precision=precision_from_str(
+                            self.config.kmeans_precision),
+                        cache_mb=self.config.kmeans_stream_cache_mb,
+                        wire_dtype=wire_dtype,
+                    )
+                    logger.info("streaming kmeans over %d frames: obj=%.2f",
+                                n, obj)
             else:
                 batches = list(
                     self._batch_generator(self.config.clustering_batch_size)
@@ -160,6 +174,9 @@ class ClusterCreator:
             if self.conv is not None:
                 np.savez(out_path.with_suffix(".conv.npz"),
                          **self.conv.state_dict())
+            # the durable artifact exists; the in-progress fit checkpoint
+            # has served its purpose
+            self._kmeans_ckpt_path().unlink(missing_ok=True)
             self.visualize_centroids(centroids)
         # every process must see centroids.npy before the tokenizer stage
         distributed.barrier("centroids-saved")
@@ -168,6 +185,77 @@ class ClusterCreator:
     @property
     def feature_dim(self) -> int:
         return self.config.feature_dim
+
+    # -- mid-fit checkpoint/resume (streaming mode) ----------------------
+    # At corpus scale the streaming fit is the pipeline's longest stage
+    # (BASELINE.md 2M-clip projection); a killed run used to restart from
+    # iteration 0.  The per-iteration centroid update is the only
+    # cross-iteration state, so one small npz per iteration makes the stage
+    # resumable to the exact iteration (bit-identical trajectory — the
+    # stream is deterministic by contract).
+
+    def _kmeans_ckpt_path(self) -> Path:
+        return Path(self.config.centroids_path).with_suffix(".kmeans_ckpt.npz")
+
+    def _stream_signature(self) -> str:
+        """Everything that shapes the Lloyd trajectory: a checkpoint from a
+        different corpus/config must not be resumed."""
+        import json as _json
+
+        cfg = self.config
+        if cfg.fused_pipeline:
+            with open(cfg.split_file) as f:
+                n_src = len(_json.load(f)["train"])
+        else:
+            spec_dir = Path(cfg.source_spec_path) / "train"
+            n_src = len(list(spec_dir.glob("*.npy")))
+        return _json.dumps([
+            cfg.vocab_size, self.feature_dim, cfg.niter, cfg.random_seed,
+            cfg.kmeans_init, cfg.kmeans_empty_policy, cfg.kmeans_precision,
+            cfg.kmeans_wire, cfg.clustering_batch_size,
+            cfg.kmeans_superbatch_rows, int(n_src),
+        ])
+
+    def _save_kmeans_checkpoint(self, completed: int, centroids: np.ndarray,
+                                obj: float) -> None:
+        if not distributed.is_coordinator():
+            return
+        import io
+
+        from audio_tokens_tpu.utils.npy_io import atomic_save_bytes
+
+        buf = io.BytesIO()
+        np.savez(buf, centroids=np.asarray(centroids, np.float32),
+                 iter=np.int64(completed), obj=np.float64(obj),
+                 signature=np.str_(self._stream_signature()))
+        atomic_save_bytes(self._kmeans_ckpt_path(), buf.getvalue())
+
+    def _load_kmeans_checkpoint(self):
+        """(start_iter, init_centroids) — (0, None) unless ``incremental``
+        finds a resumable in-progress fit for this exact stream."""
+        path = self._kmeans_ckpt_path()
+        if not path.exists():
+            return 0, None
+        if not self.config.incremental:
+            if distributed.is_coordinator():
+                path.unlink(missing_ok=True)  # destructive-restart semantics
+            return 0, None
+        try:
+            z = np.load(path, allow_pickle=False)
+            if str(z["signature"]) != self._stream_signature():
+                logger.info("kmeans checkpoint ignored: stream/config changed")
+                return 0, None
+            completed = int(z["iter"])
+            c = np.asarray(z["centroids"], np.float32)
+            if c.shape != (self.config.vocab_size, self.feature_dim):
+                return 0, None
+            logger.info(
+                "resuming streaming kmeans from checkpoint: %d/%d "
+                "iterations already done", completed, self.config.niter)
+            return completed, c
+        except Exception as e:
+            logger.warning("kmeans checkpoint unreadable (%s); restarting", e)
+            return 0, None
 
     def _should_stream(self) -> bool:
         """Whether full-mode k-means must stream super-batches (bounded host

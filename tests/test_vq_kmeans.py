@@ -1,6 +1,8 @@
 """VQ assignment exactness + K-means parity vs a pure-numpy Lloyd reference,
 plus sharded == unsharded equivalence on the virtual 8-device CPU mesh."""
 
+from pathlib import Path
+
 import jax
 import numpy as np
 import pytest
@@ -313,6 +315,106 @@ class TestStreamingKMeans:
             superbatch_rows=1024, chunk=128, seed=3,
         )
         assert c.shape == (6, x.shape[1]) and np.isfinite(obj) and n == 2000
+
+    def test_resume_is_bit_identical(self, rng):
+        """checkpoint_fn + start_iter: resuming a killed fit from its
+        per-iteration checkpoint reproduces the uninterrupted trajectory
+        EXACTLY (the stream is deterministic, so the resumed iterations see
+        the same feeds; the iteration-invariant ||x||^2 objective term is
+        re-collected on the first resumed iteration)."""
+        from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
+
+        x = self._blobs(rng, n=4000)
+        k = 8
+        init = x[rng.choice(len(x), k, replace=False)].copy()
+        feeds = [x[i : i + 900] for i in range(0, len(x), 900)]
+
+        ckpts = {}
+        c_full, o_full, _ = kmeans_fit_streaming(
+            lambda: iter(feeds), k, niter=5, init_centroids=init,
+            superbatch_rows=1024, chunk=128,
+            checkpoint_fn=lambda it, c, o: ckpts.__setitem__(
+                it, (c.copy(), o)),
+        )
+        assert sorted(ckpts) == [1, 2, 3, 4, 5]
+        np.testing.assert_array_equal(ckpts[5][0], c_full)
+
+        c_resumed, o_resumed, n_resumed = kmeans_fit_streaming(
+            lambda: iter(feeds), k, niter=5, init_centroids=ckpts[2][0],
+            start_iter=2, superbatch_rows=1024, chunk=128,
+        )
+        np.testing.assert_array_equal(c_resumed, c_full)
+        assert o_resumed == o_full
+        assert n_resumed == len(x)
+
+    def test_resume_argument_validation(self, rng):
+        from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
+
+        x = self._blobs(rng, n=500)
+        with pytest.raises(ValueError, match="init_centroids"):
+            kmeans_fit_streaming(lambda: iter([x]), 4, niter=3, start_iter=1)
+        with pytest.raises(ValueError, match="start_iter"):
+            kmeans_fit_streaming(lambda: iter([x]), 4, niter=3, start_iter=3,
+                                 init_centroids=x[:4])
+
+    def test_cluster_stage_checkpoint_resume(self, tmp_path, caplog):
+        """Stage-level mid-fit resume: an interrupted streaming clustering
+        run leaves a .kmeans_ckpt.npz; an incremental rerun resumes at that
+        iteration and lands on the uninterrupted run's exact centroids; the
+        checkpoint is removed once centroids.npy is durably written."""
+        import logging as _logging
+
+        from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+        from audio_tokens_tpu.data.splitter import DatasetSplitter
+        from audio_tokens_tpu.ops.kmeans import (
+            kmeans_fit_streaming, precision_from_str,
+        )
+        from audio_tokens_tpu.processors.cluster_creator import ClusterCreator
+        from audio_tokens_tpu.processors.spectrogram_generator import (
+            SpectrogramGenerator,
+        )
+        from tests import fixtures
+
+        fixtures.make_workspace(tmp_path, n_clips=10)
+        cfg = fixtures.test_config(
+            tmp_path, kmeans_mode="full", kmeans_streaming="always",
+            kmeans_superbatch_rows=1024, niter=4, incremental=True,
+        )
+        DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+        SpectrogramGenerator(cfg).run()
+
+        cc = ClusterCreator(cfg)
+        c_full = cc.run()
+        assert not cc._kmeans_ckpt_path().exists()
+
+        # simulate the interruption: re-run the stage's exact fit for only
+        # 2 iterations and plant its state as the in-progress checkpoint
+        cc2 = ClusterCreator(cfg)
+        c2, obj2, _ = kmeans_fit_streaming(
+            lambda: cc2._batch_generator(cfg.clustering_batch_size),
+            cfg.vocab_size, 2, d=cc2.feature_dim, seed=cfg.random_seed,
+            mesh=cc2.mesh,
+            superbatch_rows=cfg.kmeans_superbatch_rows,
+            init=cfg.kmeans_init, empty_policy=cfg.kmeans_empty_policy,
+            precision=precision_from_str(cfg.kmeans_precision),
+        )
+        cc2._save_kmeans_checkpoint(2, c2, obj2)
+        Path(cfg.centroids_path).unlink()
+
+        with caplog.at_level(_logging.INFO):
+            c_resumed = cc2.run()
+        assert "resuming streaming kmeans from checkpoint: 2/4" in caplog.text
+        np.testing.assert_array_equal(c_resumed, c_full)
+        assert not cc2._kmeans_ckpt_path().exists()
+
+        # a NON-incremental rerun must ignore (and clear) any stale ckpt
+        cc2._save_kmeans_checkpoint(2, c2, obj2)
+        cfg_destructive = fixtures.test_config(
+            tmp_path, kmeans_mode="full", kmeans_streaming="always",
+            kmeans_superbatch_rows=1024, niter=4, incremental=False,
+        )
+        c_fresh = ClusterCreator(cfg_destructive).run()
+        np.testing.assert_array_equal(c_fresh, c_full)
 
     def test_cluster_stage_streaming_matches_inmemory(self, tmp_path):
         """kmeans_streaming='always' through the pipeline stage produces a
