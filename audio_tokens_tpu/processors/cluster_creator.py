@@ -232,7 +232,34 @@ class ClusterCreator:
 
     def _load_kmeans_checkpoint(self):
         """(start_iter, init_centroids) — (0, None) unless ``incremental``
-        finds a resumable in-progress fit for this exact stream."""
+        finds a resumable in-progress fit for this exact stream.
+
+        Multi-host: every process must enter the streaming fit with the SAME
+        start_iter/centroids or the per-iteration psum collectives mismatch
+        and the job hangs.  Only the coordinator writes the checkpoint, so on
+        a non-shared filesystem other processes won't see it; the local load
+        is therefore reconciled across processes (allgather of
+        iter + centroid checksum) and any disagreement restarts everyone
+        from iteration 0."""
+        start, c = self._load_kmeans_checkpoint_local()
+        if not distributed.is_multiprocess():
+            return start, c
+        import zlib
+
+        from jax.experimental import multihost_utils
+
+        crc = 0 if c is None else zlib.crc32(np.ascontiguousarray(c).tobytes())
+        gathered = np.asarray(multihost_utils.process_allgather(
+            np.array([start, crc], np.int64)))
+        if not (gathered == gathered[0]).all():
+            if start:
+                logger.info(
+                    "kmeans checkpoint not visible/identical on every "
+                    "process; restarting the fit from iteration 0")
+            return 0, None
+        return start, c
+
+    def _load_kmeans_checkpoint_local(self):
         path = self._kmeans_ckpt_path()
         if not path.exists():
             return 0, None

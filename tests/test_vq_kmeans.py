@@ -595,3 +595,48 @@ def test_streaming_bf16_wire_with_cache_and_mesh():
     assert n1 == n2 == 4096
     # sharded == unsharded on identical bf16-rounded inputs (fp reassoc only)
     np.testing.assert_allclose(c1, c2, rtol=2e-4, atol=2e-4)
+
+
+def test_kmeans_ckpt_multiprocess_reconciliation(tmp_path, monkeypatch, rng):
+    """Only the coordinator writes .kmeans_ckpt.npz; on a non-shared
+    filesystem the other processes won't see it.  The load must reconcile
+    across processes (every process either resumes the SAME state or all
+    restart at 0) — divergence would mismatch the streaming fit's psum
+    collectives and hang the job."""
+    from jax.experimental import multihost_utils
+
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+    from audio_tokens_tpu.data.splitter import DatasetSplitter
+    from audio_tokens_tpu.parallel import distributed
+    from audio_tokens_tpu.processors.cluster_creator import ClusterCreator
+    from audio_tokens_tpu.processors.spectrogram_generator import (
+        SpectrogramGenerator,
+    )
+    from tests import fixtures
+
+    fixtures.make_workspace(tmp_path, n_clips=6)
+    cfg = fixtures.test_config(tmp_path, kmeans_mode="full",
+                               kmeans_streaming="always", niter=3,
+                               incremental=True)
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+    SpectrogramGenerator(cfg).run()
+    cc = ClusterCreator(cfg)
+    cents = rng.standard_normal(
+        (cfg.vocab_size, cc.feature_dim)).astype(np.float32)
+    cc._save_kmeans_checkpoint(2, cents, 1.0)
+
+    monkeypatch.setattr(distributed, "is_multiprocess", lambda: True)
+
+    # all processes report the same (iter, crc): resume proceeds
+    monkeypatch.setattr(multihost_utils, "process_allgather",
+                        lambda v: np.stack([v, v]))
+    start, c = cc._load_kmeans_checkpoint()
+    assert start == 2
+    np.testing.assert_array_equal(c, cents)
+
+    # another process saw no checkpoint (iter 0): everyone restarts
+    monkeypatch.setattr(
+        multihost_utils, "process_allgather",
+        lambda v: np.stack([v, np.zeros_like(np.asarray(v))]))
+    start, c = cc._load_kmeans_checkpoint()
+    assert start == 0 and c is None
