@@ -119,9 +119,13 @@ class AudioTokensConfig:
 
     # Mesh: axis names and sizes.  data_parallel <= available devices; -1
     # means "all devices".  model_parallel > 1 enables TP sharding on the
-    # transformer classifier.
+    # transformer classifier.  sequence_parallel > 1 shards transformer
+    # activations along the frame axis over a 'sequence' mesh axis (full-clip
+    # attention at long max_position; bert only — the reference's strategy
+    # was truncation, custom_bert_classifier.py:21-22).
     data_parallel: int = -1
     model_parallel: int = 1
+    sequence_parallel: int = 1
 
     # Multi-host (pod-slice) execution: distributed=True calls
     # jax.distributed.initialize() at stage start (autodetected topology on
@@ -250,6 +254,12 @@ class AudioTokensConfig:
     # always streams per-step batches (required at spec-corpus scale).
     device_corpus: str = "auto"
     device_corpus_budget_mb: int = 4096
+    # HBM storage dtype for resident spec/flat corpora: 'float32' (exact) or
+    # 'bfloat16' (half the residency AND half the per-step batch-gather
+    # bandwidth — the device-loop overhead for the MLP family; one
+    # round-to-nearest of the dB spectrogram inputs, ~3 decimal digits
+    # preserved).  Token corpora always pack uint16 and ignore this.
+    device_corpus_dtype: str = "float32"
     # Epoch-mAP accumulation: 0 keeps every sigmoid in host RAM (exact,
     # reference semantics; ~4.3 GB/epoch at 2M clips); >0 switches to the
     # constant-memory histogram estimator with this many score buckets

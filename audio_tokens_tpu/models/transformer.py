@@ -17,7 +17,15 @@ of the encoded sequence, and with the reference's degenerate all-ones masks
 TPU notes: attention and MLP matmuls run in ``compute_dtype`` (bf16 on the
 MXU) with fp32 accumulation and fp32 LayerNorm/softmax; ``TP_RULES`` maps
 param paths to Megatron-style column/row shardings over a ``model`` mesh axis
-(applied by ``parallel.tp_param_specs``).
+(applied by ``parallel.tp_param_specs``).  ``sp_mesh`` (a mesh with a
+``sequence`` axis, see ``parallel.make_mesh(seq=...)``) turns on sequence
+parallelism for the full-clip mode: activations carry a
+(data, sequence, None) sharding constraint at every block boundary, and XLA
+inserts the gather/scatter collectives attention needs — the scaling-book
+recipe (annotate, let GSPMD place collectives) rather than a hand-written
+ring.  The reference has no counterpart (its long-context strategy is
+truncation, custom_bert_classifier.py:21-22); SURVEY §2.6/§5 reserves the
+axis.
 """
 
 from __future__ import annotations
@@ -27,7 +35,9 @@ from typing import Optional
 LN_EPS = 1e-12  # HF BertConfig layer_norm_eps — function-level parity
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # Tensor-parallel partition rules: param-path substring -> PartitionSpec axes
 # over the ('data', 'model') mesh.  Megatron layout: column-parallel up/QKV
@@ -88,6 +98,15 @@ class TransformerClassifier(nn.Module):
     max_position: int = 512
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
+    # sequence parallelism: a mesh with a 'sequence' axis; activations are
+    # constrained to (data, sequence, None) at block boundaries (no-op None)
+    sp_mesh: Optional[Mesh] = None
+
+    def _sp(self, x):
+        if self.sp_mesh is None:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.sp_mesh, P("data", "sequence", None)))
 
     @nn.compact
     def __call__(self, tokens, lengths: Optional[jnp.ndarray] = None,
@@ -110,7 +129,7 @@ class TransformerClassifier(nn.Module):
             jnp.arange(t)[None, :]
         )
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="embed_ln")(x + pos)
-        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = self._sp(nn.Dropout(self.dropout, deterministic=deterministic)(x))
 
         if lengths is None:
             attn_mask = None  # reference compat: all-ones masks
@@ -120,10 +139,10 @@ class TransformerClassifier(nn.Module):
 
         num_heads = max(1, self.hidden_size // 64)
         for i in range(self.num_layers):
-            x = EncoderBlock(
+            x = self._sp(EncoderBlock(
                 self.hidden_size, num_heads, self.dropout,
                 compute_dtype=self.compute_dtype, name=f"layer_{i}",
-            )(x, attn_mask, deterministic)
+            )(x, attn_mask, deterministic))
 
         cls = x[:, 0, :]  # position-0 representation, like the reference
         return nn.Dense(self.num_classes, name="classifier")(cls)

@@ -5,11 +5,15 @@ a ``jax.sharding.Mesh`` with named axes and XLA collectives — the TPU-native
 replacement for the NCCL/DDP layer the reference never had (SURVEY.md §2.6).
 
 Axes:
-  * ``data``  — batch / point sharding (DP training, sharded K-means);
-  * ``model`` — tensor-parallel sharding of transformer weights (optional).
+  * ``data``     — batch / point sharding (DP training, sharded K-means);
+  * ``sequence`` — sequence (frame-axis) sharding of transformer activations
+                   (optional; full-clip attention — SURVEY.md §5 reserves
+                   this axis);
+  * ``model``    — tensor-parallel sharding of transformer weights (optional).
 
 Collectives ride ICI within a slice; lay DCN-spanning meshes out so ``data``
-is the outer (DCN) axis.
+is the outer (DCN) axis — ``make_mesh`` orders axes (data, sequence, model)
+so the chattiest axis (model) is innermost.
 """
 
 from __future__ import annotations
@@ -22,17 +26,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    data: int = -1, model: int = 1, devices: Optional[Sequence] = None
+    data: int = -1, model: int = 1, seq: int = 1,
+    devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Mesh with ('data', 'model') axes. data=-1 uses all remaining devices."""
+    """Mesh with ('data', 'model') axes — plus a 'sequence' axis between them
+    when ``seq > 1`` (activation sequence parallelism; the 2-axis shape is
+    kept when seq == 1 so existing DP/TP programs are unchanged).
+    data=-1 uses all remaining devices."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        if n % model:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model > n:
-        raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
+        if n % (model * seq):
+            raise ValueError(
+                f"{n} devices not divisible by model={model} x seq={seq}")
+        data = n // (model * seq)
+    if data * model * seq > n:
+        raise ValueError(f"mesh {data}x{seq}x{model} exceeds {n} devices")
+    if seq > 1:
+        grid = np.array(devices[: data * seq * model]).reshape(data, seq, model)
+        return Mesh(grid, axis_names=("data", "sequence", "model"))
     grid = np.array(devices[: data * model]).reshape(data, model)
     return Mesh(grid, axis_names=("data", "model"))
 

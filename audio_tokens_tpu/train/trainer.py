@@ -129,6 +129,16 @@ class Trainer:
                 "model_parallel=1 (TP applies to model_type='bert' only) or "
                 "use lstm_backend='xla'"
             )
+        if config.sequence_parallel > 1:
+            if config.model_type != "bert":
+                raise ValueError(
+                    "sequence_parallel > 1 applies to the transformer only "
+                    "(model_type='bert')")
+            if config.transformer_max_position % config.sequence_parallel:
+                raise ValueError(
+                    f"transformer_max_position "
+                    f"({config.transformer_max_position}) must be divisible "
+                    f"by sequence_parallel ({config.sequence_parallel})")
         set_seed(config.random_seed)
         self.model = get_model(config)
         self.metrics_calculator = MetricsCalculator()
@@ -271,24 +281,26 @@ class Trainer:
         cfg = self.config
         batch = loader.dummy_batch()  # shapes only; no producer thread
         devices = getattr(self, "_mesh_devices", None)
-        if cfg.model_parallel > 1:
-            # DP x TP mesh; transformer weights shard via TP_RULES below
+        if cfg.model_parallel > 1 or cfg.sequence_parallel > 1:
+            # DP x (SP x) TP mesh; transformer weights shard via TP_RULES
+            # below, activations via the model's sp_mesh constraint
             mesh = make_mesh(data=cfg.data_parallel, model=cfg.model_parallel,
-                             devices=devices)
+                             seq=cfg.sequence_parallel, devices=devices)
         else:
             mesh = data_mesh(cfg, devices=devices)
         if mesh is not None and (
             cfg.training_batch_size % mesh.shape["data"]
             or cfg.eval_batch_size % mesh.shape["data"]
         ):
-            if cfg.model_parallel > 1:
-                # the user explicitly asked for TP; silently dropping it would
-                # change memory/placement intent — fail loudly instead
+            if cfg.model_parallel > 1 or cfg.sequence_parallel > 1:
+                # the user explicitly asked for TP/SP; silently dropping it
+                # would change memory/placement intent — fail loudly instead
                 raise ValueError(
                     f"batch sizes ({cfg.training_batch_size} train / "
                     f"{cfg.eval_batch_size} eval) must be divisible by the "
                     f"data axis ({mesh.shape['data']}) when model_parallel="
-                    f"{cfg.model_parallel} is requested"
+                    f"{cfg.model_parallel} / sequence_parallel="
+                    f"{cfg.sequence_parallel} is requested"
                 )
             logger.warning(
                 "batch size %d not divisible by %d devices; training single-device",
@@ -296,6 +308,11 @@ class Trainer:
             )
             mesh = None
         self.mesh = mesh
+        if (mesh is not None and mesh.shape.get("sequence", 1) > 1
+                and getattr(self.model, "sp_mesh", None) is None):
+            # activations get the (data, sequence, None) constraint; params
+            # stay as _shard_params places them
+            self.model = self.model.clone(sp_mesh=mesh)
 
         local_b = (cfg.training_batch_size // mesh.shape["data"]
                    if mesh is not None else cfg.training_batch_size)
@@ -345,12 +362,14 @@ class Trainer:
         mode = getattr(cfg, "device_corpus", "auto")
         if mode == "off":
             return None
-        if self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
+        if self.mesh is not None and (
+                self.mesh.shape.get("model", 1) > 1
+                or self.mesh.shape.get("sequence", 1) > 1):
             if mode == "on":
                 raise ValueError(
                     "device_corpus='on' is incompatible with model_parallel "
-                    "> 1 (the epoch programs assume a DP-only mesh); set "
-                    "device_corpus='off' or model_parallel=1"
+                    "or sequence_parallel > 1 (the epoch programs assume a "
+                    "DP-only mesh); set device_corpus='off' or a DP-only mesh"
                 )
             return None
         if getattr(train_loader.ds, "kind", None) is None:
@@ -363,9 +382,11 @@ class Trainer:
             (train_loader, cfg.training_batch_size),
             (val_loader, cfg.eval_batch_size),
         )
+        feat_itemsize = 2 if cfg.device_corpus_dtype == "bfloat16" else 4
         est = sum(
             corpus_nbytes(len(loader.ds), bs, cfg.max_seq_len, cfg.n_mels,
-                          loader.ds.kind, cfg.num_classes, cfg.vocab_size)
+                          loader.ds.kind, cfg.num_classes, cfg.vocab_size,
+                          feat_itemsize)
             for loader, bs in wanted
         )
         budget = cfg.device_corpus_budget_mb * 2**20
