@@ -225,8 +225,15 @@ class AudioTokensConfig:
     transformer_max_position: int = 512
     # Megakernel DFT/mel GEMM tier: 'highest' (f32, bit-exact tokens,
     # ~18.5k clips/s on v5e), 'bf16x3' (~26k, 99.997% agreement),
-    # 'default' (bf16, ~34k, 99.3%).  VQ distances always run f32.
+    # 'default' (bf16, ~34k, 99.3%).
     tokenizer_precision: str = "highest"
+    # VQ distance GEMM tier (the argmin decision point), separately: at the
+    # default 500-centroid vocabulary it is a small FLOP fraction and
+    # 'highest' costs nothing, but at the 16k north-star vocabulary it is
+    # ~97% of the kernel FLOPs — 'bf16x3' is ~1.6-1.75x serving rate at
+    # ~100% token agreement, 'default' ~3.5x at ~99% (measured rates in
+    # BASELINE.md 16k row).
+    tokenizer_vq_precision: str = "highest"
     # Consolidated memory-mapped training-input cache: token sequences are
     # packed once into {split}.tokcache.bin (uint16) + offsets, so per-clip
     # loads become zero-copy slices instead of np.load file opens (built
@@ -255,10 +262,11 @@ class AudioTokensConfig:
     device_corpus: str = "auto"
     device_corpus_budget_mb: int = 4096
     # HBM storage dtype for resident spec/flat corpora: 'float32' (exact) or
-    # 'bfloat16' (half the residency AND half the per-step batch-gather
-    # bandwidth — the device-loop overhead for the MLP family; one
-    # round-to-nearest of the dB spectrogram inputs, ~3 decimal digits
-    # preserved).  Token corpora always pack uint16 and ignore this.
+    # 'bfloat16' (half the residency — a 22k-clip spec corpus drops 9.8 ->
+    # 4.9 GB, doubling what fits the budget; step rate measured neutral,
+    # BASELINE.md; one round-to-nearest of the dB spectrogram inputs, ~3
+    # decimal digits preserved).  Token corpora always pack uint16 and
+    # ignore this.
     device_corpus_dtype: str = "float32"
     # Epoch-mAP accumulation: 0 keeps every sigmoid in host RAM (exact,
     # reference semantics; ~4.3 GB/epoch at 2M clips); >0 switches to the

@@ -35,8 +35,18 @@ GEMM precision tiers (``tier``, config ``tokenizer_precision``):
     (hi/lo split; ~f32 accuracy): ~26k clips/s, 99.997% token agreement.
   * ``default`` — single-pass bf16 DFT/mel: ~34k clips/s, 99.3% agreement.
 
-The VQ distance GEMM always runs f32-HIGHEST (it is the decision point and
-a small fraction of the FLOPs).  See BASELINE.md "megakernel roofline" for
+The VQ distance GEMM has its own tier (``vq_tier``, config
+``tokenizer_vq_precision``, default ``highest``): at the reference's
+500-centroid vocabulary it is a small FLOP fraction and f32-HIGHEST costs
+nothing, but at the 16k north-star vocabulary it is ~97% of the kernel
+FLOPs.  The bf16 tiers' hi/lo decomposition is hoisted — centroids are
+pre-split on the host, features split once per frame tile into bf16
+scratch — and the vocabulary chunk width is picked per tier against a
+raised scoped-VMEM ceiling (``VMEM_LIMIT``/``_pick_chunk``; the grid-step
+fixed cost, not MXU passes, bounds the multi-chunk rate).  Measured at 16k
+(BASELINE.md): exact 2.9k clips/s, ``bf16x3`` 5.1k at 99.993% agreement,
+``default`` 9.7k at 98.96%.
+See BASELINE.md "megakernel roofline" for
 the measured pass-count/padding analysis: at `highest` the kernel runs at
 ~80% of the (6-pass f32 x padding)-adjusted MXU roofline, so the headline
 MFU-vs-bf16-peak is precision-bound, not scheduling-bound.
@@ -68,6 +78,41 @@ TIERS = ("highest", "bf16x3", "default")
 # vocabulary chunk width when K exceeds one chunk: bounds the (tile_t, K)
 # score tile and the resident centroid block to VMEM scale
 K_CHUNK = 1024
+
+# Mosaic scoped-VMEM ceiling requested for the kernel.  The compiler default
+# is 16 MB but v5e VMEM is far larger; raising it lets multi-chunk
+# vocabularies use wide chunks — fewer grid steps, whose ~5 us fixed cost
+# (not MXU passes) bounds the 16k-vocab rate.  Measured at 16k/64 mel
+# (BASELINE.md): exact 2.7k -> 2.9k clips/s, bf16x3 3.3k -> 5.1k,
+# default -> 9.7k.
+VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _pick_chunk(vq_tier: str, tile_t: int, m_pad: int) -> int:
+    """Vocabulary chunk width for multi-chunk vocabularies, per VQ tier.
+
+    Preferred widths are the measured optima at tile_t=896/m_pad=128
+    (BASELINE.md round-4 sweep): the exact tier regresses past 2048 (f32
+    operand traffic), the bf16 tiers keep gaining until their (tile_t,
+    k_chunk) f32 score buffers press the VMEM_LIMIT.  The estimate below
+    then halves the chunk until the score buffers + double-buffered
+    centroid operands + fixed working set fit for other shapes."""
+    prefer = {"highest": 2048, "bf16x3": 4096, "default": 8192}[vq_tier]
+    n_ops = {"highest": 1, "bf16x3": 2, "default": 1}[vq_tier]
+    itemsize = 4 if vq_tier == "highest" else 2
+    # score-sized f32 live buffers: fc + scores for highest; the dedicated
+    # fc accumulator scratch + one live dot result for bf16x3 (scores are
+    # computed in place); the single dot result + scores for default
+    live = {"highest": 2.0, "bf16x3": 2.25, "default": 1.25}[vq_tier]
+    fixed = 8 * 1024 * 1024  # window dbuf + features + DFT/mel transients
+    cap = prefer
+    while cap > 128:
+        need = (fixed + live * 4 * tile_t * cap
+                + 2 * n_ops * itemsize * cap * m_pad)
+        if need <= 0.8 * VMEM_LIMIT:
+            break
+        cap //= 2
+    return cap
 
 
 def _dot_tier(a, b, dims, tier: str):
@@ -140,10 +185,23 @@ def kernel_fits(k: int, d: int, hop: int = 128, n_fft: int = 512,
     return need <= budget_bytes
 
 
-def _kernel(blocks_hbm, w_ref, fb_ref, ct_ref, c2_ref, out_ref,
-            window, sems, f_ref, best_ref, idx_ref,
-            *, tile_t: int, r: int, hop: int, n_mels: int, n_freq: int,
-            k_chunk: int, tier: str = "highest"):
+def _kernel(blocks_hbm, w_ref, fb_ref, *args,
+            tile_t: int, r: int, hop: int, n_mels: int, n_freq: int,
+            k_chunk: int, tier: str = "highest", vq_tier: str = "highest"):
+    # operand/scratch layout varies with the (static) VQ tier: bf16 tiers
+    # take host-pre-split centroid operands and carry the unit features'
+    # bf16 split(s) in scratch so the hi/lo decomposition happens once per
+    # frame tile, not once per vocabulary chunk
+    if vq_tier == "bf16x3":
+        (ct_hi_ref, ct_lo_ref, c2_ref, out_ref,
+         window, sems, f_ref, best_ref, idx_ref,
+         f_hi_ref, f_lo_ref, fc_ref) = args
+    elif vq_tier == "default":
+        (ct_hi_ref, c2_ref, out_ref,
+         window, sems, f_ref, best_ref, idx_ref, f_hi_ref) = args
+    else:
+        (ct_ref, c2_ref, out_ref,
+         window, sems, f_ref, best_ref, idx_ref) = args
     b = pl.program_id(0)
     i = pl.program_id(1)
     kc = pl.program_id(2)
@@ -190,7 +248,14 @@ def _kernel(blocks_hbm, w_ref, fb_ref, ct_ref, c2_ref, out_ref,
         lane = jax.lax.broadcasted_iota(jnp.int32, meldb.shape, 1)
         meldb = jnp.where(lane < n_mels, meldb, 0.0)
         norms = jnp.sqrt(jnp.sum(meldb * meldb, axis=1, keepdims=True))
-        f_ref[:] = meldb / (norms + EPS)
+        unit = meldb / (norms + EPS)
+        f_ref[:] = unit
+        if vq_tier == "bf16x3":
+            hi = unit.astype(jnp.bfloat16)
+            f_hi_ref[:] = hi
+            f_lo_ref[:] = (unit - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        elif vq_tier == "default":
+            f_hi_ref[:] = unit.astype(jnp.bfloat16)
 
     @pl.when(kc == 0)
     def _fetch_and_featurize():
@@ -212,12 +277,38 @@ def _kernel(blocks_hbm, w_ref, fb_ref, ct_ref, c2_ref, out_ref,
         def _():
             _features_from(window.at[1])
 
-    fc = jax.lax.dot_general(
-        f_ref[:], ct_ref[:], (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # (tile_t, k_chunk)
-    scores = c2_ref[:] - 2.0 * fc
+    # VQ distance GEMM: f32-HIGHEST by default (the decision point).  At the
+    # 16k north-star vocabulary this GEMM is ~97% of the kernel FLOPs, so
+    # vq_tier='bf16x3' (3-pass pseudo-f32, config tokenizer_vq_precision)
+    # halves its MXU passes (measured rates/agreement in BASELINE.md).
+    dims = (((1,), (1,)), ((), ()))
+
+    def _d(x, y):
+        return jax.lax.dot_general(x, y, dims,
+                                   preferred_element_type=jnp.float32)
+
+    if vq_tier == "bf16x3":
+        # operands pre-split (centroids on host, features at kc==0); lo*lo
+        # term dropped as in _dot_tier.  Accumulating into scratch keeps a
+        # single dot result live at a time, which is what lets the chunk
+        # stay at K_CHUNK (3 live f32 partials overflowed scoped VMEM)
+        fc_ref[:] = _d(f_hi_ref[:], ct_hi_ref[:])
+        fc_ref[:] += _d(f_hi_ref[:], ct_lo_ref[:])
+        fc_ref[:] += _d(f_lo_ref[:], ct_hi_ref[:])
+        # scores computed in place: the (tile_t, k_chunk) f32 buffers are
+        # what bounds the chunk width against scoped VMEM
+        fc_ref[:] = c2_ref[:] - 2.0 * fc_ref[:]
+        scores = fc_ref[:]
+    elif vq_tier == "default":
+        fc = _d(f_hi_ref[:], ct_hi_ref[:])
+        scores = c2_ref[:] - 2.0 * fc
+    else:
+        fc = jax.lax.dot_general(
+            f_ref[:], ct_ref[:], dims,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (tile_t, k_chunk)
+        scores = c2_ref[:] - 2.0 * fc
 
     if n_kc == 1:
         # single-chunk vocabularies: no carry, write tokens directly
@@ -251,6 +342,7 @@ class TokenizerKernel:
 
     def __init__(self, sample_rate: int, n_mels: int, n_fft: int, hop: int,
                  n_frames: int, centroids: np.ndarray, tier: str = "highest",
+                 vq_tier: str = "highest", k_chunk_cap: int | None = None,
                  interpret: bool = False):
         from audio_tokens_tpu.ops.mel import dft_filters, mel_filterbank
 
@@ -258,7 +350,10 @@ class TokenizerKernel:
             raise ValueError("TokenizerKernel requires hop | n_fft")
         if tier not in TIERS:
             raise ValueError(f"unknown tokenizer precision tier '{tier}'")
+        if vq_tier not in TIERS:
+            raise ValueError(f"unknown VQ precision tier '{vq_tier}'")
         self.tier = tier
+        self.vq_tier = vq_tier
         self.interpret = interpret
         self.n_mels = n_mels
         self.n_fft = n_fft
@@ -294,15 +389,28 @@ class TokenizerKernel:
         )
         k = centroids.shape[0]
         k_pad = _round_up(k, 128)
-        self.k_chunk = min(k_pad, K_CHUNK)
+        if k_chunk_cap is None:
+            k_chunk_cap = _pick_chunk(vq_tier, self.tile_t, m_pad)
+        self.k_chunk = min(k_pad, k_chunk_cap)
         # vocab axis is grid-chunked: pad K to a whole number of chunks
         k_pad = _round_up(k_pad, self.k_chunk)
         self.n_kc = k_pad // self.k_chunk
         cent = np.asarray(centroids, np.float32)
         c2 = (cent * cent).sum(1)
-        self._cent = jnp.asarray(
-            np.pad(cent, ((0, k_pad - k), (0, m_pad - n_mels)))
-        )
+        cent_pad = np.pad(cent, ((0, k_pad - k), (0, m_pad - n_mels)))
+        self.k_total = k_pad
+        self.m_pad = m_pad
+        # bf16 VQ tiers ship the centroid decomposition from the host (the
+        # split is loop-invariant; doing it in-kernel re-ran on every
+        # vocabulary chunk and kept extra f32 temporaries live in VMEM)
+        if vq_tier == "bf16x3":
+            hi = cent_pad.astype(jnp.bfloat16)
+            lo = (cent_pad - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+            self._cent_ops = (jnp.asarray(hi), jnp.asarray(lo))
+        elif vq_tier == "default":
+            self._cent_ops = (jnp.asarray(cent_pad.astype(jnp.bfloat16)),)
+        else:
+            self._cent_ops = (jnp.asarray(cent_pad),)
         self._c2 = jnp.asarray(
             np.pad(c2, (0, k_pad - k), constant_values=np.float32(np.inf))[None, :]
         )
@@ -319,12 +427,23 @@ class TokenizerKernel:
             )
         blocks = padded_batch[:, :need].reshape(b, self.n_blocks, self.hop)
         n_tiles, tile_t = self.n_tiles, self.tile_t
-        k_chunk, m_pad = self.k_chunk, self._cent.shape[1]
+        k_chunk, m_pad = self.k_chunk, self.m_pad
+        cent_specs = [
+            pl.BlockSpec((k_chunk, m_pad), lambda bb, ii, kk: (kk, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in self._cent_ops
+        ]
+        extra_scratch = []
+        if self.vq_tier == "bf16x3":
+            extra_scratch = [pltpu.VMEM((tile_t, m_pad), jnp.bfloat16)] * 2 + [
+                pltpu.VMEM((tile_t, k_chunk), jnp.float32)]
+        elif self.vq_tier == "default":
+            extra_scratch = [pltpu.VMEM((tile_t, m_pad), jnp.bfloat16)]
         out = pl.pallas_call(
             functools.partial(
                 _kernel, tile_t=self.tile_t, r=self.r, hop=self.hop,
                 n_mels=self.n_mels, n_freq=self.n_freq,
-                k_chunk=k_chunk, tier=self.tier,
+                k_chunk=k_chunk, tier=self.tier, vq_tier=self.vq_tier,
             ),
             # (b*n_tiles, tile_t/128, 128): last two dims match the block
             # shape exactly (lowering constraint for sub-8 leading blocks)
@@ -342,9 +461,7 @@ class TokenizerKernel:
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(self._fb.shape, lambda bb, ii, kk: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((k_chunk, m_pad),
-                             lambda bb, ii, kk: (kk, 0),
-                             memory_space=pltpu.VMEM),
+                *cent_specs,
                 pl.BlockSpec((1, k_chunk), lambda bb, ii, kk: (0, kk),
                              memory_space=pltpu.VMEM),
             ],
@@ -359,16 +476,20 @@ class TokenizerKernel:
                 pltpu.VMEM((tile_t, m_pad), jnp.float32),   # unit features
                 pltpu.VMEM((tile_t, 1), jnp.float32),        # running min
                 pltpu.VMEM((tile_t, 1), jnp.int32),          # running argmin
+                *extra_scratch,                              # bf16 f splits
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT,
+            ),
             cost_estimate=pl.CostEstimate(
                 flops=2 * b * self.n_tiles * self.tile_t
                 * (self.n_fft * (2 * self.n_freq - 2)
                    + self.n_freq * self.n_mels
-                   + self.n_mels * self._cent.shape[0]),
+                   + self.n_mels * self.k_total),
                 bytes_accessed=b * need * 4
-                + b * self.n_tiles * self._cent.size * 4,
+                + b * self.n_tiles * self.k_total * m_pad * 4,
                 transcendentals=b * self.n_tiles * self.tile_t * self.n_mels,
             ),
             interpret=self.interpret,
-        )(blocks, self._w, self._fb, self._cent, self._c2)
+        )(blocks, self._w, self._fb, *self._cent_ops, self._c2)
         return out.reshape(b, n_tiles * tile_t)[:, : self.n_frames]

@@ -91,6 +91,7 @@ class FusedTokenizer:
                 config.hop_length, self.frontend.frames_max,
                 np.asarray(centroids, np.float32),
                 tier=getattr(config, "tokenizer_precision", "highest"),
+                vq_tier=getattr(config, "tokenizer_vq_precision", "highest"),
             )
             self.frontend.alloc_len = max(
                 self.frontend.padded_len,

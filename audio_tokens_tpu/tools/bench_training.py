@@ -39,6 +39,13 @@ DEFAULT_CASES = [
     # spec-input families at the reference's full-clip spectrogram shape
     ("cnn", "cnn", 64, 1728, dict()),
     ("baseline", "baseline", 64, 1728, dict()),
+    # bf16 HBM storage for the resident spec corpus (config
+    # device_corpus_dtype): halves residency (a 22k-clip spec corpus is
+    # ~9.8 GB f32 -> 4.9 GB bf16); step rate measured neutral (+1%,
+    # interleaved A/B, BASELINE.md) — the gather is not the bottleneck
+    ("baseline_bf16", "baseline", 64, 1728,
+     dict(device_corpus_dtype="bfloat16")),
+    ("cnn_bf16", "cnn", 64, 1728, dict(device_corpus_dtype="bfloat16")),
 ]
 
 
@@ -227,9 +234,11 @@ def bench_device_loop(model_type: str, batch: int, seq: int, epochs: int,
         inputs = rng.integers(0, cfg.vocab_size, (n, seq)).astype(np.uint16)
         init_inputs = inputs[:batch].astype(np.int32)
     else:
+        from audio_tokens_tpu.train.device_epoch import _feature_dtype
+
         shape = (n, seq, cfg.n_mels) if kind == "spec" else (n, seq * cfg.n_mels)
-        inputs = rng.standard_normal(shape).astype(np.float32)
-        init_inputs = inputs[:batch]
+        inputs = rng.standard_normal(shape).astype(_feature_dtype(cfg))
+        init_inputs = inputs[:batch].astype(np.float32)
     lengths = np.full(n, seq, np.int32)
     labels = (rng.random((n, cfg.num_classes)) < 0.05).astype(np.uint8)
     init_batch = {

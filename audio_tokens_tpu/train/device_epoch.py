@@ -47,6 +47,19 @@ from audio_tokens_tpu.utils.device_metrics import macro_map_device
 logger = logging.getLogger(__name__)
 
 
+def _feature_dtype(cfg):
+    """HBM dtype for spec/flat corpus rows (config.device_corpus_dtype)."""
+    want = getattr(cfg, "device_corpus_dtype", "float32")
+    if want == "float32":
+        return np.float32
+    if want == "bfloat16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    raise ValueError(
+        f"device_corpus_dtype must be 'float32' or 'bfloat16', got '{want}'")
+
+
 def corpus_arrays(ds, batch_size: int, max_seq_len: int):
     """Pack a ClipDataset split into fixed-shape host arrays.
 
@@ -59,13 +72,14 @@ def corpus_arrays(ds, batch_size: int, max_seq_len: int):
     n = len(ds)
     n_pad = -(-n // batch_size) * batch_size
     t, m = max_seq_len, cfg.n_mels
+    feat_dtype = _feature_dtype(cfg)
     if ds.kind == "tokens":
         dtype = np.uint16 if cfg.vocab_size <= 0xFFFF else np.int32
         inputs = np.zeros((n_pad, t), dtype)
     elif ds.kind == "spec":
-        inputs = np.zeros((n_pad, t, m), np.float32)
+        inputs = np.zeros((n_pad, t, m), feat_dtype)
     else:  # flat
-        inputs = np.zeros((n_pad, t * m), np.float32)
+        inputs = np.zeros((n_pad, t * m), feat_dtype)
     lengths = np.zeros(n_pad, np.int32)
     labels = np.zeros((n_pad, cfg.num_classes), np.uint8)
     from audio_tokens_tpu.data.datasets import pack_features_row
@@ -79,14 +93,14 @@ def corpus_arrays(ds, batch_size: int, max_seq_len: int):
 
 def corpus_nbytes(n_clips: int, batch_size: int, max_seq_len: int,
                   n_mels: int, kind: str, num_classes: int,
-                  vocab_size: int) -> int:
+                  vocab_size: int, feat_itemsize: int = 4) -> int:
     """HBM estimate for one resident split: corpus + labels + the epoch's
     prediction buffer (scan output + the mAP computation's sorted copies)."""
     n_pad = -(-max(n_clips, 1) // batch_size) * batch_size
     if kind == "tokens":
         row = max_seq_len * (2 if vocab_size <= 0xFFFF else 4)
     else:
-        row = max_seq_len * n_mels * 4
+        row = max_seq_len * n_mels * feat_itemsize
     preds = n_pad * num_classes * 4
     return n_pad * (row + num_classes + 4) + 4 * preds
 

@@ -252,3 +252,43 @@ def test_device_epoch_spec_families(spec_ws, model_type, dataset_type):
     (on_loss, on_m), (off_loss, off_m) = results["on"], results["off"]
     assert on_loss == pytest.approx(off_loss, rel=1e-4, abs=1e-6)
     assert on_m["mAP"] == pytest.approx(off_m["mAP"], abs=1e-4)
+
+
+def test_device_corpus_bf16_spec(spec_ws):
+    """device_corpus_dtype='bfloat16' halves the resident spec corpus (one
+    round-to-nearest of the inputs) and trains to ~the float32 trajectory."""
+    import ml_dtypes
+
+    results = {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = fixtures.test_config(
+            spec_ws, model_type="baseline", dataset_type="RawSTFTFlatDataset",
+            epochs=2, dropout=0.0, max_seq_len=32, n_mels=16,
+            training_batch_size=8, save_best_checkpoint=False,
+            learning_rate=3e-3, device_corpus="on",
+            device_corpus_dtype=dtype,
+        )
+        trainer = Trainer(cfg)
+        results[dtype] = trainer.run()
+    # storage dtype verified via the packer itself
+    from audio_tokens_tpu.data.datasets import DataLoaderCreator
+    from audio_tokens_tpu.train.device_epoch import corpus_arrays
+
+    loader, _ = DataLoaderCreator(cfg).get_dataloaders()
+    inputs, _, _, _ = corpus_arrays(loader.ds, 8, 32)
+    assert inputs.dtype == np.dtype(ml_dtypes.bfloat16)
+    (f_loss, f_m), (b_loss, b_m) = results["float32"], results["bfloat16"]
+    assert np.isfinite(b_loss)
+    # one bf16 rounding of the inputs: same loss trajectory to ~1e-2.  (mAP
+    # is NOT compared tightly — on this 12-clip val set a single rank flip
+    # moves it by ~0.07, so it only gets a sanity range.)
+    assert b_loss == pytest.approx(f_loss, rel=2e-2, abs=2e-2)
+    assert 0.0 <= b_m["mAP"] <= 1.0
+
+
+def test_device_corpus_dtype_rejects_unknown(spec_ws):
+    from audio_tokens_tpu.train.device_epoch import _feature_dtype
+
+    cfg = fixtures.test_config(spec_ws, device_corpus_dtype="fp8")
+    with pytest.raises(ValueError, match="device_corpus_dtype"):
+        _feature_dtype(cfg)

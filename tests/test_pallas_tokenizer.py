@@ -69,13 +69,8 @@ def test_megakernel_interpret_matches_xla(rng, vocab):
                             clip_seconds=1.5, vocab_size=vocab)
     tok = FusedTokenizer(cfg, cents, use_pallas=False)
     # small k_chunk so vocab=300 exercises the multi-chunk carry cheaply
-    orig_chunk = pallas_tokenizer.K_CHUNK
-    pallas_tokenizer.K_CHUNK = 128
-    try:
-        kern = TokenizerKernel(sr, nm, nf, hop, tok.frontend.frames_max,
-                               cents, interpret=True)
-    finally:
-        pallas_tokenizer.K_CHUNK = orig_chunk
+    kern = TokenizerKernel(sr, nm, nf, hop, tok.frontend.frames_max,
+                           cents, k_chunk_cap=128, interpret=True)
     assert kern.n_kc == (1 if vocab <= 128 else 3)
     tok.frontend.alloc_len = max(
         tok.frontend.padded_len,
@@ -110,13 +105,8 @@ def test_megakernel_mostly_padded_trailing_chunk(rng):
     cfg = AudioTokensConfig(common_sr=sr, n_mels=nm, n_fft=nf, hop_length=hop,
                             clip_seconds=1.2, vocab_size=vocab)
     tok = FusedTokenizer(cfg, cents, use_pallas=False)
-    orig_chunk = pallas_tokenizer.K_CHUNK
-    pallas_tokenizer.K_CHUNK = 512
-    try:
-        kern = TokenizerKernel(sr, nm, nf, hop, tok.frontend.frames_max,
-                               cents, interpret=True)
-    finally:
-        pallas_tokenizer.K_CHUNK = orig_chunk
+    kern = TokenizerKernel(sr, nm, nf, hop, tok.frontend.frames_max,
+                           cents, k_chunk_cap=512, interpret=True)
     assert kern.n_kc == 3  # 1025 -> k_pad 1536 over 512-wide chunks
     tok.frontend.alloc_len = max(
         tok.frontend.padded_len,
@@ -158,3 +148,53 @@ def test_dot_tier_bf16x3_near_f32(rng):
     approx = np.asarray(_dot_tier(a, b, dims, "bf16x3"))
     scale = np.abs(exact).max()
     assert np.abs(approx - exact).max() / scale < 2e-5
+
+
+@pytest.mark.parametrize("vq_tier", ["bf16x3", "default"])
+def test_vq_tier_validated_and_interpret_agreement(rng, vq_tier):
+    """tokenizer_vq_precision knob: junk rejected; in interpret mode the
+    bf16 VQ distance tiers reproduce the exact kernel's tokens on
+    well-separated centroids, both single-chunk and across the multi-chunk
+    running-argmin carry with pre-split centroid operands (hardware
+    rates/agreement: BASELINE.md)."""
+    import jax.numpy as jnp
+
+    from audio_tokens_tpu.config import AudioTokensConfig
+    from audio_tokens_tpu.ops.pallas_tokenizer import TokenizerKernel
+    from audio_tokens_tpu.tokenizer import FusedTokenizer
+
+    cent = np.zeros((8, 32), np.float32)
+    with pytest.raises(ValueError, match="VQ precision"):
+        TokenizerKernel(22050, 32, 256, 128, 100, cent, vq_tier="fp8")
+
+    sr, nm, nf, hop, vocab = 22050, 32, 256, 128, 300
+    cents = rng.standard_normal((vocab, nm)).astype(np.float32)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cfg = AudioTokensConfig(common_sr=sr, n_mels=nm, n_fft=nf, hop_length=hop,
+                            clip_seconds=1.0, vocab_size=vocab,
+                            tokenizer_vq_precision=vq_tier)
+    tok = FusedTokenizer(cfg, cents, use_pallas=False)
+    exact = TokenizerKernel(sr, nm, nf, hop, tok.frontend.frames_max, cents,
+                            interpret=True)
+    fast = TokenizerKernel(sr, nm, nf, hop, tok.frontend.frames_max, cents,
+                           vq_tier=vq_tier, interpret=True)
+    # 300 centroids with a 128-wide chunk: 3 chunks, trailing pad rows
+    chunked = TokenizerKernel(sr, nm, nf, hop, tok.frontend.frames_max,
+                              cents, vq_tier=vq_tier, k_chunk_cap=128,
+                              interpret=True)
+    assert chunked.n_kc == 3
+    tok.frontend.alloc_len = max(
+        tok.frontend.padded_len,
+        alloc_blocks(tok.frontend.frames_max, hop, nf) * hop,
+    )
+    clips = [rng.standard_normal(int(sr * 0.9)).astype(np.float32)]
+    batch, _ = tok.frontend.prepare_batch(clips)
+    x = jnp.asarray(batch)
+    t_exact = np.asarray(exact(x))
+    t_fast = np.asarray(fast(x))
+    t_chunked = np.asarray(chunked(x))
+    # 3-pass pseudo-f32 is ~exact; 1-pass bf16 flips ~1% of near-ties
+    floor = 0.999 if vq_tier == "bf16x3" else 0.98
+    assert (t_fast == t_exact).mean() > floor
+    # same tier, chunked vs single-chunk: identical decisions
+    np.testing.assert_array_equal(t_chunked, t_fast)
