@@ -24,7 +24,12 @@ bandwidth/occupancy measures (round 3):
   * The vocabulary axis is grid-chunked (third grid dimension) with a
     running min/argmin carried in VMEM scratch, so the 16k north-star vocab
     runs in this single kernel (round 2 fell back to the staged VQ path);
-    Pallas auto-pipelines the centroid-chunk fetches.
+    Pallas auto-pipelines the centroid-chunk fetches.  An in-kernel vocab
+    loop (manual double-buffered chunk DMA, carry in registers) was built
+    and measured 8-15% SLOWER in round 4 — Mosaic's cross-grid-step
+    pipelining overlaps chunk k+1's GEMM with chunk k's argmin better than
+    the unrolled loop's serial chain (A/B record in BASELINE.md); don't
+    retry.  The profitable lever was per-tier chunk WIDTH (_pick_chunk).
 
 GEMM precision tiers (``tier``, config ``tokenizer_precision``):
 
