@@ -70,16 +70,8 @@ class ServingProgram:
                  checkpoint_name: str = "no-wandb-best",
                  use_pallas: Optional[bool] = None):
         self.config = config
-        centroids = np.load(config.centroids_path).astype(np.float32)
-        from audio_tokens_tpu.processors.cluster_creator import make_conv_features
-
-        conv = make_conv_features(config)
-        if conv is not None:
-            state = Path(config.centroids_path).with_suffix(".conv.npz")
-            if state.exists():
-                conv.load_state_dict(dict(np.load(state)))
-        self.tokenizer = FusedTokenizer(config, centroids, conv,
-                                        use_pallas=use_pallas)
+        self.tokenizer = FusedTokenizer.from_artifacts(config,
+                                                       use_pallas=use_pallas)
         self.model = get_model(config)
         self.input_kind = model_input_kind(config)
         T = config.max_seq_len
@@ -100,13 +92,16 @@ class ServingProgram:
     def serve(self, padded_batch: jax.Array, lengths: jax.Array
               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         cfg = self.config
-        if padded_batch.dtype == jnp.int16:
-            padded_batch = padded_batch.astype(jnp.float32) * (1.0 / 32768.0)
-        lengths = lengths.astype(jnp.int32)
+        from audio_tokens_tpu.tokenizer import decode_wire
+
+        padded_batch = decode_wire(padded_batch)
+        # clamp before ANY consumer: normalized()'s valid-frame mask would
+        # otherwise include padding frames for clips longer than the window
+        lengths = jnp.minimum(lengths.astype(jnp.int32), cfg.clip_samples)
         norm_lengths = lengths if cfg.normalize else None
         tokens = self.tokenizer._tokens_dispatch(padded_batch, norm_lengths)
         # valid frame count (ops/mel.num_frames, traced)
-        n_valid = 1 + jnp.minimum(lengths, cfg.clip_samples) // cfg.hop_length
+        n_valid = 1 + lengths // cfg.hop_length
         T = cfg.max_seq_len
         seq_lens = jnp.minimum(n_valid, T)
 
@@ -178,7 +173,11 @@ def export_serving(config: AudioTokensConfig, out_dir,
         jax.ShapeDtypeStruct((batch_size,), jnp.int32),
     )
     kwargs = {}
-    if not portable:
+    if portable:
+        # multi-platform lowering: the artifact must run on serving hosts
+        # that are not the exporting platform
+        kwargs["platforms"] = ["cpu", "tpu"]
+    else:
         kwargs["disabled_checks"] = [
             jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")
         ]

@@ -66,6 +66,7 @@ extra frames are trimmed).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -80,17 +81,18 @@ EPS = 1e-10
 
 TIERS = ("highest", "bf16x3", "default")
 
-# vocabulary chunk width when K exceeds one chunk: bounds the (tile_t, K)
-# score tile and the resident centroid block to VMEM scale
-K_CHUNK = 1024
-
 # Mosaic scoped-VMEM ceiling requested for the kernel.  The compiler default
-# is 16 MB but v5e VMEM is far larger; raising it lets multi-chunk
-# vocabularies use wide chunks — fewer grid steps, whose ~5 us fixed cost
-# (not MXU passes) bounds the 16k-vocab rate.  Measured at 16k/64 mel
-# (BASELINE.md): exact 2.7k -> 2.9k clips/s, bf16x3 3.3k -> 5.1k,
-# default -> 9.7k.
-VMEM_LIMIT = 64 * 1024 * 1024
+# is 16 MB but v5e's physical VMEM comfortably covers 64 MB; raising it lets
+# multi-chunk vocabularies use wide chunks — fewer grid steps, whose ~5 us
+# fixed cost (not MXU passes) bounds the 16k-vocab rate.  Measured at
+# 16k/64 mel (BASELINE.md): exact 2.7k -> 2.9k clips/s, bf16x3 3.3k -> 5.1k,
+# default -> 9.7k.  On a TPU generation with less per-core VMEM, set
+# AUDIO_TOKENS_TOKENIZER_VMEM_MB (e.g. 16): the chunk planner and the
+# megakernel/staged-path gate (kernel_fits) both budget against this value,
+# so chunks shrink — and the kernel falls back to the staged VQ path rather
+# than failing to compile — consistently.
+VMEM_LIMIT = int(os.environ.get(
+    "AUDIO_TOKENS_TOKENIZER_VMEM_MB", "64")) * 1024 * 1024
 
 
 def _pick_chunk(vq_tier: str, tile_t: int, m_pad: int) -> int:
@@ -100,8 +102,10 @@ def _pick_chunk(vq_tier: str, tile_t: int, m_pad: int) -> int:
     (BASELINE.md round-4 sweep): the exact tier regresses past 2048 (f32
     operand traffic), the bf16 tiers keep gaining until their (tile_t,
     k_chunk) f32 score buffers press the VMEM_LIMIT.  The estimate below
-    then halves the chunk until the score buffers + double-buffered
-    centroid operands + fixed working set fit for other shapes."""
+    halves the chunk until the score buffers + double-buffered centroid
+    operands + fixed working set fit for other shapes; returns 0 when not
+    even a 128-wide chunk fits (kernel_fits then routes to the staged
+    path)."""
     prefer = {"highest": 2048, "bf16x3": 4096, "default": 8192}[vq_tier]
     n_ops = {"highest": 1, "bf16x3": 2, "default": 1}[vq_tier]
     itemsize = 4 if vq_tier == "highest" else 2
@@ -111,13 +115,13 @@ def _pick_chunk(vq_tier: str, tile_t: int, m_pad: int) -> int:
     live = {"highest": 2.0, "bf16x3": 2.25, "default": 1.25}[vq_tier]
     fixed = 8 * 1024 * 1024  # window dbuf + features + DFT/mel transients
     cap = prefer
-    while cap > 128:
+    while cap >= 128:
         need = (fixed + live * 4 * tile_t * cap
                 + 2 * n_ops * itemsize * cap * m_pad)
         if need <= 0.8 * VMEM_LIMIT:
-            break
+            return cap
         cap //= 2
-    return cap
+    return 0
 
 
 def _dot_tier(a, b, dims, tier: str):
@@ -171,23 +175,17 @@ def alloc_blocks(n_frames: int, hop: int, n_fft: int) -> int:
 
 
 def kernel_fits(k: int, d: int, hop: int = 128, n_fft: int = 512,
-                budget_bytes: int = 12 * 1024 * 1024) -> bool:
-    """Whether the megakernel working set fits per-core VMEM.  The vocabulary
-    is grid-chunked (K_CHUNK centroid rows resident, double-buffered by
-    Pallas), so the bound depends on the chunk and the feature width, not on
-    K — the 16k north-star vocab fits; only extreme feature widths fall back
-    to the staged fused-VQ path."""
+                vq_tier: str = "highest") -> bool:
+    """Whether the megakernel working set fits the VMEM budget.  The
+    vocabulary is grid-chunked (the chunk planner shrinks the chunk until
+    its working set fits VMEM_LIMIT), so the bound depends on the feature
+    width, not on K — the 16k north-star vocab fits; only extreme feature
+    widths (or a small AUDIO_TOKENS_TOKENIZER_VMEM_MB) fall back to the
+    staged fused-VQ path.  Uses the same estimate as _pick_chunk so the
+    gate and the planner cannot disagree."""
     m_pad = _round_up(d, 128)
-    k_res = min(_round_up(k, 128), K_CHUNK)
     tile_t = 1024  # upper bound from plan_tiles
-    r = -(-n_fft // hop)  # window rows per frame (call sites ensure hop | n_fft)
-    need = 4 * (
-        2 * k_res * m_pad        # centroid chunk, double-buffered
-        + 2 * tile_t * k_res     # fc + scores transients
-        + 3 * tile_t * m_pad     # f scratch + mel/power transients
-        + 2 * (tile_t + r) * _round_up(hop, 128)  # window double-buffer
-    )
-    return need <= budget_bytes
+    return _pick_chunk(vq_tier, tile_t, m_pad) > 0
 
 
 def _kernel(blocks_hbm, w_ref, fb_ref, *args,
@@ -295,8 +293,8 @@ def _kernel(blocks_hbm, w_ref, fb_ref, *args,
     if vq_tier == "bf16x3":
         # operands pre-split (centroids on host, features at kc==0); lo*lo
         # term dropped as in _dot_tier.  Accumulating into scratch keeps a
-        # single dot result live at a time, which is what lets the chunk
-        # stay at K_CHUNK (3 live f32 partials overflowed scoped VMEM)
+        # single dot result live at a time (3 live f32 partials overflowed
+        # scoped VMEM at wide chunks)
         fc_ref[:] = _d(f_hi_ref[:], ct_hi_ref[:])
         fc_ref[:] += _d(f_hi_ref[:], ct_lo_ref[:])
         fc_ref[:] += _d(f_lo_ref[:], ct_hi_ref[:])
@@ -396,6 +394,11 @@ class TokenizerKernel:
         k_pad = _round_up(k, 128)
         if k_chunk_cap is None:
             k_chunk_cap = _pick_chunk(vq_tier, self.tile_t, m_pad)
+        if k_chunk_cap <= 0:
+            raise ValueError(
+                "megakernel working set exceeds the VMEM budget even at a "
+                "128-wide vocabulary chunk (gate with kernel_fits, or raise "
+                "AUDIO_TOKENS_TOKENIZER_VMEM_MB)")
         self.k_chunk = min(k_pad, k_chunk_cap)
         # vocab axis is grid-chunked: pad K to a whole number of chunks
         k_pad = _round_up(k_pad, self.k_chunk)

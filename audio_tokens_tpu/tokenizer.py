@@ -31,6 +31,16 @@ from audio_tokens_tpu.ops.pallas_vq import (
 from audio_tokens_tpu.ops.vq import l2_normalize
 
 
+def decode_wire(padded_batch: jax.Array) -> jax.Array:
+    """Waveform wire format -> f32: int16 PCM rows (config.pcm_wire='i16')
+    become s/32768; float rows pass through.  The ONE definition of the PCM
+    wire decoding rule — tokens_from_padded and export.ServingProgram.serve
+    both route through it so the formats cannot drift."""
+    if padded_batch.dtype == jnp.int16:
+        return padded_batch.astype(jnp.float32) * (1.0 / 32768.0)
+    return padded_batch
+
+
 class FusedTokenizer:
     def __init__(
         self,
@@ -84,6 +94,7 @@ class FusedTokenizer:
         if kernel_fits is not None and kernel_fits(
             self.centroids.shape[0], self.centroids.shape[1],
             hop=config.hop_length, n_fft=config.n_fft,
+            vq_tier=getattr(config, "tokenizer_vq_precision", "highest"),
         ):
 
             self.kernel = TokenizerKernel(
@@ -116,9 +127,7 @@ class FusedTokenizer:
         """
         if self.config.normalize and lengths is None:
             raise ValueError("config.normalize=True requires lengths")
-        if padded_batch.dtype == jnp.int16:
-            padded_batch = padded_batch.astype(jnp.float32) * (1.0 / 32768.0)
-        return self._tokens_dispatch(padded_batch, lengths)
+        return self._tokens_dispatch(decode_wire(padded_batch), lengths)
 
     def _tokens_dispatch(self, padded_batch, lengths=None):
         """Megakernel when engaged and the buffer is kernel-sized, else XLA."""
@@ -206,7 +215,8 @@ class FusedTokenizer:
         return out
 
     @classmethod
-    def from_artifacts(cls, config: AudioTokensConfig) -> "FusedTokenizer":
+    def from_artifacts(cls, config: AudioTokensConfig,
+                       use_pallas: Optional[bool] = None) -> "FusedTokenizer":
         """Load centroids (+ conv weights) from the pipeline's artifacts."""
         from pathlib import Path
 
@@ -218,4 +228,4 @@ class FusedTokenizer:
             state = Path(config.centroids_path).with_suffix(".conv.npz")
             if state.exists():
                 conv.load_state_dict(dict(np.load(state)))
-        return cls(config, centroids, conv)
+        return cls(config, centroids, conv, use_pallas=use_pallas)

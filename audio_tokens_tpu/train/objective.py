@@ -26,6 +26,11 @@ def make_loss_fn(model, use_lengths: bool):
         labels = labels.astype(jnp.float32)  # shipped uint8
         if jnp.issubdtype(inputs.dtype, jnp.integer):
             inputs = inputs.astype(jnp.int32)  # shipped uint16
+        elif inputs.dtype != jnp.float32:
+            # bf16 HBM-resident spec corpus rows (device_corpus_dtype): the
+            # model always sees f32 — the only numerics change is the
+            # storage rounding, independent of flax dtype promotion rules
+            inputs = inputs.astype(jnp.float32)
         logits = model.apply(
             {"params": params},
             inputs,
@@ -50,6 +55,11 @@ def make_local_loss(model, use_lengths: bool):
         labels = labels.astype(jnp.float32)  # shipped uint8
         if jnp.issubdtype(inputs.dtype, jnp.integer):
             inputs = inputs.astype(jnp.int32)  # shipped uint16
+        elif inputs.dtype != jnp.float32:
+            # bf16 HBM-resident spec corpus rows (device_corpus_dtype): the
+            # model always sees f32 — the only numerics change is the
+            # storage rounding, independent of flax dtype promotion rules
+            inputs = inputs.astype(jnp.float32)
         if key is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index("data"))
         logits = model.apply(
