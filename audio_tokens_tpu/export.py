@@ -89,6 +89,31 @@ class ServingProgram:
                                   template)
         self.fn = jax.jit(self.serve)
 
+    @classmethod
+    def from_components(cls, config: AudioTokensConfig, tokenizer,
+                        params=None) -> "ServingProgram":
+        """Build from live pieces (no artifacts on disk): benches and tests
+        that synthesize centroids/params use this instead of __init__."""
+        self = cls.__new__(cls)
+        self.config = config
+        self.tokenizer = tokenizer
+        self.model = get_model(config)
+        self.input_kind = model_input_kind(config)
+        T = config.max_seq_len
+        if self.input_kind == "tokens":
+            dummy = jnp.zeros((1, T), jnp.int32)
+        elif self.input_kind == "spec":
+            dummy = jnp.zeros((1, T, config.n_mels), jnp.float32)
+        else:
+            dummy = jnp.zeros((1, T * config.n_mels), jnp.float32)
+        template = self.model.init(
+            {"params": key_for(config.random_seed, "model_init")},
+            dummy, lengths=None, deterministic=True,
+        )["params"]
+        self.params = template if params is None else params
+        self.fn = jax.jit(self.serve)
+        return self
+
     def serve(self, padded_batch: jax.Array, lengths: jax.Array
               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         cfg = self.config

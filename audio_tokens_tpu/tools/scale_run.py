@@ -44,7 +44,10 @@ def main() -> None:
     parser.add_argument("--kmeans_wire", default="f32",
                         help="'bf16' halves the clustering stage's host-link "
                              "bytes (the binding stage on link-bound hosts)")
-    args = parser.parse_args()
+    # any other --field value pair overlays the config (e.g.
+    # --vocab_size 16384 --tokenizer_vq_precision bf16x3 for a rehearsal at
+    # the north-star vocabulary)
+    args, rest = parser.parse_known_args()
 
     import tempfile
 
@@ -84,6 +87,19 @@ def main() -> None:
         pcm_wire="i16",           # halves the waveform wire (BASELINE.md)
         max_train_steps=0,
     )
+    if rest:
+        import dataclasses
+
+        from audio_tokens_tpu.config import _coerce
+
+        fields = {f.name: f for f in dataclasses.fields(AudioTokensConfig)}
+        if len(rest) % 2:
+            raise SystemExit(f"dangling config override: {rest[-1]}")
+        for name, val in zip(rest[::2], rest[1::2]):
+            name = name.lstrip("-")
+            if name not in fields:
+                raise SystemExit(f"unknown config field --{name}")
+            setattr(cfg, name, _coerce(val, fields[name]))
 
     t0 = time.perf_counter()
     DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))

@@ -52,6 +52,10 @@ def main() -> None:
                         help="host->device waveform format: i16 PCM halves "
                         "the transfer (exact for mono 16-bit sources at the "
                         "target rate)")
+    parser.add_argument("--classify", default=None,
+                        help="model_type: serve the FULL wav->probs fused "
+                        "program (export.ServingProgram; random-init params) "
+                        "instead of wav->tokens")
     args = parser.parse_args()
 
     import jax
@@ -64,6 +68,7 @@ def main() -> None:
     cfg = AudioTokensConfig(
         clip_seconds=args.seconds, vocab_size=args.vocab,
         tokenizer_precision=args.tier,
+        **({"model_type": args.classify} if args.classify else {}),
     )
     rng = np.random.default_rng(7)
     cent = rng.standard_normal((args.vocab, cfg.n_mels)).astype(np.float32)
@@ -103,18 +108,28 @@ def main() -> None:
 
     batches = [paths[i : i + args.batch]
                for i in range(0, len(paths), args.batch)]
+    if args.classify:
+        from audio_tokens_tpu.export import ServingProgram
+
+        prog = ServingProgram.from_components(cfg, tok)
+        full_len = np.full(args.batch, cfg.clip_samples, np.int32)
+
+        def device_stage(host_batch):
+            return prog.fn(jnp.asarray(host_batch), jnp.asarray(full_len))[2]
+    else:
+        def device_stage(host_batch):
+            return tok.tokens_from_padded(jnp.asarray(host_batch))
     # warm both stages (compile + page cache)
     first = decode_batch(batches[0])
     probe = jax.jit(lambda o: o[0, 0])
-    int(probe(tok.tokens_from_padded(jnp.asarray(first))))
+    float(probe(device_stage(first)))
 
     # stage rates first, so the sustained number is attributable
     t0 = time.perf_counter()
     decode_batch(batches[0])
     decode_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    xfer = jnp.asarray(first)
-    int(probe(tok.tokens_from_padded(xfer)))
+    float(probe(device_stage(first)))
     dev_s = time.perf_counter() - t0
     mb = first.nbytes / 2**20
     print(f"stages per {args.batch}-clip batch: decode {decode_s*1e3:.0f} ms, "
@@ -129,11 +144,13 @@ def main() -> None:
         host_batch = nxt.result()
         if i + 1 < len(batches):
             nxt = pool.submit(decode_batch, batches[i + 1])
-        out = tok.tokens_from_padded(jnp.asarray(host_batch))
-    int(probe(out))  # value fetch = true device sync
+        out = device_stage(host_batch)
+    float(probe(out))  # value fetch = true device sync
     dt = time.perf_counter() - t0
     cps = len(paths) / dt
-    print(f"serving (disk->decode->tokens, double-buffered, tier={args.tier}, "
+    what = (f"disk->decode->probs[{args.classify}]" if args.classify
+            else "disk->decode->tokens")
+    print(f"serving ({what}, double-buffered, tier={args.tier}, "
           f"wire={args.wire}, {'native' if use_native else 'python'} decode): "
           f"{cps:.0f} clips/s over {len(paths)} clips "
           f"({dt:.2f}s, {len(paths) * args.seconds / dt:.0f}x realtime)")
