@@ -53,6 +53,29 @@ def _resolve_lstm_backend(config: AudioTokensConfig) -> str:
         return "xla"
 
 
+def _resolve_transformer_attention(config: AudioTokensConfig) -> str:
+    """'auto' -> the Pallas flash kernel on a SINGLE TPU chip with no
+    TP/SP (GSPMD cannot partition pallas_call), XLA attention elsewhere.
+    Flash pays off for the full-clip window (BASELINE.md: fwd 1.58x at
+    B=8/T=1792); at the 512 reference window XLA is fine either way."""
+    impl = getattr(config, "transformer_attention", "auto")
+    if impl != "auto":
+        return impl
+    if config.model_parallel > 1 or config.sequence_parallel > 1:
+        return "xla"
+    try:
+        import jax
+
+        return (
+            "flash"
+            if jax.devices()[0].platform == "tpu" and jax.device_count() == 1
+            and config.transformer_max_position > 512
+            else "xla"
+        )
+    except Exception:
+        return "xla"
+
+
 def get_model(config: AudioTokensConfig) -> nn.Module:
     compute_dtype = jnp.dtype(config.compute_dtype)
     if config.model_type == "lstm":
@@ -80,6 +103,7 @@ def get_model(config: AudioTokensConfig) -> nn.Module:
             max_position=config.transformer_max_position,
             dropout=config.dropout,
             compute_dtype=compute_dtype,
+            attention_impl=_resolve_transformer_attention(config),
         )
     elif config.model_type == "cnn":
         return CNNClassifier(num_classes=config.num_classes)

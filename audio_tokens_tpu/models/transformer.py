@@ -57,24 +57,111 @@ TP_RULES = (
 )
 
 
+# flash kernel block width (sequence padded up to a multiple of this)
+_FLASH_BLOCK = 256
+
+
+class FlashSelfAttention(nn.Module):
+    """Self-attention with flax MHDPA's exact parameter tree (DenseGeneral
+    query/key/value/out — checkpoints and torch transplants interchange) but
+    the score/softmax/value contraction runs as the Pallas flash kernel: the
+    (B, h, T, T) score matrix never touches HBM.  Worth it only for the
+    full-clip window — measured at B=8/T=1792/h=12 on v5e (BASELINE.md):
+    fwd 1.58x, fwd+bwd 1.26x over the materializing XLA attention at bf16.
+
+    Padding/masking ride the kernel's segment ids: the sequence pads up to
+    a _FLASH_BLOCK multiple, pad positions (and positions beyond each row's
+    ``lengths``) get segment 1 vs the valid tokens' 0, so valid queries
+    never attend them; pad rows are sliced off after.
+
+    The kernel has no attention-probability dropout and its backward with
+    segment ids measured slower than XLA, so the model routes here only on
+    ``deterministic`` (eval / serving) passes; ``attn_fn`` is injectable so
+    CPU tests can validate the projection/masking math against flax MHDPA
+    exactly."""
+
+    num_heads: int
+    hidden_size: int
+    compute_dtype: jnp.dtype = jnp.float32
+    attn_fn: Optional[object] = None   # (q,k,v,segment_ids,sm_scale) -> out
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        from functools import partial
+
+        import numpy as np
+
+        dh = self.hidden_size // self.num_heads
+        dense = partial(nn.DenseGeneral, dtype=self.compute_dtype,
+                        param_dtype=jnp.float32)
+        q = dense(features=(self.num_heads, dh), name="query")(x)
+        k = dense(features=(self.num_heads, dh), name="key")(x)
+        v = dense(features=(self.num_heads, dh), name="value")(x)
+        b, t = x.shape[:2]
+        t_pad = -(-t // _FLASH_BLOCK) * _FLASH_BLOCK
+        pad = t_pad - t
+
+        def heads_first(a):
+            a = jnp.transpose(a, (0, 2, 1, 3))  # (B, nh, T, dh)
+            return jnp.pad(a, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+        q, k, v = heads_first(q), heads_first(k), heads_first(v)
+        pos = jnp.arange(t_pad)[None, :]
+        valid = pos < (jnp.minimum(lengths, t)[:, None] if lengths is not None
+                       else t)
+        seg = jnp.broadcast_to(jnp.where(valid, 0, 1).astype(jnp.int32),
+                               (b, t_pad))
+        sm_scale = 1.0 / float(np.sqrt(dh))
+        if self.attn_fn is not None:
+            out = self.attn_fn(q, k, v, seg, sm_scale)
+        else:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes, SegmentIds, flash_attention)
+
+            # 256-wide blocks measured fastest at the full-clip shape
+            # (library defaults measured 1.4-2.6x slower, BASELINE.md)
+            bs = min(_FLASH_BLOCK, t_pad)
+            blocks = BlockSizes(
+                block_q=bs, block_k_major=bs, block_k=bs, block_b=1,
+                block_q_major_dkv=bs, block_k_major_dkv=bs,
+                block_k_dkv=bs, block_q_dkv=bs,
+                block_k_major_dq=bs, block_k_dq=bs, block_q_dq=bs,
+            )
+            out = flash_attention(q, k, v,
+                                  segment_ids=SegmentIds(q=seg, kv=seg),
+                                  causal=False, sm_scale=sm_scale,
+                                  block_sizes=blocks)
+        out = jnp.transpose(out[:, :, :t, :], (0, 2, 1, 3))  # (B, T, nh, dh)
+        return dense(features=self.hidden_size, axis=(-2, -1),
+                     name="out")(out)
+
+
 class EncoderBlock(nn.Module):
     hidden_size: int
     num_heads: int
     dropout: float
     compute_dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "xla"        # 'xla' | 'flash'
+    lengths: Optional[jnp.ndarray] = None  # only consulted by 'flash'
 
     @nn.compact
     def __call__(self, x, attn_mask, deterministic: bool = True):
         # --- self attention (post-LN, BERT style) ---
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            qkv_features=self.hidden_size,
-            dtype=self.compute_dtype,
-            param_dtype=jnp.float32,
-            dropout_rate=self.dropout,
-            deterministic=deterministic,
-            name="attention",
-        )(x, x, mask=attn_mask)
+        if self.attention_impl == "flash":
+            attn = FlashSelfAttention(
+                num_heads=self.num_heads, hidden_size=self.hidden_size,
+                compute_dtype=self.compute_dtype, name="attention",
+            )(x, self.lengths)
+        else:
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads,
+                qkv_features=self.hidden_size,
+                dtype=self.compute_dtype,
+                param_dtype=jnp.float32,
+                dropout_rate=self.dropout,
+                deterministic=deterministic,
+                name="attention",
+            )(x, x, mask=attn_mask)
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="attn_ln")(x + attn)
         # --- MLP ---
         h = nn.Dense(4 * self.hidden_size, dtype=self.compute_dtype,
@@ -98,6 +185,11 @@ class TransformerClassifier(nn.Module):
     max_position: int = 512
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
+    # 'xla' (materializing flax MHDPA) or 'flash' (Pallas kernel, TPU only,
+    # no TP/SP; registry resolves config.transformer_attention='auto').
+    # Flash engages on deterministic passes only (eval/serving forward);
+    # training steps always run XLA attention — see EncoderBlock routing.
+    attention_impl: str = "xla"
     # sequence parallelism: a mesh with a 'sequence' axis; activations are
     # constrained to (data, sequence, None) at block boundaries (no-op None)
     sp_mesh: Optional[Mesh] = None
@@ -137,11 +229,20 @@ class TransformerClassifier(nn.Module):
             keep = jnp.arange(t)[None, :] < jnp.minimum(lengths, t)[:, None]
             attn_mask = keep[:, None, None, :]  # (B, 1, 1, T) broadcast over queries
 
+        impl = self.attention_impl
+        if impl == "flash" and not deterministic:
+            # training steps keep XLA attention: the flash kernel has no
+            # attention-prob dropout, and its BACKWARD with segment ids
+            # measured ~1.3x slower than XLA at the full-clip shape
+            # (BASELINE.md) — the kernel's win is the forward, i.e. eval
+            # epochs and serving
+            impl = "xla"
         num_heads = max(1, self.hidden_size // 64)
         for i in range(self.num_layers):
             x = self._sp(EncoderBlock(
                 self.hidden_size, num_heads, self.dropout,
-                compute_dtype=self.compute_dtype, name=f"layer_{i}",
+                compute_dtype=self.compute_dtype, attention_impl=impl,
+                lengths=lengths, name=f"layer_{i}",
             )(x, attn_mask, deterministic))
 
         cls = x[:, 0, :]  # position-0 representation, like the reference
