@@ -47,6 +47,16 @@ MANIFEST_NAME = "serving.json"
 PROGRAM_NAME = "serving.jaxexport"
 
 
+def _portable_config(config: AudioTokensConfig) -> AudioTokensConfig:
+    """Config for custom-call-free (multi-platform-exportable) builds: the
+    transformer's 'auto' attention resolution would otherwise pick the
+    Pallas flash kernel on a TPU host, and a pallas_call cannot lower for
+    platforms the exporting chip doesn't match."""
+    import dataclasses
+
+    return dataclasses.replace(config, transformer_attention="xla")
+
+
 class ServingProgram:
     """End-to-end jitted (padded waveforms, sample lengths) -> predictions.
 
@@ -69,24 +79,13 @@ class ServingProgram:
     def __init__(self, config: AudioTokensConfig,
                  checkpoint_name: str = "no-wandb-best",
                  use_pallas: Optional[bool] = None):
-        self.config = config
-        self.tokenizer = FusedTokenizer.from_artifacts(config,
-                                                       use_pallas=use_pallas)
-        self.model = get_model(config)
-        self.input_kind = model_input_kind(config)
-        T = config.max_seq_len
-        if self.input_kind == "tokens":
-            dummy = jnp.zeros((1, T), jnp.int32)
-        elif self.input_kind == "spec":
-            dummy = jnp.zeros((1, T, config.n_mels), jnp.float32)
-        else:
-            dummy = jnp.zeros((1, T * config.n_mels), jnp.float32)
-        template = self.model.init(
-            {"params": key_for(config.random_seed, "model_init")},
-            dummy, lengths=None, deterministic=True,
-        )["params"]
+        if use_pallas is False:
+            config = _portable_config(config)
+        tokenizer = FusedTokenizer.from_artifacts(config,
+                                                  use_pallas=use_pallas)
+        self._wire(config, tokenizer)
         self.params = load_params(config.checkpoint_dir, checkpoint_name,
-                                  template)
+                                  self._init_template())
         self.fn = jax.jit(self.serve)
 
     @classmethod
@@ -95,24 +94,31 @@ class ServingProgram:
         """Build from live pieces (no artifacts on disk): benches and tests
         that synthesize centroids/params use this instead of __init__."""
         self = cls.__new__(cls)
+        self._wire(config, tokenizer)
+        self.params = params if params is not None else self._init_template()
+        self.fn = jax.jit(self.serve)
+        return self
+
+    def _wire(self, config, tokenizer):
         self.config = config
         self.tokenizer = tokenizer
         self.model = get_model(config)
         self.input_kind = model_input_kind(config)
-        T = config.max_seq_len
+
+    def _init_template(self):
+        """Parameter-tree template (shapes for checkpoint restore / random
+        init) via one model.init at the serving input shape."""
+        T = self.config.max_seq_len
         if self.input_kind == "tokens":
             dummy = jnp.zeros((1, T), jnp.int32)
         elif self.input_kind == "spec":
-            dummy = jnp.zeros((1, T, config.n_mels), jnp.float32)
+            dummy = jnp.zeros((1, T, self.config.n_mels), jnp.float32)
         else:
-            dummy = jnp.zeros((1, T * config.n_mels), jnp.float32)
-        template = self.model.init(
-            {"params": key_for(config.random_seed, "model_init")},
+            dummy = jnp.zeros((1, T * self.config.n_mels), jnp.float32)
+        return self.model.init(
+            {"params": key_for(self.config.random_seed, "model_init")},
             dummy, lengths=None, deterministic=True,
         )["params"]
-        self.params = template if params is None else params
-        self.fn = jax.jit(self.serve)
-        return self
 
     def serve(self, padded_batch: jax.Array, lengths: jax.Array
               ) -> Tuple[jax.Array, jax.Array, jax.Array]:

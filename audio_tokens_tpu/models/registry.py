@@ -59,8 +59,12 @@ def _resolve_transformer_attention(config: AudioTokensConfig) -> str:
     Flash pays off for the full-clip window (BASELINE.md: fwd 1.58x at
     B=8/T=1792); at the 512 reference window XLA is fine either way."""
     impl = getattr(config, "transformer_attention", "auto")
-    if impl != "auto":
+    if impl in ("xla", "flash"):
         return impl
+    if impl != "auto":
+        raise ValueError(
+            f"transformer_attention must be 'auto', 'xla' or 'flash', "
+            f"got '{impl}'")
     if config.model_parallel > 1 or config.sequence_parallel > 1:
         return "xla"
     try:

@@ -67,7 +67,7 @@ def main() -> None:
         ClusterCreator, ModelTrainer, SpecTokenizer, SpectrogramGenerator,
     )
 
-    cfg = AudioTokensConfig(
+    base_fields = dict(
         base_dir=str(base),
         dataset_ratio=1.0,
         validation_ratio=0.1,
@@ -87,19 +87,26 @@ def main() -> None:
         pcm_wire="i16",           # halves the waveform wire (BASELINE.md)
         max_train_steps=0,
     )
-    if rest:
-        import dataclasses
+    # extra --field value (or --field=value) pairs overlay base_fields and
+    # the config is constructed ONCE, so __post_init__ validation and
+    # derived-path resolution see the final values
+    import dataclasses
 
-        from audio_tokens_tpu.config import _coerce
+    from audio_tokens_tpu.config import _coerce
 
-        fields = {f.name: f for f in dataclasses.fields(AudioTokensConfig)}
-        if len(rest) % 2:
-            raise SystemExit(f"dangling config override: {rest[-1]}")
-        for name, val in zip(rest[::2], rest[1::2]):
-            name = name.lstrip("-")
-            if name not in fields:
-                raise SystemExit(f"unknown config field --{name}")
-            setattr(cfg, name, _coerce(val, fields[name]))
+    fields = {f.name: f for f in dataclasses.fields(AudioTokensConfig)}
+    flat = []
+    for tok in rest:
+        flat.extend(tok.split("=", 1) if tok.startswith("--") and "=" in tok
+                    else [tok])
+    if len(flat) % 2:
+        raise SystemExit(f"dangling config override: {flat[-1]}")
+    for name, val in zip(flat[::2], flat[1::2]):
+        name = name.lstrip("-")
+        if name not in fields:
+            raise SystemExit(f"unknown config field --{name}")
+        base_fields[name] = _coerce(val, fields[name])
+    cfg = AudioTokensConfig(**base_fields)
 
     t0 = time.perf_counter()
     DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))

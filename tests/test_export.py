@@ -100,3 +100,17 @@ def test_serving_program_spec_families(tmp_path_factory, model_type,
     # one fused program changes XLA fusion order: last-ulp input noise
     # through the big flat GEMM moves logits by ~1e-5 relative
     np.testing.assert_allclose(probs[0], p_probs, rtol=2e-4, atol=1e-5)
+
+
+def test_portable_config_forces_xla_attention():
+    """Portable exports must stay custom-call-free: a bert config whose
+    'auto' attention would resolve to the Pallas flash kernel on a TPU host
+    is forced to XLA attention before the model is built."""
+    from audio_tokens_tpu.export import _portable_config
+    from audio_tokens_tpu.models.registry import _resolve_transformer_attention
+
+    cfg = fixtures.test_config(None, model_type="bert",
+                               transformer_max_position=1728)
+    assert _resolve_transformer_attention(_portable_config(cfg)) == "xla"
+    # and the original is untouched (dataclasses.replace, not mutation)
+    assert cfg.transformer_attention == "auto"

@@ -9,6 +9,7 @@ these tests pin both behaviors and the registry wiring.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.models import get_model
@@ -154,10 +155,21 @@ def test_flash_impl_resolution():
     from audio_tokens_tpu.models.registry import (
         _resolve_transformer_attention)
 
+    import jax
+
     cfg = AudioTokensConfig(model_type="bert", transformer_max_position=1728)
-    assert _resolve_transformer_attention(cfg) == "xla"  # CPU test env
+    on_single_tpu = (jax.devices()[0].platform == "tpu"
+                     and jax.device_count() == 1)
+    expected = "flash" if on_single_tpu else "xla"
+    assert _resolve_transformer_attention(cfg) == expected
     cfg.transformer_attention = "flash"
     assert _resolve_transformer_attention(cfg) == "flash"
+    cfg.transformer_attention = "Flash"
+    with pytest.raises(ValueError, match="transformer_attention"):
+        _resolve_transformer_attention(cfg)
+    cfg.transformer_attention = "auto"
+    cfg.model_parallel = 2
+    assert _resolve_transformer_attention(cfg) == "xla"
 
     # model-level fallback: flash + training dropout -> xla path used (the
     # run must not crash on CPU, where the kernel cannot lower)
