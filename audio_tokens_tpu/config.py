@@ -223,14 +223,13 @@ class AudioTokensConfig:
     # max_seq_len (1728) to attend over the whole clip; position embeddings
     # size to this value.  Checkpoints are tied to the setting.
     transformer_max_position: int = 512
-    # Transformer attention implementation: 'auto' uses the Pallas flash
-    # kernel on a single TPU chip when the window exceeds 512 (the
-    # (B, h, T, T) score matrix never touches HBM; measured fwd 1.58x /
-    # fwd+bwd 1.26x at T=1792 bf16, BASELINE.md) and XLA attention
-    # elsewhere (CPU, TP/SP meshes — GSPMD cannot partition pallas_call).
-    # 'flash' applies to deterministic (eval/serving) passes; training
-    # steps always use XLA attention (the kernel has no attention-prob
-    # dropout and its backward measured slower).
+    # Transformer attention implementation.  'auto' = XLA attention: the
+    # Pallas flash path ('flash', TPU-only, deterministic passes) avoids
+    # materializing the (B, h, T, T) scores and wins a standalone attention
+    # microbench, but measured SLOWER inside the full model (in-process
+    # A/B: 1.33x at B=8, 1.47x at B=32, full-clip window — BASELINE.md),
+    # so 'auto' never engages it; the knob remains for other
+    # shapes/hardware.
     transformer_attention: str = "auto"
     # Megakernel DFT/mel GEMM tier: 'highest' (f32, bit-exact tokens,
     # ~18.5k clips/s on v5e), 'bf16x3' (~26k, 99.997% agreement),

@@ -54,10 +54,14 @@ def _resolve_lstm_backend(config: AudioTokensConfig) -> str:
 
 
 def _resolve_transformer_attention(config: AudioTokensConfig) -> str:
-    """'auto' -> the Pallas flash kernel on a SINGLE TPU chip with no
-    TP/SP (GSPMD cannot partition pallas_call), XLA attention elsewhere.
-    Flash pays off for the full-clip window (BASELINE.md: fwd 1.58x at
-    B=8/T=1792); at the 512 reference window XLA is fine either way."""
+    """'auto' -> XLA attention.  The Pallas flash path exists as an
+    explicit opt-in ('flash', TPU-only, deterministic passes) but was
+    measured SLOWER inside the full model — interleaved in-process A/B at
+    the full-clip shape: 8.98 vs 11.97 ms/batch fwd at B=8, 33.3 vs 48.9
+    at B=32 (BASELINE.md) — XLA's fused attention beats the library kernel
+    at these shapes even though the kernel wins a standalone attention
+    microbench.  Kept as a knob for other shapes/versions; 'auto' never
+    engages it."""
     impl = getattr(config, "transformer_attention", "auto")
     if impl in ("xla", "flash"):
         return impl
@@ -65,19 +69,7 @@ def _resolve_transformer_attention(config: AudioTokensConfig) -> str:
         raise ValueError(
             f"transformer_attention must be 'auto', 'xla' or 'flash', "
             f"got '{impl}'")
-    if config.model_parallel > 1 or config.sequence_parallel > 1:
-        return "xla"
-    try:
-        import jax
-
-        return (
-            "flash"
-            if jax.devices()[0].platform == "tpu" and jax.device_count() == 1
-            and config.transformer_max_position > 512
-            else "xla"
-        )
-    except Exception:
-        return "xla"
+    return "xla"
 
 
 def get_model(config: AudioTokensConfig) -> nn.Module:

@@ -65,9 +65,12 @@ class FlashSelfAttention(nn.Module):
     """Self-attention with flax MHDPA's exact parameter tree (DenseGeneral
     query/key/value/out — checkpoints and torch transplants interchange) but
     the score/softmax/value contraction runs as the Pallas flash kernel: the
-    (B, h, T, T) score matrix never touches HBM.  Worth it only for the
-    full-clip window — measured at B=8/T=1792/h=12 on v5e (BASELINE.md):
-    fwd 1.58x, fwd+bwd 1.26x over the materializing XLA attention at bf16.
+    (B, h, T, T) score matrix never touches HBM.  MEASURED UNPROFITABLE
+    inside the full model on v5e (interleaved in-process A/B, BASELINE.md:
+    fwd 1.33x SLOWER at B=8/T=1728, 1.47x at B=32 — XLA's fused attention
+    beats the kernel at these shapes despite the kernel winning a
+    standalone microbench), so registry 'auto' never routes here; the
+    module remains an explicit opt-in for other shapes/hardware.
 
     Padding/masking ride the kernel's segment ids: the sequence pads up to
     a _FLASH_BLOCK multiple, pad positions (and positions beyond each row's
@@ -185,10 +188,9 @@ class TransformerClassifier(nn.Module):
     max_position: int = 512
     dropout: float = 0.1
     compute_dtype: jnp.dtype = jnp.float32
-    # 'xla' (materializing flax MHDPA) or 'flash' (Pallas kernel, TPU only,
-    # no TP/SP; registry resolves config.transformer_attention='auto').
-    # Flash engages on deterministic passes only (eval/serving forward);
-    # training steps always run XLA attention — see EncoderBlock routing.
+    # 'xla' (materializing flax MHDPA) or 'flash' (Pallas kernel opt-in,
+    # TPU only, deterministic passes; measured slower in-model on v5e —
+    # registry 'auto' resolves to 'xla', see BASELINE.md).
     attention_impl: str = "xla"
     # sequence parallelism: a mesh with a 'sequence' axis; activations are
     # constrained to (data, sequence, None) at block boundaries (no-op None)

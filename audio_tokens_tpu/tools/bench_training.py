@@ -83,8 +83,12 @@ def bench_case(model_type: str, batch: int, seq: int, iters: int, **overrides):
     @jax.jit
     def step(params, opt_state, toks, labels):
         def loss_fn(p):
+            # deterministic=False mirrors the real train step (all bench
+            # cases run dropout=0, so the math is unchanged) — and keeps
+            # the transformer's 'auto' attention on its training (XLA)
+            # path instead of differentiating the eval-only flash kernel
             logits = model.apply({"params": p}, toks, lengths=None,
-                                 deterministic=True)
+                                 deterministic=False)
             return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -114,6 +118,36 @@ def bench_case(model_type: str, batch: int, seq: int, iters: int, **overrides):
         f"{model_type:8s} B={batch} T={seq}: compile {compile_s:5.1f}s, "
         f"{ms:7.1f} ms/step -> {batch / ms * 1000:8.0f} clips/s{perf}"
     )
+    return ms
+
+
+def bench_forward_case(model_type: str, batch: int, seq: int, iters: int,
+                       **overrides):
+    """Deterministic forward rate (the eval-epoch / serving path — where
+    the transformer's 'auto' attention engages the flash kernel on TPU)."""
+    cfg = AudioTokensConfig(
+        model_type=model_type, vocab_size=500, num_classes=543,
+        max_seq_len=seq, **overrides,
+    )
+    model = get_model(cfg)
+    rng = np.random.default_rng(0)
+    toks = _bench_inputs(cfg, batch, seq, rng)
+    params = model.init(
+        {"params": key_for(0, "bench")}, toks, lengths=None,
+        deterministic=True,
+    )["params"]
+    fwd = jax.jit(lambda p, t: model.apply({"params": p}, t, lengths=None,
+                                           deterministic=True))
+    probe = jax.jit(lambda o: o.reshape(-1)[0])
+    float(probe(fwd(params, toks)))  # compile + sync
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fwd(params, toks)
+    float(probe(out))
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    print(f"{model_type:8s} B={batch} T={seq} forward: {ms:7.2f} ms/batch "
+          f"-> {batch / ms * 1000:8.0f} clips/s")
     return ms
 
 
@@ -280,6 +314,9 @@ def main() -> None:
         help="comma list of case names: "
              + ",".join(c[0] for c in DEFAULT_CASES))
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--forward", action="store_true",
+                        help="also bench the deterministic forward "
+                             "(eval/serving) rate per case")
     parser.add_argument("--real-loop", action="store_true",
                         help="also run the real Trainer epoch loop")
     parser.add_argument("--device-loop", action="store_true",
@@ -295,6 +332,9 @@ def main() -> None:
         # case, not also 'bert_full' — which must be asked for by name)
         if name in wanted:
             bench_case(model_type, batch, seq, args.iters, **overrides)
+            if args.forward:
+                bench_forward_case(model_type, batch, seq, args.iters,
+                                   **overrides)
             if args.real_loop:
                 bench_real_loop(model_type, batch, seq, args.epochs,
                                 args.batches, **overrides)

@@ -150,26 +150,21 @@ def test_flash_attention_module_matches_flax_mhdpa():
 
 
 def test_flash_impl_resolution():
-    """'auto' resolves to XLA off-TPU and under TP/SP; 'flash' with training
-    dropout falls back to XLA inside the model (trajectories unchanged)."""
+    """'auto' always resolves to XLA (flash measured slower in-model);
+    explicit 'flash' passes through, junk is rejected, and a training
+    (non-deterministic) call falls back to XLA inside the model."""
     from audio_tokens_tpu.models.registry import (
         _resolve_transformer_attention)
 
-    import jax
-
     cfg = AudioTokensConfig(model_type="bert", transformer_max_position=1728)
-    on_single_tpu = (jax.devices()[0].platform == "tpu"
-                     and jax.device_count() == 1)
-    expected = "flash" if on_single_tpu else "xla"
-    assert _resolve_transformer_attention(cfg) == expected
+    # 'auto' is ALWAYS XLA: the flash path measured slower in-model on v5e
+    # (BASELINE.md) and is opt-in only
+    assert _resolve_transformer_attention(cfg) == "xla"
     cfg.transformer_attention = "flash"
     assert _resolve_transformer_attention(cfg) == "flash"
     cfg.transformer_attention = "Flash"
     with pytest.raises(ValueError, match="transformer_attention"):
         _resolve_transformer_attention(cfg)
-    cfg.transformer_attention = "auto"
-    cfg.model_parallel = 2
-    assert _resolve_transformer_attention(cfg) == "xla"
 
     # model-level fallback: flash + training dropout -> xla path used (the
     # run must not crash on CPU, where the kernel cannot lower)
