@@ -122,6 +122,10 @@ class ServingProgram:
 
     def serve(self, padded_batch: jax.Array, lengths: jax.Array
               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        return self._serve(self.params, padded_batch, lengths)
+
+    def _serve(self, params, padded_batch: jax.Array, lengths: jax.Array
+               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         cfg = self.config
         from audio_tokens_tpu.tokenizer import decode_wire
 
@@ -161,7 +165,7 @@ class ServingProgram:
             if self.input_kind == "flat":
                 x = x.reshape(b, T * m)
         logits = self.model.apply(
-            {"params": self.params}, x,
+            {"params": params}, x,
             lengths=None if cfg.reference_compat else seq_lens,
             deterministic=True,
         )
@@ -169,6 +173,33 @@ class ServingProgram:
 
     def __call__(self, padded_batch, lengths):
         return self.fn(padded_batch, lengths)
+
+    def serve_sharded(self, padded_batch, lengths, mesh):
+        """Multi-chip serving: batch sharded over the mesh's 'data' axis.
+
+        Like FusedTokenizer.tokens_sharded, the program is embarrassingly
+        batch-parallel but the Pallas tokenizer kernel can't be
+        auto-partitioned by GSPMD, so each device runs the full fused
+        wav->probs program on its local shard under shard_map (zero
+        collectives; params are closed over, i.e. replicated)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.shape["data"]
+        if padded_batch.shape[0] % n_dev:
+            raise ValueError(
+                f"batch {padded_batch.shape[0]} not divisible by "
+                f"data={n_dev}")
+        # params enter as an explicit replicated operand: checkpoint-restored
+        # trees are committed to one device and would otherwise conflict
+        # with the mesh placement
+        params = jax.device_put(self.params, NamedSharding(mesh, P()))
+        fn = jax.shard_map(
+            self._serve, mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=(P("data"), P("data"), P("data")),
+            check_vma=False,  # pallas outputs carry no vma info
+        )
+        return fn(params, padded_batch, lengths)
 
     def predict_waveforms(self, waves) -> Tuple[list, np.ndarray]:
         """Host convenience mirroring Predictor: trimmed tokens + probs."""

@@ -114,3 +114,31 @@ def test_portable_config_forces_xla_attention():
     assert _resolve_transformer_attention(_portable_config(cfg)) == "xla"
     # and the original is untouched (dataclasses.replace, not mutation)
     assert cfg.transformer_attention == "auto"
+
+
+def test_serve_sharded_matches_single_device(simple_ws):
+    """Batch-parallel serving over an 8-device mesh == the single-device
+    program on the same batch."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from audio_tokens_tpu.export import ServingProgram
+
+    cfg = simple_ws
+    prog = ServingProgram(cfg)
+    waves = [fixtures.synth_clip(i) for i in range(8)]
+    batch, lengths = prog.tokenizer.frontend.prepare_batch(waves)
+    batch, lengths = jnp.asarray(batch), jnp.asarray(lengths)
+    ref = prog(batch, lengths)
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+    got = prog.serve_sharded(batch, lengths, mesh)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+    # probs to last-ulp tolerance: the per-device B=1 shards batch the
+    # classifier GEMMs differently than the single B=8 program
+    np.testing.assert_allclose(np.asarray(ref[2]), np.asarray(got[2]),
+                               rtol=1e-6, atol=1e-6)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        prog.serve_sharded(batch[:3], lengths[:3], mesh)
