@@ -271,11 +271,31 @@ def export_serving(config: AudioTokensConfig, out_dir,
         "num_classes": config.num_classes,
         "model_type": config.model_type,
         "checkpoint": checkpoint_name,
+        # class index -> human-readable AudioSet label name, so a standalone
+        # serving host can render predictions without this framework or the
+        # ontology files
+        "class_names": _class_names(config),
     }
     (out_dir / MANIFEST_NAME).write_text(json.dumps(manifest, indent=2))
     logger.info("exported serving program (%d bytes) to %s",
                 len(blob), out_dir)
     return out_dir
+
+
+def _class_names(config: AudioTokensConfig):
+    """index -> label-name list (AudiosetMetadataProcessor ordering); None
+    when the metadata assets are unavailable (synthetic workspaces)."""
+    try:
+        from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+
+        meta = AudiosetMetadataProcessor(config)
+        return [
+            meta.label_name.get(meta.index_label.get(i, ""), "")
+            for i in range(config.num_classes)
+        ]
+    except Exception as e:  # metadata optional for serving artifacts
+        logger.info("class names omitted from manifest (%s)", e)
+        return None
 
 
 def load_serving(out_dir):

@@ -61,6 +61,9 @@ def test_export_roundtrip(simple_ws, tmp_path):
     assert manifest["model_type"] == "simple"
     assert manifest["batch_size"] == 2
     assert manifest["vocab_size"] == cfg.vocab_size
+    # the fixture workspace bundles a tiny ontology: names resolve
+    assert manifest["class_names"] is not None
+    assert len(manifest["class_names"]) == cfg.num_classes
 
     prog = ServingProgram(cfg, use_pallas=False)
     waves = [fixtures.synth_clip(i) for i in range(2)]
