@@ -26,6 +26,19 @@ from audio_tokens_tpu.config import AudioTokensConfig
 from audio_tokens_tpu.utils.seeding import set_seed
 
 
+def load_class_names(config: AudioTokensConfig) -> List[str]:
+    """index -> label-name list from the ontology JSON alone (no segment
+    CSVs, no RNG side effects) — same dense-index filter (_load_ontology)
+    as the full processor.  For consumers that only need names, e.g. the
+    serving-export manifest."""
+    with Path(config.ontology_json_file).open("r") as f:
+        ontology = json.load(f)
+    names = [item["name"] for item in ontology if not item["restrictions"]]
+    names = names[: config.num_classes]
+    names += [""] * (config.num_classes - len(names))
+    return names
+
+
 class AudiosetMetadataProcessor:
     def __init__(self, config: AudioTokensConfig):
         self.config = config

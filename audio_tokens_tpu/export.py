@@ -104,6 +104,7 @@ class ServingProgram:
         self.tokenizer = tokenizer
         self.model = get_model(config)
         self.input_kind = model_input_kind(config)
+        self._sharded = {}  # mesh -> (jitted shard_map, replicated params)
 
     def _init_template(self):
         """Parameter-tree template (shapes for checkpoint restore / random
@@ -181,7 +182,11 @@ class ServingProgram:
         batch-parallel but the Pallas tokenizer kernel can't be
         auto-partitioned by GSPMD, so each device runs the full fused
         wav->probs program on its local shard under shard_map (zero
-        collectives; params are closed over, i.e. replicated)."""
+        collectives).  Params enter as an explicit replicated OPERAND —
+        checkpoint-restored trees are committed to one device and closing
+        over them would conflict with the mesh placement.  The jitted
+        program and the replicated param tree are cached per mesh, so
+        repeat calls pay one dispatch like serve()."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n_dev = mesh.shape["data"]
@@ -189,16 +194,17 @@ class ServingProgram:
             raise ValueError(
                 f"batch {padded_batch.shape[0]} not divisible by "
                 f"data={n_dev}")
-        # params enter as an explicit replicated operand: checkpoint-restored
-        # trees are committed to one device and would otherwise conflict
-        # with the mesh placement
-        params = jax.device_put(self.params, NamedSharding(mesh, P()))
-        fn = jax.shard_map(
-            self._serve, mesh=mesh,
-            in_specs=(P(), P("data"), P("data")),
-            out_specs=(P("data"), P("data"), P("data")),
-            check_vma=False,  # pallas outputs carry no vma info
-        )
+        cached = self._sharded.get(mesh)
+        if cached is None:
+            params = jax.device_put(self.params, NamedSharding(mesh, P()))
+            fn = jax.jit(jax.shard_map(
+                self._serve, mesh=mesh,
+                in_specs=(P(), P("data"), P("data")),
+                out_specs=(P("data"), P("data"), P("data")),
+                check_vma=False,  # pallas outputs carry no vma info
+            ))
+            cached = self._sharded[mesh] = (fn, params)
+        fn, params = cached
         return fn(params, padded_batch, lengths)
 
     def predict_waveforms(self, waves) -> Tuple[list, np.ndarray]:
@@ -283,16 +289,13 @@ def export_serving(config: AudioTokensConfig, out_dir,
 
 
 def _class_names(config: AudioTokensConfig):
-    """index -> label-name list (AudiosetMetadataProcessor ordering); None
-    when the metadata assets are unavailable (synthetic workspaces)."""
+    """index -> label-name list (ontology ordering, metadata.load_class_names
+    — no segment-CSV parse or RNG side effects); None when the ontology is
+    unavailable."""
     try:
-        from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+        from audio_tokens_tpu.data.metadata import load_class_names
 
-        meta = AudiosetMetadataProcessor(config)
-        return [
-            meta.label_name.get(meta.index_label.get(i, ""), "")
-            for i in range(config.num_classes)
-        ]
+        return load_class_names(config)
     except Exception as e:  # metadata optional for serving artifacts
         logger.info("class names omitted from manifest (%s)", e)
         return None

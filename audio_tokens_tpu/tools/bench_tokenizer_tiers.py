@@ -92,37 +92,17 @@ def main() -> None:
               f"agreement vs exact {agree * 100:.4f}%", flush=True)
 
     if args.torch_mirror:
-        import torch
+        from audio_tokens_tpu.tools.torch_mirror import (best_of_3_rate,
+                                                         make_one_clip)
 
-        from audio_tokens_tpu.ops.mel import hann_window, mel_filterbank
-
-        torch.set_num_threads(16)  # reference spectrogram_generator.py:15
-        fb = torch.from_numpy(mel_filterbank(n_fft // 2 + 1, n_mels, sr))
-        win = torch.from_numpy(hann_window(n_fft))
-        cent_t = torch.from_numpy(cents)
-
-        def one_clip(x):
-            wav = torch.from_numpy(x)
-            spec = torch.stft(wav, n_fft, hop, window=win, center=True,
-                              pad_mode="reflect", return_complex=True)
-            power = spec.real**2 + spec.imag**2
-            mel_db = 10.0 * torch.log10(torch.clamp(fb.T @ power, min=1e-10))
-            frames = mel_db.T.contiguous()
-            frames = frames / (frames.norm(dim=1, keepdim=True) + 1e-10)
-            return torch.cdist(frames, cent_t).argmin(dim=1)
-
+        one_clip = make_one_clip(sr, n_mels, n_fft, hop, cents)
         ref_t = one_clip(clips[0]).numpy()
         agree = (ref_t == exact[0][: len(ref_t)]).mean()
         n_base = min(4, len(clips))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for x in clips[:n_base]:
-                one_clip(x)
-            best = min(best, time.perf_counter() - t0)
+        cps = best_of_3_rate(clips[:n_base], one_clip)
         print(f"torch-cpu mirror @ vocab {args.vocab}: "
-              f"{best / n_base * 1e3:.0f} ms/clip -> "
-              f"{n_base / best:.1f} clips/s (agreement vs exact kernel "
+              f"{1e3 / cps:.0f} ms/clip -> "
+              f"{cps:.1f} clips/s (agreement vs exact kernel "
               f"{agree * 100:.2f}%)", flush=True)
 
 

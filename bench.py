@@ -140,26 +140,10 @@ def bench_tpu(clips, centroids) -> tuple:
 
 
 def bench_torch_cpu(clips, centroids, tpu_tokens) -> float:
-    import torch
+    from audio_tokens_tpu.tools.torch_mirror import (best_of_3_rate,
+                                                     make_one_clip)
 
-    from audio_tokens_tpu.ops.mel import hann_window, mel_filterbank
-
-    torch.set_num_threads(16)  # reference: processors/spectrogram_generator.py:15
-    fb = torch.from_numpy(mel_filterbank(N_FFT // 2 + 1, N_MELS, SR))  # (F, M)
-    win = torch.from_numpy(hann_window(N_FFT))
-    cent = torch.from_numpy(centroids)
-
-    def one_clip(x):
-        wav = torch.from_numpy(x)
-        spec = torch.stft(
-            wav, N_FFT, HOP, window=win, center=True, pad_mode="reflect",
-            return_complex=True,
-        )
-        power = spec.real**2 + spec.imag**2  # (F, T)
-        mel_db = 10.0 * torch.log10(torch.clamp(fb.T @ power, min=1e-10))
-        frames = mel_db.T.contiguous()
-        frames = frames / (frames.norm(dim=1, keepdim=True) + 1e-10)
-        return torch.cdist(frames, cent).argmin(dim=1)
+    one_clip = make_one_clip(SR, N_MELS, N_FFT, HOP, centroids)
 
     # agreement sanity check on clip 0
     ref_tokens = one_clip(clips[0]).numpy()
@@ -167,17 +151,9 @@ def bench_torch_cpu(clips, centroids, tpu_tokens) -> float:
     agree = (ref_tokens == tpu_tokens[0][:n]).mean()
     log(f"token agreement tpu vs torch-cpu reference: {agree * 100:.2f}%")
 
-    # best-of-3: the CPU baseline is load-sensitive; taking its fastest run
-    # gives the most conservative (smallest) reported speedup
     n_base = min(8, len(clips))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for x in clips[:n_base]:
-            one_clip(x)
-        best = min(best, time.perf_counter() - t0)
-    cps = n_base / best
-    log(f"torch-cpu baseline (best of 3): {best / n_base * 1e3:.1f} ms/clip -> {cps:.1f} clips/s")
+    cps = best_of_3_rate(clips[:n_base], one_clip)
+    log(f"torch-cpu baseline (best of 3): {1e3 / cps:.1f} ms/clip -> {cps:.1f} clips/s")
     return cps
 
 
