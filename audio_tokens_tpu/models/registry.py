@@ -102,8 +102,10 @@ def get_model(config: AudioTokensConfig) -> nn.Module:
             attention_impl=_resolve_transformer_attention(config),
         )
     elif config.model_type == "cnn":
-        return CNNClassifier(num_classes=config.num_classes)
+        return CNNClassifier(num_classes=config.num_classes,
+                             compute_dtype=compute_dtype)
     elif config.model_type == "baseline":
-        return BaselineMLPClassifier(num_classes=config.num_classes)
+        return BaselineMLPClassifier(num_classes=config.num_classes,
+                                     compute_dtype=compute_dtype)
     else:
         raise ValueError(f"Unknown model type: {config.model_type}")
