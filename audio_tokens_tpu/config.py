@@ -63,6 +63,10 @@ class AudioTokensConfig:
     n_mels: int = 64
     n_fft: int = 512
     hop_length: int = 128
+    # Reference field kept for config parity: there it only chunked the ytid
+    # list for tqdm granularity (spectrogram_generator.py:47-52); here decode
+    # threading + device_batch_size batching subsume it with no behavioral
+    # counterpart.
     spectrogram_batch_size: int = 5000
 
     # ------------------------------------------------------------------
@@ -98,6 +102,8 @@ class AudioTokensConfig:
     training_batch_size: int = 8
     learning_rate: float = 1e-4
     num_classes: int = 543
+    # Dead in the reference too (only cited by commented-out binary-metric
+    # code, utils/metrics_calculator.py:13-21); kept for field parity.
     prediction_threshold: float = 0.2
     lstm_embed_dim: int = 256
     lstm_hidden_dim: int = 512

@@ -241,6 +241,14 @@ class TokenizedSpecDataset(ClipDataset):
         return np.asarray(flat, np.int32)
 
     def _base_path(self) -> Path:
+        # The reference's dataset reads config.tokenized_train_dir /
+        # tokenized_val_dir (datasets/tokenized_spec_dataset.py:33-38), which
+        # default to {dest_tokenized_path}/{split} but are independently
+        # overridable — honor them the same way.
+        override = (self.config.tokenized_train_dir if self.split == "train"
+                    else self.config.tokenized_val_dir)
+        if override:
+            return Path(override)
         return Path(self.config.dest_tokenized_path) / self.split
 
     def _load_file(self, path: Path) -> np.ndarray:

@@ -77,3 +77,30 @@ def test_tp_param_specs_rule_rank_mismatch():
     assert specs["dense"]["bias"] == P()  # unmatched -> replicated
     with pytest.raises(ValueError, match="axes"):
         tp_param_specs(params, [("dense/kernel", (None, "model", None))])
+
+
+def test_tokenized_dir_overrides_honored(tmp_path):
+    """The reference's dataset reads config.tokenized_train_dir /
+    tokenized_val_dir (datasets/tokenized_spec_dataset.py:33-38) — an
+    explicit override must redirect the dataset, independent of
+    dest_tokenized_path."""
+    import json
+
+    from audio_tokens_tpu.data.datasets import TokenizedSpecDataset
+
+    custom = tmp_path / "elsewhere"
+    custom.mkdir()
+    np.save(custom / "ytid0.npy", np.array([1, 2, 3], np.int64))
+    split_file = tmp_path / "split.json"
+    split_file.write_text(json.dumps({"train": ["ytid0"], "validation": []}))
+    cfg = AudioTokensConfig(
+        base_dir=str(tmp_path), split_file=str(split_file),
+        tokenized_train_dir=str(custom), token_cache=False,
+    )
+
+    class Meta:
+        ytid_labels = {"ytid0": [0]}
+
+    ds = TokenizedSpecDataset(cfg, Meta(), split="train")
+    assert len(ds) == 1
+    assert np.array_equal(ds.load_features(0), [1, 2, 3])
