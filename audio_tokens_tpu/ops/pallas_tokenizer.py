@@ -151,7 +151,15 @@ def _dot_tier(a, b, dims, tier: str):
 def plan_tiles(n_frames: int, hop: int, n_fft: int) -> Tuple[int, int]:
     """(tile_t, n_tiles): frame tile must be a multiple of 128 (output lane
     constraint); pick the split with the least wasted frames, preferring
-    ~512-1024 tiles (VMEM-sized, good MXU occupancy)."""
+    ~512-1024 tiles (VMEM-sized, good MXU occupancy).
+
+    The 1024 cap is a measured optimum, not a VMEM limit: with the 64 MB
+    scoped ceiling a one-tile-per-clip plan (tile_t=1792, half the grid
+    steps) compiles fine but measured SLOWER at every tier and vocabulary
+    (vocab 500 exact -28%, 16k exact -58%; tokens identical across plans
+    — full A/B in BASELINE.md).  Mosaic pipelines the smaller tiles'
+    DMA/GEMM across grid steps better than it fills one wide tile; don't
+    retry tile widening."""
     best = None
     for n_tiles in range(1, 32):
         tile_t = _round_up(-(-n_frames // n_tiles), 128)
