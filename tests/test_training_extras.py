@@ -454,3 +454,45 @@ def test_spec_cache_matches_per_file_loads(tmp_path):
     np.testing.assert_array_equal(ds_flat.load_features(1),
                                   ds.load_features(1))
     assert len(list((tmp_path / "spectrograms").glob("*.bin"))) == 1
+
+
+def test_early_stopping_patience(ws):
+    """early_stopping_patience halts training once val mAP stops improving
+    (the reference's stub never fired, processors/model_trainer.py:192-193;
+    ours is a real knob).  lr=0 freezes the params so the epoch-1 metric is
+    never beaten; patience=2 must stop the run before the epoch budget."""
+    import json
+    from pathlib import Path
+
+    cfg = fixtures.test_config(
+        ws, model_type="simple", epochs=20, learning_rate=0.0,
+        early_stopping_patience=2, save_best_checkpoint=True,
+    )
+    metrics_path = Path(cfg.checkpoint_dir) / "no-wandb-metrics.jsonl"
+    # the module-scoped workspace shares the run name: count THIS run's lines
+    before = (len(metrics_path.read_text().splitlines())
+              if metrics_path.exists() else 0)
+    ModelTrainer(cfg).run()
+    epochs_run = len(metrics_path.read_text().splitlines()) - before
+    assert epochs_run <= 4, f"early stopping never fired ({epochs_run} epochs)"
+
+
+def test_profile_dir_writes_trace(ws, tmp_path):
+    """config.profile_dir wraps stages in jax.profiler.trace (SURVEY §5
+    tracing subsystem) — the stage must emit a trace artifact."""
+    import os
+
+    prof = tmp_path / "trace"
+    cfg = fixtures.test_config(ws, profile_dir=str(prof))
+    SpecTokenizer(cfg).run()
+    found = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
+    assert found, "profiler trace directory is empty"
+
+
+def test_wandb_disabled_without_package(ws):
+    """use_wandb=True must degrade to local logging when wandb is not
+    importable (this image has no wandb)."""
+    cfg = fixtures.test_config(ws, model_type="simple", epochs=1,
+                               use_wandb=True, save_best_checkpoint=False)
+    val_loss, metrics = ModelTrainer(cfg).run()
+    assert np.isfinite(val_loss)
