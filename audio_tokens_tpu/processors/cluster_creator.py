@@ -199,7 +199,13 @@ class ClusterCreator:
 
     def _stream_signature(self) -> str:
         """Everything that shapes the Lloyd trajectory: a checkpoint from a
-        different corpus/config must not be resumed."""
+        different corpus/config must not be resumed.  Cached after the first
+        call — the per-iteration checkpoint writer would otherwise re-glob
+        the whole train spec directory (seconds at 2M files) for a value
+        that cannot change mid-fit."""
+        cached = getattr(self, "_stream_sig_cache", None)
+        if cached is not None:
+            return cached
         import json as _json
 
         cfg = self.config
@@ -209,12 +215,13 @@ class ClusterCreator:
         else:
             spec_dir = Path(cfg.source_spec_path) / "train"
             n_src = len(list(spec_dir.glob("*.npy")))
-        return _json.dumps([
+        self._stream_sig_cache = _json.dumps([
             cfg.vocab_size, self.feature_dim, cfg.niter, cfg.random_seed,
             cfg.kmeans_init, cfg.kmeans_empty_policy, cfg.kmeans_precision,
             cfg.kmeans_wire, cfg.clustering_batch_size,
             cfg.kmeans_superbatch_rows, int(n_src),
         ])
+        return self._stream_sig_cache
 
     def _save_kmeans_checkpoint(self, completed: int, centroids: np.ndarray,
                                 obj: float) -> None:
@@ -355,7 +362,13 @@ class ClusterCreator:
             SpectrogramGenerator,
         )
 
-        gen = SpectrogramGenerator(self.config)
+        # one generator for the whole fit: kmeans_fit_streaming calls
+        # batches_fn once per Lloyd iteration, and each SpectrogramGenerator
+        # owns a decode thread pool — constructing one per iteration strands
+        # niter * num_workers idle threads
+        gen = getattr(self, "_fused_gen", None)
+        if gen is None:
+            gen = self._fused_gen = SpectrogramGenerator(self.config)
         ytids = distributed.process_shard(sorted(gen.data_split["train"]))
 
         def finish(specs):

@@ -41,6 +41,19 @@ from audio_tokens_tpu.utils.seeding import set_seed
 logger = logging.getLogger(__name__)
 
 
+def _token_file_ok(path: Path) -> bool:
+    """Cheap structural validation of an existing token .npy (header parse +
+    mmap length check — the data bytes are never read).  Incremental runs on
+    splits WITHOUT a count ledger (validation) use this so a corrupt file is
+    re-tokenized instead of being skipped forever by the exists+mtime check;
+    the train split's ledger catch-up np.loads those files anyway."""
+    try:
+        np.load(path, mmap_mode="r")
+        return True
+    except Exception:
+        return False
+
+
 class _CountLedger:
     """Whole-corpus token statistics across incremental runs.
 
@@ -227,7 +240,8 @@ class SpecTokenizer:
             skipped, todo = [], []
             for f in spec_files:
                 tok = tokenized_dir / f.name
-                if tok.exists() and tok.stat().st_mtime >= cent_mtime:
+                if tok.exists() and tok.stat().st_mtime >= cent_mtime and (
+                        ledger is not None or _token_file_ok(tok)):
                     skipped.append(f)
                 else:
                     todo.append(f)
@@ -312,7 +326,8 @@ class SpecTokenizer:
                 skipped, todo = [], []
                 for y in ytids:
                     tok = tokenized_dir / f"{y}.npy"
-                    if tok.exists() and tok.stat().st_mtime >= cent_mtime:
+                    if tok.exists() and tok.stat().st_mtime >= cent_mtime and (
+                            ledger is not None or _token_file_ok(tok)):
                         skipped.append(y)
                     else:
                         todo.append(y)
@@ -398,7 +413,14 @@ class SpecTokenizer:
         def decode_one(item):
             ytid, path = item
             wave = decode_clip(cfg, path)
-            return None if wave is None else (ytid, wave)
+            if wave is None:
+                return None
+            if not np.isfinite(wave).all():
+                # same NaN/Inf screen as the staged pipeline and the fused
+                # native path (there the screen runs on the decode batch)
+                logger.info("skipping %s: non-finite samples", path)
+                return None
+            return (ytid, wave)
 
         with ThreadPoolExecutor(max_workers=cfg.num_workers) as pool:
             decoded = [d for d in pool.map(decode_one, chunk) if d is not None]

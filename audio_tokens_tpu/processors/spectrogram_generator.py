@@ -118,7 +118,28 @@ class SpectrogramGenerator:
             return
         bs = self.config.device_batch_size
         pending: List[Tuple[str, np.ndarray]] = []
-        for ytid, wave in zip(ytids, self._decode_pool.map(self._decode_one, ytids)):
+        # bounded decode-ahead: Executor.map would submit every ytid up
+        # front, letting decoders run arbitrarily far ahead of the
+        # device-bound consumer and buffer the whole corpus's waveforms in
+        # completed futures (~GBs at real scale).  A sliding window of
+        # in-flight futures keeps the threads busy with O(window) live
+        # waveforms instead.
+        from collections import deque
+
+        window = max(2 * bs, 2 * self.config.num_workers)
+        inflight: deque = deque()
+        it = iter(ytids)
+        while True:
+            while len(inflight) < window:
+                y = next(it, None)
+                if y is None:
+                    break
+                inflight.append((y, self._decode_pool.submit(
+                    self._decode_one, y)))
+            if not inflight:
+                break
+            ytid, fut = inflight.popleft()
+            wave = fut.result()
             if wave is None:
                 continue
             pending.append((ytid, wave))

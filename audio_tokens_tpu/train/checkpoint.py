@@ -31,18 +31,36 @@ def save_checkpoint(
     opt_state: Any = None,
     step: int = 0,
     metric: float = 0.0,
+    epoch: int = 0,
 ) -> Path:
-    path = (Path(directory) / name).absolute()
-    if path.exists():
-        import shutil
+    """Write a checkpoint ATOMICALLY: build under a temp name, then rename
+    over the previous best.  Deleting first and saving in place would leave
+    no loadable checkpoint if the process dies mid-save (preemptible TPU
+    VMs make that window real); meta.json is written inside the temp dir so
+    a visible checkpoint always has complete metadata."""
+    import os
+    import shutil
 
-        shutil.rmtree(path)
+    path = (Path(directory) / name).absolute()
     path.parent.mkdir(parents=True, exist_ok=True)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path / "params", jax.device_get(params))
-        if opt_state is not None:
-            ckptr.save(path / "opt_state", jax.device_get(opt_state))
-    (path / "meta.json").write_text(json.dumps({"step": step, "metric": metric}))
+    tmp = path.parent / f"{name}.tmp.{os.getpid()}"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(tmp / "params", jax.device_get(params))
+            if opt_state is not None:
+                ckptr.save(tmp / "opt_state", jax.device_get(opt_state))
+        (tmp / "meta.json").write_text(
+            json.dumps({"step": step, "metric": metric, "epoch": epoch}))
+        old = path.parent / f"{name}.old.{os.getpid()}"
+        if path.exists():
+            os.replace(path, old)   # rename, not rmtree: O(1) swap window
+        os.replace(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        if tmp.exists():
+            shutil.rmtree(tmp, ignore_errors=True)
     logger.info("checkpoint saved: %s (step=%d metric=%.4f)", path, step, metric)
     return path
 
@@ -55,7 +73,7 @@ def load_params(directory: str | Path, name: str, template: Any) -> Any:
 
 def load_checkpoint(
     directory: str | Path, name: str, params_template: Any, opt_template: Any
-) -> Tuple[Any, Any, int, float]:
+) -> Tuple[Any, Any, int, float, int]:
     path = (Path(directory) / name).absolute()
     meta = json.loads((path / "meta.json").read_text())
     with ocp.StandardCheckpointer() as ckptr:
@@ -65,4 +83,6 @@ def load_checkpoint(
             if (path / "opt_state").exists()
             else None
         )
-    return params, opt_state, meta["step"], meta["metric"]
+    # "epoch" absent in pre-round-4 checkpoints: resume from epoch 0 as before
+    return (params, opt_state, meta["step"], meta["metric"],
+            int(meta.get("epoch", 0)))

@@ -167,10 +167,13 @@ class Trainer:
         best_metric = 0.0
         epochs_since_best = 0
         step = 0
+        start_epoch = 0
         if cfg.resume_from:
             fresh_opt_state = opt_state
-            params, opt_state, step, best_metric = ckpt.load_checkpoint(
-                cfg.checkpoint_dir, cfg.resume_from, params, opt_state
+            params, opt_state, step, best_metric, start_epoch = (
+                ckpt.load_checkpoint(
+                    cfg.checkpoint_dir, cfg.resume_from, params, opt_state
+                )
             )
             params = self._shard_params(params)
             if opt_state is None:
@@ -191,13 +194,24 @@ class Trainer:
                     lambda restored, t: jax.device_put(restored, t.sharding),
                     opt_state, template,
                 )
+            # the epoch counter resumes too: epoch drives the shuffle
+            # permutations (seed+epoch) and the remaining-epoch budget, so
+            # restarting at 0 would replay consumed permutations and train
+            # cfg.epochs EXTRA epochs.  To fine-tune a finished run instead,
+            # raise cfg.epochs above the checkpoint's epoch.
             logger.info(
-                "resumed from %s at step %d (best mAP %.4f)",
-                cfg.resume_from, step, best_metric,
+                "resumed from %s at step %d, epoch %d (best mAP %.4f)",
+                cfg.resume_from, step, start_epoch, best_metric,
             )
+            if start_epoch >= cfg.epochs:
+                logger.warning(
+                    "checkpoint is already at epoch %d >= epochs=%d — "
+                    "nothing to train (raise epochs to continue)",
+                    start_epoch, cfg.epochs,
+                )
         val_loss, val_metrics = float("nan"), {"mAP": 0.0}
 
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             if runner is not None:
                 params, opt_state, step, train_loss, train_metrics = (
@@ -231,6 +245,7 @@ class Trainer:
                     ckpt.save_checkpoint(
                         cfg.checkpoint_dir, f"{self.run_name}-best",
                         params, opt_state, step, best_metric,
+                        epoch=epoch + 1,  # resume continues AFTER this epoch
                     )
             else:
                 epochs_since_best += 1
@@ -244,6 +259,16 @@ class Trainer:
             if cfg.max_train_steps and step >= cfg.max_train_steps:
                 logger.info("reached max_train_steps=%d", cfg.max_train_steps)
                 break
+
+        if not np.isfinite(val_loss) and start_epoch >= cfg.epochs:
+            # resumed with an exhausted epoch budget: no training ran —
+            # return the restored checkpoint's validation numbers instead
+            # of NaN so callers (and the stage contract) get real metrics
+            if runner is not None:
+                val_loss, val_metrics = runner.eval_epoch(params)
+            else:
+                val_loss, val_metrics = self._eval_epoch(
+                    eval_step, params, val_loader)
 
         self._final_params = params
         return val_loss, val_metrics
@@ -360,6 +385,9 @@ class Trainer:
         loads just the validation corpus (the evaluate() entry point)."""
         cfg = self.config
         mode = getattr(cfg, "device_corpus", "auto")
+        if mode not in ("auto", "on", "off"):
+            raise ValueError(
+                f"device_corpus must be 'auto', 'on' or 'off', got '{mode}'")
         if mode == "off":
             return None
         if self.mesh is not None and (

@@ -241,3 +241,26 @@ def test_fused_corrupt_token_with_missing_audio_is_dropped(tmp_path):
     stats_full = run(incremental=False)
     assert stats_inc["total_tokens"] == stats_full["total_tokens"]
     assert stats_inc["most_common"] == stats_full["most_common"]
+
+
+def test_corrupt_validation_token_file_retokenized(tmp_path):
+    """The validation split has no count ledger, so its incremental skip
+    check must structurally validate existing token files — a corrupt one
+    is re-tokenized rather than skipped forever by exists+mtime."""
+    base = tmp_path / "ws"
+    _make_ws(base, 3)
+    rng = np.random.default_rng(7)
+    val = base / "spectrograms" / "validation"
+    for i in range(3):
+        np.save(val / f"v{i}.npy",
+                rng.standard_normal((N_MELS, 25)).astype(np.float32))
+    SpecTokenizer(_cfg(base)).run()
+    victim = base / "tokenized_audio" / "validation" / "v1.npy"
+    good = np.load(victim)
+    victim.write_bytes(b"\x93NUMPY garbage")  # torn write
+    # keep mtime fresh relative to the centroids so only the structural
+    # check can catch it
+    os.utime(victim, None)
+
+    SpecTokenizer(_cfg(base, incremental=True)).run()
+    np.testing.assert_array_equal(np.load(victim), good)

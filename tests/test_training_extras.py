@@ -496,3 +496,50 @@ def test_wandb_disabled_without_package(ws):
                                use_wandb=True, save_best_checkpoint=False)
     val_loss, metrics = ModelTrainer(cfg).run()
     assert np.isfinite(val_loss)
+
+
+def test_resume_continues_epoch_schedule(ws):
+    """Resume restores the EPOCH counter too: a run that checkpointed at
+    epoch E and is restarted with the same budget trains only the remaining
+    epochs (restarting at 0 would replay consumed shuffle permutations and
+    train cfg.epochs extra epochs)."""
+    import json
+    from pathlib import Path
+
+    cfg = fixtures.test_config(ws, model_type="simple", epochs=2,
+                               learning_rate=3e-3)
+    ModelTrainer(cfg).run()
+    meta = json.loads(
+        (Path(cfg.checkpoint_dir) / "no-wandb-best" / "meta.json").read_text())
+    assert 1 <= meta["epoch"] <= 2
+
+    metrics_path = Path(cfg.checkpoint_dir) / "no-wandb-metrics.jsonl"
+    before = len(metrics_path.read_text().splitlines())
+    cfg2 = fixtures.test_config(ws, model_type="simple", epochs=4,
+                                learning_rate=3e-3,
+                                resume_from="no-wandb-best")
+    val_loss, _ = ModelTrainer(cfg2).run()
+    ran = len(metrics_path.read_text().splitlines()) - before
+    assert ran == 4 - meta["epoch"]
+    assert np.isfinite(val_loss)
+
+
+def test_resume_exhausted_budget_evaluates(ws):
+    """Resuming a finished run (checkpoint epoch >= cfg.epochs) trains
+    nothing but still returns the checkpoint's validation metrics."""
+    cfg = fixtures.test_config(ws, model_type="simple", epochs=1,
+                               learning_rate=3e-3)
+    ModelTrainer(cfg).run()
+    cfg2 = fixtures.test_config(ws, model_type="simple", epochs=1,
+                                learning_rate=3e-3,
+                                resume_from="no-wandb-best")
+    val_loss, metrics = ModelTrainer(cfg2).run()
+    assert np.isfinite(val_loss)
+    assert 0.0 <= metrics["mAP"] <= 1.0
+
+
+def test_device_corpus_invalid_value_raises(ws):
+    cfg = fixtures.test_config(ws, model_type="simple", epochs=1,
+                               device_corpus="disabled")
+    with pytest.raises(ValueError, match="device_corpus"):
+        ModelTrainer(cfg).run()
