@@ -340,10 +340,15 @@ class AudioTokensConfig:
             self.source_spec_path = Path(f"{base}/spectrograms")
         if not self.dest_tokenized_path:
             self.dest_tokenized_path = f"{base}/tokenized_audio/"
+        # derive the dataset read dirs from the tokenizer WRITE dir so an
+        # overridden dest_tokenized_path keeps writer and reader aligned
+        # (the reference derived all three from BASE_DIR independently,
+        # audio_tokens_config.py:58,64-65)
+        dest = self.dest_tokenized_path.rstrip("/")
         if not self.tokenized_train_dir:
-            self.tokenized_train_dir = f"{base}/tokenized_audio/train/"
+            self.tokenized_train_dir = f"{dest}/train/"
         if not self.tokenized_val_dir:
-            self.tokenized_val_dir = f"{base}/tokenized_audio/validation/"
+            self.tokenized_val_dir = f"{dest}/validation/"
         if not self.checkpoint_dir:
             self.checkpoint_dir = f"{base}/output/checkpoints"
         if not self.eval_batch_size:

@@ -136,8 +136,9 @@ class ServingProgram:
         lengths = jnp.minimum(lengths.astype(jnp.int32), cfg.clip_samples)
         norm_lengths = lengths if cfg.normalize else None
         tokens = self.tokenizer._tokens_dispatch(padded_batch, norm_lengths)
-        # valid frame count (ops/mel.num_frames, traced)
-        n_valid = 1 + lengths // cfg.hop_length
+        # valid frame count: the tokenizer's own traced implementation, so
+        # the exported n_valid can never drift from the token trim
+        n_valid = self.tokenizer.frontend.frame_counts(lengths)
         T = cfg.max_seq_len
         seq_lens = jnp.minimum(n_valid, T)
 

@@ -255,4 +255,12 @@ class MelFrontend:
         big = jnp.finfo(mel.dtype).max
         mn = jnp.min(jnp.where(valid, mel, big), axis=(1, 2), keepdims=True)
         mx = jnp.max(jnp.where(valid, mel, -big), axis=(1, 2), keepdims=True)
-        return (mel - mn) / (mx - mn)
+        # degenerate clips (digital silence: every valid bin clamps to the
+        # same dB floor) map to zeros instead of 0/0 NaN — the reference let
+        # the NaN through and its screen then dropped the clip; the staged
+        # pipeline preserves that corpus behavior by skipping constant clips
+        # explicitly (spectrogram_generator), while serving paths stay
+        # NaN-free by construction
+        rng_ok = mx > mn
+        return jnp.where(
+            rng_ok, (mel - mn) / jnp.where(rng_ok, mx - mn, 1.0), 0.0)

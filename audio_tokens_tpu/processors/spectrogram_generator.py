@@ -181,6 +181,13 @@ class SpectrogramGenerator:
                 if not np.isfinite(spec).all():
                     logger.debug("Warning: NaN/Inf values found in spectrogram %s", ytid)
                     continue
+                if cfg.normalize and spec.size and spec.min() == spec.max():
+                    # degenerate min-max range (digital silence): the
+                    # reference's normalize produced NaN here and its screen
+                    # dropped the clip (spectrogram_generator.py:128-146);
+                    # ours is NaN-free, so drop explicitly for corpus parity
+                    logger.debug("skipping %s: constant spectrogram", ytid)
+                    continue
                 yield ytid, spec
 
     def _decode_one(self, ytid: str) -> Optional[np.ndarray]:
@@ -215,6 +222,9 @@ class SpectrogramGenerator:
             spec = specs[i, :, :n_valid]
             if not np.isfinite(spec).all():
                 logger.debug("Warning: NaN/Inf values found in spectrogram %s", ytid)
+                continue
+            if self.config.normalize and spec.size and spec.min() == spec.max():
+                logger.debug("skipping %s: constant spectrogram", ytid)
                 continue
             yield ytid, spec
 

@@ -154,6 +154,10 @@ class FusedTokenizer:
             raise ValueError(
                 f"batch {padded_batch.shape[0]} not divisible by data={n_dev}"
             )
+        # same wire handling as the single-chip entry point: int16 PCM
+        # batches reconstruct as s/32768 BEFORE any compute (elementwise, so
+        # sharding is unaffected)
+        padded_batch = decode_wire(padded_batch)
         if self.config.normalize:
             if lengths is None:
                 raise ValueError("config.normalize=True requires lengths")
@@ -188,13 +192,29 @@ class FusedTokenizer:
         frames = l2_normalize(frames)
         c = self.centroids
         c2 = jnp.sum(c * c, axis=1)[None, :]
-        scores = c2 - 2.0 * jnp.dot(
-            frames.astype(self.compute_dtype),
-            c.T.astype(self.compute_dtype),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        return jnp.argmin(scores, axis=1).astype(jnp.int32).reshape(b, t)
+        cT = c.T.astype(self.compute_dtype)
+
+        def assign(fr):
+            scores = c2 - 2.0 * jnp.dot(
+                fr.astype(self.compute_dtype), cT,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.argmin(scores, axis=1).astype(jnp.int32)
+
+        # chunk the rows (lax.scan) so the (B*T, K) score matrix never
+        # materializes — at the 16k vocabulary a full batch's scores are
+        # ~7 GB, which matters on CPU serving hosts running the portable
+        # export.  Rows are independent, so chunking is bit-exact.
+        n = frames.shape[0]
+        chunk = 4096
+        if n <= chunk:
+            return assign(frames).reshape(b, t)
+        n_pad = -(-n // chunk) * chunk
+        fr = jnp.pad(frames, ((0, n_pad - n), (0, 0)))
+        fr = fr.reshape(n_pad // chunk, chunk, frames.shape[1])
+        _, toks = jax.lax.scan(lambda _, xc: (None, assign(xc)), None, fr)
+        return toks.reshape(-1)[:n].reshape(b, t)
 
     def tokenize_waveforms(self, waves: List[np.ndarray]) -> List[np.ndarray]:
         """Host convenience: list of 1-D float arrays -> per-clip token arrays

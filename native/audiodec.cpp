@@ -812,6 +812,21 @@ int decode_batch_impl(const char** paths, int n, int target_sr,
       }
       int len = std::min<int>(d.mono.size(), clip_samples);
       const float* x = d.mono.data();
+      // non-finite screen runs HERE, before sample conversion: the int16
+      // wire format cannot carry a NaN marker (std::min(32767, NaN) would
+      // silently clamp it to full scale), so both wire formats report such
+      // clips as decode failures — matching the pipeline's skip-and-log
+      // semantics for the float path's downstream isfinite screen
+      bool finite = true;
+      for (int j = 0; j < len; ++j) {
+        if (!std::isfinite(x[j])) { finite = false; break; }
+      }
+      if (!finite) {
+        set_error(std::string(paths[i]) + ": non-finite samples");
+        memset(row, 0, row_len * sizeof(T));
+        lengths[i] = -1;
+        continue;
+      }
       for (int j = 0; j < len; ++j) convert_sample(x[j], row[pad + j]);
       for (int j = 0; j < pad; ++j) {
         // reflect = copies of already-converted samples (order-exact)

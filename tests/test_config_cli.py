@@ -104,3 +104,17 @@ def test_tokenized_dir_overrides_honored(tmp_path):
     ds = TokenizedSpecDataset(cfg, Meta(), split="train")
     assert len(ds) == 1
     assert np.array_equal(ds.load_features(0), [1, 2, 3])
+
+
+def test_dest_tokenized_path_override_propagates(tmp_path):
+    """Overriding dest_tokenized_path alone must move the dataset READ dirs
+    with it (writer and reader stay aligned); explicit per-split overrides
+    still win."""
+    cfg = AudioTokensConfig(base_dir=str(tmp_path),
+                            dest_tokenized_path="/data/toks/")
+    assert cfg.tokenized_train_dir == "/data/toks/train/"
+    assert cfg.tokenized_val_dir == "/data/toks/validation/"
+    cfg2 = AudioTokensConfig(base_dir=str(tmp_path),
+                             dest_tokenized_path="/data/toks/",
+                             tokenized_val_dir="/elsewhere/val")
+    assert cfg2.tokenized_val_dir == "/elsewhere/val"

@@ -138,3 +138,18 @@ def test_reflect_pad_layout():
     np.testing.assert_array_equal(out[4:14], x)
     np.testing.assert_array_equal(out[14:18], [8, 7, 6, 5])
     np.testing.assert_array_equal(out[18:], [0, 0])
+
+
+def test_normalized_silence_is_finite(clip):
+    """Digital silence clamps every dB bin to the same floor (min == max);
+    the min-max normalize must produce zeros, not 0/0 NaN (the reference let
+    the NaN through and dropped the clip downstream — serving paths here
+    must stay NaN-free by construction)."""
+    from audio_tokens_tpu.ops.mel import MelFrontend
+
+    fe = MelFrontend(sample_rate=22050, n_mels=16, n_fft=256, hop_length=128,
+                     clip_samples=22050, normalize=True)
+    batch, lengths = fe.prepare_batch([np.zeros(22050, np.float32)])
+    norm = np.asarray(fe.normalized(batch, lengths))
+    assert np.isfinite(norm).all()
+    assert (norm == 0.0).all()

@@ -229,3 +229,26 @@ def test_native_flac_random_streams_match_python(tmp_path, rng):
         assert len(native) == n, (trial, len(native), n)
         np.testing.assert_allclose(native, python, atol=1e-7,
                                    err_msg=f"trial {trial}")
+
+
+def test_nonfinite_samples_fail_decode_in_both_wire_formats(tmp_path):
+    """NaN samples must surface as a decode failure for BOTH wire formats:
+    int16 cannot carry a NaN marker (clamping would silently turn it into a
+    full-scale spike), so the screen runs in the decoder itself."""
+    import struct
+
+    sr, n = 22050, 22050
+    x = np.zeros(n, np.float32)
+    x[100] = np.nan
+    raw = x.tobytes()
+    path = tmp_path / "nan.wav"
+    with open(path, "wb") as f:  # minimal IEEE-float (fmt 3) WAV
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, sr, sr * 4, 4, 32))
+        f.write(b"data" + struct.pack("<I", len(raw)) + raw)
+
+    for dtype in (np.float32, np.int16):
+        batch, lengths = native_loader.decode_batch(
+            [path], sr, n, 256, dtype=dtype)
+        assert lengths[0] == -1, f"NaN clip decoded as valid ({dtype})"
+        assert "non-finite" in native_loader.last_error()
