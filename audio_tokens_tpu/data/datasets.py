@@ -22,8 +22,6 @@ from __future__ import annotations
 
 import json
 import logging
-import queue
-import threading
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -421,51 +419,21 @@ class BatchLoader:
             ex.shutdown(wait=False, cancel_futures=True)
 
     def _batches_single(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
-        """One producer thread (double buffering).
+        """One producer thread (double buffering) via the shared
+        ``BoundedProducer`` (utils/worker.py — the single owner of the
+        bounded producer/cancel/exception-forwarding pattern): producer
+        errors re-raise in the consumer instead of silently truncating the
+        epoch; abandoning the generator early reaps the thread."""
+        from audio_tokens_tpu.utils.worker import BoundedProducer
 
-        Producer errors (corrupt artifact, I/O failure) re-raise in the
-        consumer instead of silently truncating the epoch; abandoning the
-        generator early (break / partial consumption) unblocks and reaps the
-        producer thread.
-        """
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
-        cancel = threading.Event()
-
-        def producer():
-            try:
-                for idxs in self._index_batches(epoch):
-                    item = self._make_batch(idxs)
-                    while not cancel.is_set():
-                        try:
-                            q.put(item, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if cancel.is_set():
-                        return
-                q.put(stop)
-            except BaseException as e:  # propagate to the consumer
-                q.put(e)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        producer = BoundedProducer(
+            (self._make_batch(idxs) for idxs in self._index_batches(epoch)),
+            depth=self.prefetch,
+        )
         try:
-            while True:
-                item = q.get()
-                if item is stop:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
+            yield from producer
         finally:
-            cancel.set()
-            while not q.empty():  # unblock a producer stuck on put
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    break
-            t.join(timeout=5.0)
+            producer.close()
 
 
 class DataLoaderCreator:

@@ -39,8 +39,15 @@ def _resolve_lstm_backend(config: AudioTokensConfig) -> str:
     multi-device DP mesh the jitted train step must use the scan (every
     other Pallas kernel here runs under an explicit shard_map instead)."""
     backend = getattr(config, "lstm_backend", "auto")
-    if backend != "auto":
+    if backend in ("xla", "pallas", "pallas_interpret"):
         return backend
+    if backend != "auto":
+        # a typo must not silently degrade to the scan (the user believes
+        # they ran the Pallas kernel) — same contract as
+        # _resolve_transformer_attention below
+        raise ValueError(
+            f"lstm_backend must be 'auto', 'xla', 'pallas' or "
+            f"'pallas_interpret', got '{backend}'")
     try:
         import jax
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import tarfile
 from pathlib import Path
 
@@ -31,16 +32,24 @@ def expand_tar(tar_path: Path, dest_root: Path, source_set: str) -> int:
             name = Path(member.name).name
             if not name.lower().endswith(AUDIO_EXTS):
                 continue
-            ytid = Path(name).stem
+            # normalize the extension: find_audio_file probes the literal
+            # lowercase '{ytid}.flac'/'{ytid}.wav', so '.FLAC' members would
+            # be expanded yet never found by any stage
+            stem, ext = Path(name).stem, Path(name).suffix.lower()
+            ytid = stem
             out_dir = dest_root / source_set / ytid[:2]
             out_dir.mkdir(parents=True, exist_ok=True)
-            out_path = out_dir / name
+            out_path = out_dir / f"{stem}{ext}"
             if out_path.exists():
                 continue
             src = tf.extractfile(member)
             if src is None:
                 continue
-            out_path.write_bytes(src.read())
+            # write-then-rename: resume-by-existence must never trust a
+            # truncated file from an interrupted run
+            tmp = out_path.with_name(out_path.name + f".tmp.{os.getpid()}")
+            tmp.write_bytes(src.read())
+            os.replace(tmp, out_path)
             n += 1
     return n
 

@@ -102,6 +102,11 @@ def main() -> None:
         waves = [decode_audio(p, target_sr=cfg.common_sr)[0]
                  for p in batch_paths]
         batch, _ = tok.frontend.prepare_batch(waves)
+        if wire_dtype is np.int16:
+            # keep the reported wire format honest on the python fallback
+            # (prepare_batch is float32-only)
+            batch = np.clip(np.rint(batch * 32768.0), -32768, 32767
+                            ).astype(np.int16)
         if batch.shape[0] < args.batch:
             batch = np.pad(batch, ((0, args.batch - batch.shape[0]), (0, 0)))
         return batch

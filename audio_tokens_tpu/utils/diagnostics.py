@@ -117,10 +117,11 @@ def loss_landscape(
         p = jax.tree_util.tree_map(lambda w, x, y: w + a * x + b * y, params, d1, d2)
         return loss_fn(p)
 
-    grid = np.zeros((steps, steps), np.float32)
-    for i, a in enumerate(alphas):
-        for j, b in enumerate(alphas):
-            grid[i, j] = float(loss_at(a, b))
+    # queue all steps^2 evaluations, then fetch once: a float() per point
+    # would cost a synchronous device round-trip each (~25 ms on remote
+    # setups -> ~10 s of pure link latency for the default 20x20 grid)
+    rows = [[loss_at(a, b) for b in alphas] for a in alphas]
+    grid = np.asarray(jax.device_get(rows), np.float32)
     if plot_path is not None:
         try:
             import matplotlib

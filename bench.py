@@ -314,7 +314,13 @@ def main() -> None:
     centroids /= np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-10
 
     tpu_cps, tpu_tokens = bench_tpu(clips, centroids)
-    base_cps = bench_torch_cpu(clips, centroids, tpu_tokens)
+    try:
+        base_cps = bench_torch_cpu(clips, centroids, tpu_tokens)
+    except Exception as e:
+        # the one JSON line must print even without torch on the host;
+        # vs_baseline=0 marks "no CPU mirror measured this run"
+        log(f"torch-cpu baseline skipped: {e}")
+        base_cps = float("inf")
     try:
         bench_kmeans(centroids)
     except Exception as e:

@@ -118,3 +118,13 @@ def test_dest_tokenized_path_override_propagates(tmp_path):
                              dest_tokenized_path="/data/toks/",
                              tokenized_val_dir="/elsewhere/val")
     assert cfg2.tokenized_val_dir == "/elsewhere/val"
+
+
+def test_lstm_backend_typo_raises(tmp_path):
+    """A lstm_backend typo must not silently degrade to the XLA scan."""
+    from audio_tokens_tpu.models.registry import get_model
+
+    cfg = AudioTokensConfig(base_dir=str(tmp_path), model_type="lstm",
+                            lstm_backend="Pallas")
+    with pytest.raises(ValueError, match="lstm_backend"):
+        get_model(cfg)
