@@ -95,7 +95,8 @@ VMEM_LIMIT = int(os.environ.get(
     "AUDIO_TOKENS_TOKENIZER_VMEM_MB", "64")) * 1024 * 1024
 
 
-def _pick_chunk(vq_tier: str, tile_t: int, m_pad: int) -> int:
+def _pick_chunk(vq_tier: str, tile_t: int, m_pad: int,
+                hop: int = 128, n_fft: int = 512) -> int:
     """Vocabulary chunk width for multi-chunk vocabularies, per VQ tier.
 
     Preferred widths are the measured optima at tile_t=896/m_pad=128
@@ -103,9 +104,9 @@ def _pick_chunk(vq_tier: str, tile_t: int, m_pad: int) -> int:
     operand traffic), the bf16 tiers keep gaining until their (tile_t,
     k_chunk) f32 score buffers press the VMEM_LIMIT.  The estimate below
     halves the chunk until the score buffers + double-buffered centroid
-    operands + fixed working set fit for other shapes; returns 0 when not
-    even a 128-wide chunk fits (kernel_fits then routes to the staged
-    path)."""
+    operands + the DFT-chain working set fit for other shapes; returns 0
+    when not even a 128-wide chunk fits (kernel_fits then routes to the
+    staged path)."""
     prefer = {"highest": 2048, "bf16x3": 4096, "default": 8192}[vq_tier]
     n_ops = {"highest": 1, "bf16x3": 2, "default": 1}[vq_tier]
     itemsize = 4 if vq_tier == "highest" else 2
@@ -113,7 +114,23 @@ def _pick_chunk(vq_tier: str, tile_t: int, m_pad: int) -> int:
     # fc accumulator scratch + one live dot result for bf16x3 (scores are
     # computed in place); the single dot result + scores for default
     live = {"highest": 2.0, "bf16x3": 2.25, "default": 1.25}[vq_tier]
-    fixed = 8 * 1024 * 1024  # window dbuf + features + DFT/mel transients
+    # DFT-chain working set from the ACTUAL shapes (a constant here would
+    # silently understate exotic hop/n_fft configs — ADVICE r3 #4 class):
+    # double-buffered window + frames + spec&sq + power + mel/meldb/unit
+    # + the resident DFT/mel weight operands, plus slack for Mosaic temps
+    r = max(n_fft // hop, 1)
+    spec_pad = _round_up(max(n_fft, 2), 128)
+    f_pad = _round_up(max(n_fft // 2, 1), 128)
+    fixed = 4 * (
+        2 * (tile_t + r) * hop          # window double buffer
+        + tile_t * n_fft                # frames concat
+        + 2 * tile_t * spec_pad         # spectrum + its square
+        + tile_t * f_pad                # packed power
+        + 3 * tile_t * m_pad            # mel, meldb, unit features
+        + n_fft * spec_pad + f_pad * m_pad  # DFT basis + filterbank
+    )  # Mosaic temp slack is the 0.8 budget factor below — an extra
+    #    additive term here would reject the MEASURED-fitting optima
+    #    (default tier's 8192-wide chunk sits at 50.8 of 51.2 MB)
     cap = prefer
     while cap >= 128:
         need = (fixed + live * 4 * tile_t * cap
@@ -193,7 +210,7 @@ def kernel_fits(k: int, d: int, hop: int = 128, n_fft: int = 512,
     gate and the planner cannot disagree."""
     m_pad = _round_up(d, 128)
     tile_t = 1024  # upper bound from plan_tiles
-    return _pick_chunk(vq_tier, tile_t, m_pad) > 0
+    return _pick_chunk(vq_tier, tile_t, m_pad, hop=hop, n_fft=n_fft) > 0
 
 
 def _kernel(blocks_hbm, w_ref, fb_ref, *args,
@@ -401,7 +418,8 @@ class TokenizerKernel:
         k = centroids.shape[0]
         k_pad = _round_up(k, 128)
         if k_chunk_cap is None:
-            k_chunk_cap = _pick_chunk(vq_tier, self.tile_t, m_pad)
+            k_chunk_cap = _pick_chunk(vq_tier, self.tile_t, m_pad,
+                                      hop=self.hop, n_fft=self.n_fft)
         if k_chunk_cap <= 0:
             raise ValueError(
                 "megakernel working set exceeds the VMEM budget even at a "
