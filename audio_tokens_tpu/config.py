@@ -190,6 +190,16 @@ class AudioTokensConfig:
     # transfer pipeline depth); oversized corpora drop the cache and log the
     # per-iteration stream cost.
     kmeans_stream_cache_mb: int = 0
+    # Streaming K-means DEVICE-resident corpus: >0 retains iteration 0's
+    # transferred super-batches in HBM (up to this many MB per process) and
+    # runs the remaining niter-1 iterations entirely on device — no decode,
+    # no packing, no host link at all after the first pass.  Replay is
+    # bit-identical to re-streaming (tested).  The balanced-AudioSet frame
+    # corpus is ~8.7 GB f32 (~4.4 bf16 with kmeans_wire='bf16'), so the
+    # default fits it on one 16 GB v5e while leaving room for the Lloyd
+    # working set; oversized corpora drop the resident set and fall back to
+    # the host cache / re-stream path.  0 disables.
+    kmeans_hbm_cache_mb: int = 10240
     # Streaming K-means host->device wire format: 'f32', or 'bf16' (frames
     # rounded once on the host, cast back to f32 on device — half the stream
     # bytes AND half the stream-cache RAM; the 10k-clip rehearsal showed the

@@ -120,6 +120,7 @@ class ClusterCreator:
                         precision=precision_from_str(
                             self.config.kmeans_precision),
                         cache_mb=self.config.kmeans_stream_cache_mb,
+                        hbm_cache_mb=self.config.kmeans_hbm_cache_mb,
                         wire_dtype=wire_dtype,
                     )
                     logger.info("streaming kmeans over %d frames: obj=%.2f",

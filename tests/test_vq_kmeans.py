@@ -268,6 +268,61 @@ class TestStreamingKMeans:
         np.testing.assert_allclose(c_cached, c_plain, rtol=1e-6, atol=1e-6)
         assert abs(o_cached - o_plain) / abs(o_plain) < 1e-6
 
+    def test_hbm_cache_replay_is_bit_identical(self, rng):
+        """hbm_cache_mb > 0: iteration 0's device feeds are retained and
+        later iterations replay them — the stream is produced once and the
+        trajectory is BIT-identical to re-streaming (same arrays, same
+        order, same programs)."""
+        from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
+
+        x = self._blobs(rng, n=3000)
+        k = 8
+        init = x[rng.choice(len(x), k, replace=False)].copy()
+        calls = {"n": 0}
+
+        def batches():
+            calls["n"] += 1
+            return iter([x[i : i + 700] for i in range(0, len(x), 700)])
+
+        c_hbm, o_hbm, n1 = kmeans_fit_streaming(
+            batches, k, niter=4, d=x.shape[1], init_centroids=init,
+            superbatch_rows=1024, chunk=256, hbm_cache_mb=64,
+        )
+        assert calls["n"] == 1  # stream produced exactly once
+        c_plain, o_plain, n2 = kmeans_fit_streaming(
+            lambda: iter([x[i : i + 700] for i in range(0, len(x), 700)]),
+            k, niter=4, init_centroids=init,
+            superbatch_rows=1024, chunk=256,
+        )
+        assert n1 == n2 == len(x)
+        np.testing.assert_array_equal(np.asarray(c_hbm), np.asarray(c_plain))
+        assert o_hbm == o_plain
+
+    def test_hbm_cache_dropped_when_over_budget(self, rng, caplog):
+        """An over-budget corpus drops the resident set, logs, and still
+        converges to the re-streamed result."""
+        import logging
+
+        from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
+
+        x = self._blobs(rng, n=40000)  # ~2.6 MB: exceeds the 1 MB budget
+        k = 8
+        init = x[rng.choice(len(x), k, replace=False)].copy()
+        with caplog.at_level(logging.INFO, logger="audio_tokens_tpu.ops.kmeans"):
+            c_a, o_a, _ = kmeans_fit_streaming(
+                lambda: iter([x[i : i + 700] for i in range(0, len(x), 700)]),
+                k, niter=3, d=x.shape[1], init_centroids=init,
+                superbatch_rows=1024, chunk=256, hbm_cache_mb=1,
+            )
+        assert any("HBM corpus cache dropped" in r.getMessage()
+                   for r in caplog.records)
+        c_b, o_b, _ = kmeans_fit_streaming(
+            lambda: iter([x[i : i + 700] for i in range(0, len(x), 700)]),
+            k, niter=3, init_centroids=init,
+            superbatch_rows=1024, chunk=256,
+        )
+        np.testing.assert_array_equal(np.asarray(c_a), np.asarray(c_b))
+
     def test_stream_cache_dropped_when_over_budget(self, rng, caplog):
         """An over-budget corpus drops the cache and re-streams every
         iteration (and says so)."""
