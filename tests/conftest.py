@@ -23,6 +23,26 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Build the native audio library if it is missing or older than its source
+# (the .so is gitignored): ~5 s of g++ once makes the whole suite
+# self-contained — without it, the native decoder/pipeline tests skip.
+try:
+    from pathlib import Path as _Path
+
+    _so = _Path(__file__).parent.parent / "native" / "libaudiodec.so"
+    _src = _so.with_name("audiodec.cpp")
+    if _src.exists() and (
+            not _so.exists() or _so.stat().st_mtime < _src.stat().st_mtime):
+        import subprocess
+        import sys as _sys
+
+        subprocess.run(
+            [_sys.executable, str(_so.parent / "build.py")],
+            check=True, capture_output=True, timeout=300,
+        )
+except Exception as _e:  # no toolchain: the gated tests skip as before
+    print(f"conftest: native build skipped ({_e})")
+
 
 @pytest.fixture
 def rng():
