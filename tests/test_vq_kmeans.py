@@ -652,6 +652,37 @@ def test_streaming_bf16_wire_with_cache_and_mesh():
     np.testing.assert_allclose(c1, c2, rtol=2e-4, atol=2e-4)
 
 
+def test_streaming_hbm_cache_with_mesh():
+    """The HBM-resident corpus replay composes with the 8-device mesh:
+    retained global sharded feeds replay bit-identically to re-streaming."""
+    import jax
+    from jax.sharding import Mesh
+
+    from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((4096, 16)).astype(np.float32)
+    init = x[:8].copy()
+    feeds = [x[i: i + 600] for i in range(0, len(x), 600)]
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    calls = {"n": 0}
+
+    def batches():
+        calls["n"] += 1
+        return iter(feeds)
+
+    c1, o1, n1 = kmeans_fit_streaming(
+        batches, 8, niter=3, d=16, init_centroids=init,
+        superbatch_rows=1024, chunk=128, mesh=mesh, hbm_cache_mb=64)
+    assert calls["n"] == 1  # produced once, replayed from device
+    c2, o2, n2 = kmeans_fit_streaming(
+        lambda: iter(feeds), 8, niter=3, d=16, init_centroids=init,
+        superbatch_rows=1024, chunk=128, mesh=mesh)
+    assert n1 == n2 == 4096
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    assert o1 == o2
+
+
 def test_kmeans_ckpt_multiprocess_reconciliation(tmp_path, monkeypatch, rng):
     """Only the coordinator writes .kmeans_ckpt.npz; on a non-shared
     filesystem the other processes won't see it.  The load must reconcile
