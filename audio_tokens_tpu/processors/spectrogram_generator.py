@@ -149,6 +149,70 @@ class SpectrogramGenerator:
         if pending:
             yield from self._specs_for_batch(pending)
 
+    def iter_wave_batches(self, ytids: List[str]):
+        """Decode-only batches: (padded (B, L) waveforms, lengths (B,) int32).
+
+        No DSP, no device involvement — the all-device fused cluster feed
+        (cluster_creator._fused_frames_device) consumes these so waveforms
+        are the ONLY host->device traffic of the whole feature chain.
+        Native backend: failed rows carry length -1 and pcm_wire='i16'
+        ships int16 PCM (decode_wire reconstructs in-program).  Python
+        backend: failures and non-finite clips are dropped (same screens as
+        iter_specs) and rows are float32.
+        """
+        cfg = self.config
+        bs = cfg.device_batch_size
+        if self.use_native:
+            found = [p for y in ytids
+                     if (p := self.find_audio_file(y)) is not None]
+            dtype = np.int16 if cfg.pcm_wire == "i16" else np.float32
+            for i in range(0, len(found), bs):
+                chunk = found[i : i + bs]
+                batch, lengths = native_loader.decode_batch(
+                    chunk, cfg.common_sr, cfg.clip_samples, cfg.n_fft,
+                    n_threads=cfg.num_workers, dtype=dtype,
+                )
+                if len(chunk) < bs:
+                    batch = np.concatenate([batch, np.zeros(
+                        (bs - len(chunk), batch.shape[1]), batch.dtype)])
+                    lengths = np.concatenate(
+                        [lengths, np.full(bs - len(chunk), -1, np.int32)])
+                yield batch, lengths
+            return
+        from collections import deque
+
+        window = max(2 * bs, 2 * cfg.num_workers)
+        inflight: deque = deque()
+        it = iter(ytids)
+        waves: List[np.ndarray] = []
+
+        def flush(waves):
+            batch, lengths = self.frontend.prepare_batch(waves)
+            if len(waves) < bs:
+                batch = np.concatenate([batch, np.zeros(
+                    (bs - len(waves), batch.shape[1]), np.float32)])
+                lengths = np.concatenate(
+                    [lengths, np.full(bs - len(waves), -1, np.int32)])
+            return batch, lengths
+
+        while True:
+            while len(inflight) < window:
+                y = next(it, None)
+                if y is None:
+                    break
+                inflight.append(self._decode_pool.submit(self._decode_one, y))
+            if not inflight:
+                break
+            wave = inflight.popleft().result()
+            if wave is None or not np.isfinite(wave).all():
+                continue
+            waves.append(wave)
+            if len(waves) == bs:
+                yield flush(waves)
+                waves = []
+        if waves:
+            yield flush(waves)
+
     def _iter_specs_native(self, ytids: List[str]):
         """C++ threaded decode straight into the device-ready padded layout."""
         cfg = self.config

@@ -136,6 +136,40 @@ def test_zipf_stats_present(pipeline_ws):
     assert (Path(cfg.base_dir) / "output" / "zipf_analysis.png").exists()
 
 
+def test_fused_device_feed_matches_host_generator(tmp_path_factory):
+    """The all-device fused cluster feed (waveforms as the only host->device
+    traffic, frames assembled into a preallocated HBM buffer) yields exactly
+    the host-mediated fused generator's rows, in clip/frame order — so the
+    routing in ClusterCreator.run() can switch between them freely."""
+    base = tmp_path_factory.mktemp("fused_dev_feed")
+    fixtures.make_workspace(base)
+    cfg = fixtures.test_config(base, fused_pipeline=True)
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+    cc = ClusterCreator(cfg)
+    dev = np.asarray(cc._fused_frames_device())
+    host = np.concatenate(
+        list(cc._batch_generator(cfg.clustering_batch_size)), axis=0)
+    assert dev.shape == host.shape
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_fused_device_feed_engages(tmp_path_factory, monkeypatch):
+    """run() routes to the device feed under fused_pipeline (single-process,
+    normalize off) — guard against a silent fallback to the host path."""
+    base = tmp_path_factory.mktemp("fused_dev_route")
+    fixtures.make_workspace(base)
+    cfg = fixtures.test_config(base, fused_pipeline=True, kmeans_mode="full")
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+    cc = ClusterCreator(cfg)
+    calls = []
+    orig = ClusterCreator._fused_frames_device
+    monkeypatch.setattr(
+        ClusterCreator, "_fused_frames_device",
+        lambda self: calls.append(1) or orig(self))
+    cc.run()
+    assert calls
+
+
 def test_fused_pipeline_byte_identical_to_staged(tmp_path_factory):
     """config.fused_pipeline=True skips mel artifacts entirely; centroids and
     token artifacts must be byte-identical to the staged pipeline."""
