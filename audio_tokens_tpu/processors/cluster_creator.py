@@ -75,7 +75,29 @@ class ClusterCreator:
     def run(self) -> np.ndarray:
         logger.info("starting clustering (mode=%s)", self.config.kmeans_mode)
         if self.config.kmeans_mode == "full":
-            if self._should_stream() or distributed.is_multiprocess():
+            if self._use_fused_device_feed():
+                # all-device feature chain: waveforms are the only
+                # host->device traffic; frames land directly in HBM and
+                # kmeans_fit consumes them device-resident.  Applies to any
+                # corpus whose frames fit kmeans_hbm_cache_mb — including
+                # ones beyond the HOST in-memory budget that would otherwise
+                # stream (the balanced-AudioSet frame corpus is ~9.8 GB,
+                # inside one v5e's HBM)
+                frames = self._fused_frames_device()
+                centroids, obj = kmeans_fit(
+                    frames,
+                    self.config.vocab_size,
+                    self.config.niter,
+                    seed=self.config.random_seed,
+                    mesh=self.mesh,
+                    max_points_per_centroid=self.config.max_points_per_centroid,
+                    init=self.config.kmeans_init,
+                    empty_policy=self.config.kmeans_empty_policy,
+                    precision=precision_from_str(self.config.kmeans_precision),
+                )
+                logger.info("full kmeans over %d frames: obj=%.2f",
+                            len(frames), obj)
+            elif self._should_stream() or distributed.is_multiprocess():
                 if self.config.max_points_per_centroid is not None:
                     logger.warning(
                         "kmeans streaming uses every frame: "
@@ -126,19 +148,10 @@ class ClusterCreator:
                     logger.info("streaming kmeans over %d frames: obj=%.2f",
                                 n, obj)
             else:
-                if (self.config.fused_pipeline
-                        and not self.config.normalize
-                        and not distributed.is_multiprocess()):
-                    # all-device feature chain: waveforms are the only
-                    # host->device traffic; frames land directly in HBM and
-                    # kmeans_fit consumes them device-resident
-                    frames = self._fused_frames_device()
-                else:
-                    batches = list(
-                        self._batch_generator(
-                            self.config.clustering_batch_size)
-                    )
-                    frames = np.concatenate(batches, axis=0)
+                batches = list(
+                    self._batch_generator(self.config.clustering_batch_size)
+                )
+                frames = np.concatenate(batches, axis=0)
                 centroids, obj = kmeans_fit(
                     frames,
                     self.config.vocab_size,
@@ -301,6 +314,35 @@ class ClusterCreator:
             logger.warning("kmeans checkpoint unreadable (%s); restarting", e)
             return 0, None
 
+    def _use_fused_device_feed(self) -> bool:
+        """Whether the full-mode fit can take the all-device fused feed
+        (``_fused_frames_device``): fused pipeline, single-process, no
+        min-max normalize (its degenerate-clip screen is host-side), and the
+        whole frame corpus fits the ``kmeans_hbm_cache_mb`` device budget —
+        the budget covers the corpus buffer; the Lloyd working set (chunked
+        stats scan) adds only centroid-sized state on top."""
+        cfg = self.config
+        if (not cfg.fused_pipeline or cfg.normalize
+                or distributed.is_multiprocess()):
+            return False
+        budget = cfg.kmeans_hbm_cache_mb * (1 << 20)
+        if budget <= 0:
+            return False
+        import json as _json
+
+        with open(cfg.split_file) as f:
+            n_clips = len(_json.load(f)["train"])
+        frames_max = 1 + cfg.clip_samples // cfg.hop_length
+        est = ((n_clips + cfg.device_batch_size) * frames_max
+               * self.feature_dim * 4)
+        if est > budget:
+            logger.info(
+                "fused device feed declined: ~%.1f GB of frames exceeds "
+                "kmeans_hbm_cache_mb=%d -> streaming",
+                est / 2**30, cfg.kmeans_hbm_cache_mb)
+            return False
+        return True
+
     def _should_stream(self) -> bool:
         """Whether full-mode k-means must stream super-batches (bounded host
         memory) instead of concatenating every frame in RAM."""
@@ -380,9 +422,11 @@ class ClusterCreator:
         are the only host->device traffic and ``kmeans_fit`` consumes the
         buffer device-resident.  Rows are bit-identical to the host path
         (mel/conv/normalize are row-independent; compaction preserves clip
-        and frame order).  Gated to single-process, ``normalize=False``
-        (the min-max screen drops degenerate clips host-side) — the
-        routing in ``run()`` falls back to the host generator otherwise.
+        and frame order).  Gated by ``_use_fused_device_feed`` (fused
+        single-process, ``normalize=False`` — the min-max screen drops
+        degenerate clips host-side — and frames within the
+        ``kmeans_hbm_cache_mb`` device budget); the routing in ``run()``
+        falls back to the host generator / streaming loop otherwise.
         Measured on the 10k-clip rehearsal corpus (15.5M frames): the
         clustering stage ran in 111 s on this sandbox's tunneled link —
         the in-memory-fit rerun with the host-mediated generator took

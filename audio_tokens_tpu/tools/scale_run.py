@@ -167,12 +167,25 @@ def main() -> None:
             print(f"{k:>16s}: {per_epoch * scale / 3600:8.1f} h/epoch")
         else:
             print(f"{k:>16s}: {timings[k] * scale / 3600:8.1f} h")
-    wire_bytes = 2 if cfg.kmeans_wire == "bf16" else 4
-    print(f"(clustering moves ~{n_train * frames_per_clip * cfg.n_mels * wire_bytes * args.niter / 2**30:.0f} GiB "
-          f"of frames over the host link at niter={args.niter}; "
-          f"compute itself is ~{n_train * frames_per_clip * args.niter / 74e6:.0f} s "
-          f"at the measured 74M point-iters/s — on slow-link hosts the stage "
-          f"is wire-bound, on PCIe-class hosts compute-bound)")
+    compute_s = n_train * frames_per_clip * args.niter / 74e6
+    frames_est = ((n_train + cfg.device_batch_size) * frames_per_clip
+                  * cfg.feature_dim * 4)
+    fused_dev = (cfg.fused_pipeline and not cfg.normalize
+                 and frames_est <= cfg.kmeans_hbm_cache_mb * (1 << 20))
+    if fused_dev:
+        wav_bytes = 2 if cfg.pcm_wire == "i16" else 4
+        print(f"(clustering moves ~{n_train * cfg.clip_samples * wav_bytes / 2**30:.0f} GiB "
+              f"of waveforms over the host link ONCE — the all-device fused "
+              f"feed assembles frames in HBM and all {args.niter} Lloyd "
+              f"iterations run device-resident; compute itself is "
+              f"~{compute_s:.0f} s at the measured 74M point-iters/s)")
+    else:
+        wire_bytes = 2 if cfg.kmeans_wire == "bf16" else 4
+        print(f"(clustering moves ~{n_train * frames_per_clip * cfg.n_mels * wire_bytes * args.niter / 2**30:.0f} GiB "
+              f"of frames over the host link at niter={args.niter}; "
+              f"compute itself is ~{compute_s:.0f} s "
+              f"at the measured 74M point-iters/s — on slow-link hosts the "
+              f"stage is wire-bound, on PCIe-class hosts compute-bound)")
 
     out = base / "output" / "scale_run_timings.json"
     out.write_text(json.dumps(

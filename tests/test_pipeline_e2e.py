@@ -170,6 +170,32 @@ def test_fused_device_feed_engages(tmp_path_factory, monkeypatch):
     assert calls
 
 
+def test_fused_device_feed_routing_respects_hbm_budget(tmp_path_factory):
+    """Routing boundaries: the device feed engages for corpora inside
+    kmeans_hbm_cache_mb (even beyond the HOST in-memory budget, where the
+    fit previously streamed) and declines above it or when disabled."""
+    base = tmp_path_factory.mktemp("fused_dev_budget")
+    fixtures.make_workspace(base)
+
+    def creator(**over):
+        cfg = fixtures.test_config(
+            base, fused_pipeline=True, kmeans_mode="full", **over)
+        DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+        return ClusterCreator(cfg)
+
+    assert creator()._use_fused_device_feed()
+    # beyond the host in-memory budget but inside HBM: device feed wins over
+    # streaming (kmeans_inmemory_budget_mb=0 would previously force a stream)
+    assert creator(kmeans_inmemory_budget_mb=0)._use_fused_device_feed()
+    # above the HBM budget: declined (falls to the streaming loop); the
+    # tiny corpus is ~1.9 MB of frames, so a 1 MB budget is exceeded
+    assert not creator(kmeans_hbm_cache_mb=1)._use_fused_device_feed()
+    # budget 0 disables the device feed outright
+    assert not creator(kmeans_hbm_cache_mb=0)._use_fused_device_feed()
+    # normalize needs the host-side degenerate-clip screen
+    assert not creator(normalize=True)._use_fused_device_feed()
+
+
 def test_fused_pipeline_byte_identical_to_staged(tmp_path_factory):
     """config.fused_pipeline=True skips mel artifacts entirely; centroids and
     token artifacts must be byte-identical to the staged pipeline."""
