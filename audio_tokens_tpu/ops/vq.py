@@ -130,9 +130,24 @@ def vq_assign_fused(
     n_dev = mesh.shape["data"] if mesh is not None else 1
     if n_dev <= 1 or n < n_dev:
         if use_pallas:
-            return np.asarray(
-                vq_assign_pallas(x, c, normalize=normalize, interpret=interpret)
-            )
+            # corpus-scale inputs (the HBM-resident cluster-feed handoff is
+            # tens of millions of rows) go through fixed-size row blocks:
+            # one pallas program compiled for (BLOCK, d) — a single
+            # whole-corpus program at 15.5M rows exceeded what the TPU
+            # compiler accepts, and its N-padding temp doubled HBM
+            BLOCK = 1 << 22
+            if n <= BLOCK:
+                return np.asarray(vq_assign_pallas(
+                    x, c, normalize=normalize, interpret=interpret))
+            out = np.empty((n,), np.int32)
+            for i in range(0, n, BLOCK):
+                blk = x[i : i + BLOCK]
+                if blk.shape[0] < BLOCK:  # keep the compiled shape
+                    blk = jnp.pad(blk, ((0, BLOCK - blk.shape[0]), (0, 0)))
+                out[i : i + BLOCK] = np.asarray(vq_assign_pallas(
+                    blk, c, normalize=normalize,
+                    interpret=interpret))[: n - i]
+            return out
         if normalize:
             x = l2_normalize(x)
         return vq_assign(x, c, chunk=chunk)

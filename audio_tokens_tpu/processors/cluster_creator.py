@@ -464,8 +464,9 @@ class ClusterCreator:
             return jax.lax.dynamic_update_slice(buf, fr, (offset, 0))
 
         offset = 0
+        manifest: dict = {}
         arange = np.arange(t_max, dtype=np.int32)
-        for batch, lengths in gen.iter_wave_batches(ytids):
+        for batch, lengths, row_ytids in gen.iter_wave_batches(ytids):
             idx = np.zeros(bs * t_max, np.int32)
             fill = 0
             for c, ln in enumerate(np.asarray(lengths)):
@@ -474,6 +475,7 @@ class ClusterCreator:
                 nv = num_frames(min(int(ln), cfg.clip_samples),
                                 cfg.hop_length)
                 idx[fill:fill + nv] = c * t_max + arange[:nv]
+                manifest[row_ytids[c]] = (offset + fill, nv)
                 fill += nv
             buffer = accum(buffer, jnp.asarray(batch), jnp.asarray(idx),
                            jnp.int32(offset))
@@ -481,7 +483,25 @@ class ClusterCreator:
         if offset == 0:
             raise FileNotFoundError(
                 "fused cluster feed found no decodable training audio")
-        return buffer[:offset]
+        frames = buffer[:offset]
+        # resident handoff: the tokenize stage can assign train-split tokens
+        # straight from these frames — the composed pipeline then decodes
+        # the train audio ONCE (see SpecTokenizer resident_frames)
+        self.resident_frames = frames
+        self.resident_manifest = manifest
+        return frames
+
+    def take_resident_frames(self):
+        """(frames, {ytid: (offset, n_frames)}) from the fused device feed,
+        or None if the fit didn't take it.  The caller owns the HBM buffer
+        after this (the creator drops its reference so the memory's
+        lifetime follows the tokenize stage)."""
+        frames = getattr(self, "resident_frames", None)
+        if frames is None:
+            return None
+        manifest = self.resident_manifest
+        self.resident_frames = self.resident_manifest = None
+        return frames, manifest
 
     def _fused_batch_generator(self, batch_size: int) -> Iterator[np.ndarray]:
         from audio_tokens_tpu.processors.spectrogram_generator import (

@@ -153,8 +153,18 @@ class _CountLedger:
 
 
 class SpecTokenizer:
-    def __init__(self, config: AudioTokensConfig):
+    def __init__(self, config: AudioTokensConfig, resident_frames=None):
+        """``resident_frames``: optional ``(frames, {ytid: (offset, n)})``
+        handoff from ``ClusterCreator.take_resident_frames()`` — the fused
+        cluster feed's HBM-resident, L2-normalized (and conv-expanded)
+        frame corpus.  Train-split clips covered by the manifest are then
+        tokenized by one device-resident VQ assignment over the buffer —
+        no re-decode, no waveform wire: the composed fused pipeline decodes
+        the train audio ONCE (reference counterpart: the spectrogram .npy
+        artifacts both stages re-read from disk, cluster_creator.py:83-102
+        and spec_tokenizer.py:66-78)."""
         self.config = config
+        self.resident = resident_frames
         distributed.maybe_initialize(config)
         set_seed(config.random_seed)
         self.source_path = Path(config.source_spec_path)
@@ -339,6 +349,26 @@ class SpecTokenizer:
                     counts += caught
                     ytids = ytids + failed  # re-tokenize unreadable clips
             logger.info("Fused-tokenizing %s: audio --> %s", split, tokenized_dir)
+            n_todo = len(ytids)
+            resident_tokens: Dict[str, np.ndarray] = {}
+            if self.resident is not None and split == "train":
+                frames, manifest = self.resident
+                covered = [y for y in ytids if y in manifest]
+                if covered:
+                    all_tokens = np.asarray(vq_assign_fused(
+                        frames, self.centroids, mesh=self.mesh,
+                        normalize=False,  # resident rows are pre-normalized
+                    )).astype(np.int64)
+                    for y in covered:
+                        off, n = manifest[y]
+                        resident_tokens[y] = all_tokens[off:off + n]
+                    ytids = [y for y in ytids if y not in manifest]
+                    logger.info(
+                        "resident frames: %d clips tokenized with no "
+                        "re-decode and no waveform wire", len(covered))
+                # release the HBM corpus before the validation decode and
+                # the training stage
+                self.resident = frames = None
             found = [(y, p) for y in ytids
                      if (p := find_audio_file(cfg, y)) is not None]
             n_frames_total = 0
@@ -346,6 +376,11 @@ class SpecTokenizer:
             with maybe_trace(cfg.profile_dir), \
                     StageTimer(f"tokenize-fused/{split}") as timer:
                 n_clips = 0
+                for ytid, toks in resident_tokens.items():
+                    atomic_save_npy(tokenized_dir / f"{ytid}.npy", toks)
+                    counts += np.bincount(toks, minlength=len(counts))
+                    n_frames_total += len(toks)
+                    n_clips += 1
                 for i in range(0, len(found), bs):
                     chunk = found[i : i + bs]
                     if use_native:
@@ -362,7 +397,7 @@ class SpecTokenizer:
                 timer.count("frames", n_frames_total)
             distributed.barrier(f"ftok-done-{split}")
             logger.info("%s: %d/%d clips tokenized (fused)", split, n_clips,
-                        len(ytids))
+                        n_todo)
             if split == "train":
                 stats[split] = self._finish_train_stats(counts, ledger)
         return stats

@@ -150,34 +150,47 @@ class SpectrogramGenerator:
             yield from self._specs_for_batch(pending)
 
     def iter_wave_batches(self, ytids: List[str]):
-        """Decode-only batches: (padded (B, L) waveforms, lengths (B,) int32).
+        """Decode-only batches: (padded (B, L) waveforms, lengths (B,) int32,
+        row_ytids list — None for padding rows).
 
         No DSP, no device involvement — the all-device fused cluster feed
         (cluster_creator._fused_frames_device) consumes these so waveforms
-        are the ONLY host->device traffic of the whole feature chain.
-        Native backend: failed rows carry length -1 and pcm_wire='i16'
-        ships int16 PCM (decode_wire reconstructs in-program).  Python
-        backend: failures and non-finite clips are dropped (same screens as
-        iter_specs) and rows are float32.
+        are the ONLY host->device traffic of the whole feature chain; the
+        row ytids let it record a per-clip frame manifest for the resident
+        handoff to the tokenize stage.  Native backend: failed/non-finite
+        rows carry length -1 and pcm_wire='i16' ships int16 PCM
+        (decode_wire reconstructs in-program).  Python backend: failures
+        and non-finite clips are dropped (same screens as iter_specs) and
+        rows are float32.
         """
         cfg = self.config
         bs = cfg.device_batch_size
         if self.use_native:
-            found = [p for y in ytids
+            found = [(y, p) for y in ytids
                      if (p := self.find_audio_file(y)) is not None]
             dtype = np.int16 if cfg.pcm_wire == "i16" else np.float32
             for i in range(0, len(found), bs):
                 chunk = found[i : i + bs]
                 batch, lengths = native_loader.decode_batch(
-                    chunk, cfg.common_sr, cfg.clip_samples, cfg.n_fft,
-                    n_threads=cfg.num_workers, dtype=dtype,
+                    [p for _, p in chunk], cfg.common_sr, cfg.clip_samples,
+                    cfg.n_fft, n_threads=cfg.num_workers, dtype=dtype,
                 )
+                if dtype is np.float32:
+                    # same NaN/Inf screen as _iter_specs_native (a non-finite
+                    # waveform is the only source of a non-finite mel row);
+                    # int16 PCM is finite by construction
+                    for r in np.flatnonzero(
+                            ~np.isfinite(batch).all(axis=1)):
+                        logger.info("skipping %s: non-finite samples",
+                                    chunk[r][1])
+                        lengths[r] = -1
+                row_ytids = [y for y, _ in chunk] + [None] * (bs - len(chunk))
                 if len(chunk) < bs:
                     batch = np.concatenate([batch, np.zeros(
                         (bs - len(chunk), batch.shape[1]), batch.dtype)])
                     lengths = np.concatenate(
                         [lengths, np.full(bs - len(chunk), -1, np.int32)])
-                yield batch, lengths
+                yield batch, lengths, row_ytids
             return
         from collections import deque
 
@@ -185,33 +198,38 @@ class SpectrogramGenerator:
         inflight: deque = deque()
         it = iter(ytids)
         waves: List[np.ndarray] = []
+        wave_ytids: List[str] = []
 
-        def flush(waves):
+        def flush(waves, wave_ytids):
             batch, lengths = self.frontend.prepare_batch(waves)
+            row_ytids = wave_ytids + [None] * (bs - len(waves))
             if len(waves) < bs:
                 batch = np.concatenate([batch, np.zeros(
                     (bs - len(waves), batch.shape[1]), np.float32)])
                 lengths = np.concatenate(
                     [lengths, np.full(bs - len(waves), -1, np.int32)])
-            return batch, lengths
+            return batch, lengths, row_ytids
 
         while True:
             while len(inflight) < window:
                 y = next(it, None)
                 if y is None:
                     break
-                inflight.append(self._decode_pool.submit(self._decode_one, y))
+                inflight.append(
+                    (y, self._decode_pool.submit(self._decode_one, y)))
             if not inflight:
                 break
-            wave = inflight.popleft().result()
+            y, fut = inflight.popleft()
+            wave = fut.result()
             if wave is None or not np.isfinite(wave).all():
                 continue
             waves.append(wave)
+            wave_ytids.append(y)
             if len(waves) == bs:
-                yield flush(waves)
-                waves = []
+                yield flush(waves, wave_ytids)
+                waves, wave_ytids = [], []
         if waves:
-            yield flush(waves)
+            yield flush(waves, wave_ytids)
 
     def _iter_specs_native(self, ytids: List[str]):
         """C++ threaded decode straight into the device-ready padded layout."""

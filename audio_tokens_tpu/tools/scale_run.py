@@ -119,11 +119,13 @@ def main() -> None:
         timings["spectrograms"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    ClusterCreator(cfg).run()
+    cluster = ClusterCreator(cfg)
+    cluster.run()
     timings["clustering"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    SpecTokenizer(cfg).run()
+    SpecTokenizer(cfg,
+                  resident_frames=cluster.take_resident_frames()).run()
     timings["tokenization"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -113,9 +113,19 @@ def main() -> None:
     ]
     if args.fused:
         stages = stages[1:]
+    cluster = None
     for name, stage in stages:
         t0 = time.perf_counter()
-        stage(cfg).run()
+        if stage is SpecTokenizer and cluster is not None:
+            # fused handoff: tokenize the train split from the cluster
+            # stage's HBM-resident frames (one decode pass for the pipeline)
+            stage(cfg,
+                  resident_frames=cluster.take_resident_frames()).run()
+        else:
+            inst = stage(cfg)
+            inst.run()
+            if stage is ClusterCreator:
+                cluster = inst
         timings[name] = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -37,8 +37,13 @@ def main(config: AudioTokensConfig | None = None):
         logger.info("fused pipeline: skipping the spectrogram artifact stage")
     else:
         SpectrogramGenerator(config).run()
-    ClusterCreator(config).run()
-    SpecTokenizer(config).run()
+    cluster = ClusterCreator(config)
+    cluster.run()
+    # fused mode: if clustering built its frame corpus in HBM (the all-device
+    # feed), the tokenize stage assigns train tokens straight from it — the
+    # composed pipeline decodes the train audio exactly once
+    SpecTokenizer(config,
+                  resident_frames=cluster.take_resident_frames()).run()
     val_loss, val_metrics = ModelTrainer(config).run()
     logger.info(
         "Pipeline complete. Final Val Loss: %.4f, Val mAP: %.4f",

@@ -203,12 +203,20 @@ def test_fused_pipeline_byte_identical_to_staged(tmp_path_factory):
     fused = tmp_path_factory.mktemp("fused_pl")
     for base, fused_flag in ((staged, False), (fused, True)):
         fixtures.make_workspace(base)
-        cfg = fixtures.test_config(base, fused_pipeline=fused_flag)
+        # kmeans_mode='full' so the fused arm takes the all-device feed and
+        # the tokenizer consumes the resident-frames handoff (the train
+        # split must still be byte-identical to the staged pipeline's)
+        cfg = fixtures.test_config(base, fused_pipeline=fused_flag,
+                                   kmeans_mode="full")
         DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
         if not fused_flag:
             SpectrogramGenerator(cfg).run()
-        ClusterCreator(cfg).run()
-        SpecTokenizer(cfg).run()
+        cluster = ClusterCreator(cfg)
+        cluster.run()
+        resident = cluster.take_resident_frames()
+        if fused_flag:
+            assert resident is not None  # the device feed must have engaged
+        SpecTokenizer(cfg, resident_frames=resident).run()
         if fused_flag:  # no mel artifacts were written
             assert not (Path(cfg.dest_spec_path) / "train").exists()
 
