@@ -21,6 +21,12 @@ bandwidth/occupancy measures (round 3):
     real input (sin 0 / sin pi*n) — so the spectrum GEMM output is
     2*n_freq-2 = n_fft lanes (512: 4 MXU tiles) instead of 2*n_freq padded
     to 640 (5 tiles).  Bit-identical numerics, 20% fewer DFT MACs.
+  * An int8 VQ tier (per-row symmetric quantization, int8 MXU GEMM,
+    rank-1 f32 score rescale) was built and measured unprofitable in
+    round 4: slower than bf16-default at 16k (9.3k vs 9.8k clips/s) AND
+    less accurate (95.9% vs 99.0%) — this toolchain's int8 dot runs only
+    ~1.25x bf16, not the nominal 2x (microbench + A/B in BASELINE.md).
+    Don't retry until int8 matmul demonstrably hits ~2x bf16.
   * The vocabulary axis is grid-chunked (third grid dimension) with a
     running min/argmin carried in VMEM scratch, so the 16k north-star vocab
     runs in this single kernel (round 2 fell back to the staged VQ path);
