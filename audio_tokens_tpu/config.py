@@ -190,6 +190,15 @@ class AudioTokensConfig:
     # transfer pipeline depth); oversized corpora drop the cache and log the
     # per-iteration stream cost.
     kmeans_stream_cache_mb: int = 0
+    # Disk-spill tier of that cache: when the packed stream outgrows the
+    # host-RAM budget above, entries spill to one sequential file under
+    # {base_dir}/output/ (up to this many MB) and later iterations replay
+    # memmap views off NVMe instead of re-decoding the corpus — the
+    # 'staged' leg of the 2M-clip plan, whose ~880 GB of frames (f32; half
+    # with kmeans_wire='bf16') fit neither RAM nor HBM but read back
+    # sequentially at GB/s.  The file is per-fit scratch, deleted on
+    # completion.  0 disables (oversized corpora then re-stream).
+    kmeans_stream_spill_mb: int = 0
     # Streaming K-means DEVICE-resident corpus: >0 retains iteration 0's
     # transferred super-batches in HBM (up to this many MB per process) and
     # runs the remaining niter-1 iterations entirely on device — no decode,
@@ -271,11 +280,14 @@ class AudioTokensConfig:
     # budget.  The build streams clip-at-a-time to disk either way (host RAM
     # stays one clip deep).
     input_cache_budget_mb: int = 8192
-    # Host->device waveform wire format for the fused (native-decode)
-    # pipeline: 'f32', or 'i16' PCM (half the transfer bytes; bit-exact for
+    # Host->device waveform wire format for EVERY native-decode device
+    # path (staged spectrograms, fused tokenizer, all-device cluster feed,
+    # serving): 'f32', or 'i16' PCM (half the transfer bytes; bit-exact for
     # mono 16-bit sources at common_sr, <=-96 dB quantization noise for
     # resampled/downmixed clips — measured 2x transfer+tokenize on
-    # link-bound hosts, BASELINE.md serving section).
+    # link-bound hosts, BASELINE.md serving section).  One decode rule
+    # (ops/mel.decode_wire, applied inside the frontend) covers all paths,
+    # so pipeline routing decisions never change numerics.
     pcm_wire: str = "f32"
     # Device-resident training corpus (train/device_epoch.py): ship each
     # split's inputs/labels to HBM once and compile whole epochs into single

@@ -60,6 +60,11 @@ from audio_tokens_tpu.ops.common import round_up as _round_up
 
 logger = logging.getLogger(__name__)
 
+# Scan-chunk rows per device for the Lloyd stats passes.  Callers that
+# preallocate capacity buffers (the fused device feed) align to
+# DEFAULT_CHUNK * n_devices so kmeans_fit consumes them copy-free.
+DEFAULT_CHUNK = 16384
+
 
 def _lloyd_stats(x_chunks, mask_chunks, centroids, precision, axis_name=None,
                  include_x2: bool = True):
@@ -295,17 +300,26 @@ def kmeans_fit(
     init_centroids: Optional[np.ndarray] = None,
     mesh: Optional[Mesh] = None,
     axis_name: str = "data",
-    chunk: int = 16384,
+    chunk: int = DEFAULT_CHUNK,
     precision=jax.lax.Precision.HIGHEST,
     max_points_per_centroid: Optional[int] = None,
     init: str = "random",
     empty_policy: str = "keep",
+    n_valid: Optional[int] = None,
 ) -> Tuple[np.ndarray, float]:
     """Fit K-means; returns (centroids (k, d) float32, final objective).
 
     ``x`` may be numpy or a (device-resident) jax array, any float dtype;
     padding/sharding handled here.  Device-resident inputs stay on device —
     no host round-trip.
+
+    ``n_valid``: treat only the first ``n_valid`` rows of ``x`` as data
+    (rows beyond are masked out of every statistic).  This lets a caller
+    hand over a preallocated CAPACITY buffer — e.g. the all-device fused
+    cluster feed's HBM corpus — without slicing it (a device slice is a
+    full copy, doubling peak HBM at corpus scale); when the capacity is
+    already a whole number of per-device scan chunks, no pad copy is made
+    either.
     """
     on_device = isinstance(x, jax.Array)
     xp = jnp if on_device else np
@@ -314,6 +328,10 @@ def kmeans_fit(
     elif x.dtype != jnp.float32:
         x = x.astype(jnp.float32)
     n, d = x.shape
+    if n_valid is not None:
+        if not 0 < n_valid <= n:
+            raise ValueError(f"n_valid={n_valid} outside (0, {n}]")
+        n = int(n_valid)
     rng = np.random.default_rng(seed)
 
     if max_points_per_centroid is not None and n > k * max_points_per_centroid:
@@ -325,8 +343,12 @@ def kmeans_fit(
         if n < k:
             raise ValueError(f"need at least k={k} points, got {n}")
         if init == "kmeans++":
-            init_centroids = kmeans_plusplus_init(x, k, seed=seed,
-                                                  precision=precision)
+            # the seeding scan must not see capacity rows beyond n; the
+            # slice is a transient copy only in the (jax-array) capacity
+            # case, and only for this init mode
+            init_centroids = kmeans_plusplus_init(
+                x[:n] if x.shape[0] > n else x, k, seed=seed,
+                precision=precision)
         elif init == "random":  # FAISS default: k distinct sample points
             init_centroids = x[xp.asarray(rng.choice(n, size=k, replace=False))]
         else:
@@ -335,11 +357,16 @@ def kmeans_fit(
 
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names])) if mesh else 1
     eff_chunk = min(chunk, _round_up(-(-n // n_dev), 8))
-    per_dev_chunks = _bucket_chunks(-(-n // (n_dev * eff_chunk)))
-    n_pad = per_dev_chunks * eff_chunk * n_dev
-
-    if n_pad != n:
-        x = xp.concatenate([x, xp.zeros((n_pad - n, d), xp.float32)], axis=0)
+    unit = eff_chunk * n_dev
+    cap = x.shape[0]
+    if cap % unit:
+        # pad up to a power-of-two chunk count (bounds recompiles for
+        # host-fed repeated calls); an already chunk-aligned capacity
+        # buffer skips this entirely — rows >= n are masked by the fit
+        # and neither a pad nor a slice copy is made
+        n_pad = _bucket_chunks(-(-cap // unit)) * unit
+        x = xp.concatenate([x, xp.zeros((n_pad - cap, d), xp.float32)],
+                           axis=0)
 
     centroids, obj = _kmeans_jit(
         jnp.asarray(x),
@@ -514,12 +541,14 @@ def kmeans_fit_streaming(
     init_centroids: Optional[np.ndarray] = None,
     mesh: Optional[Mesh] = None,
     axis_name: str = "data",
-    chunk: int = 16384,
+    chunk: int = DEFAULT_CHUNK,
     superbatch_rows: int = 1 << 20,
     precision=jax.lax.Precision.HIGHEST,
     init: str = "random",
     empty_policy: str = "keep",
     cache_mb: int = 0,
+    cache_spill_path=None,
+    cache_spill_mb: int = 0,
     hbm_cache_mb: int = 0,
     pipeline_depth: int = 2,
     wire_dtype=np.float32,
@@ -546,8 +575,16 @@ def kmeans_fit_streaming(
     during the first iteration and replays them for the remaining ones — the
     stream (e.g. the fused pipeline's decode+mel) is then produced ONCE
     instead of ``niter`` times.  If the corpus exceeds the budget the cache
+    SPILLS TO DISK when ``cache_spill_path``/``cache_spill_mb`` are set
+    (already-cached entries migrate, the rest append; replay then reads
+    memmap views off NVMe at sequential rate — the 'staged' leg of the
+    2M-clip plan, whose 880 GB of frames fit neither RAM nor HBM but
+    re-decoding them 20x costs far more than one sequential disk pass);
+    with no spill configured (or the disk budget also exceeded) the cache
     is dropped and every iteration re-streams (logged, with per-iteration
-    stream-wait time so the re-decode cost is visible).
+    stream-wait time so the re-decode cost is visible).  The spill file is
+    per-fit scratch, deleted on return; multi-process fits need a
+    per-process path.
 
     ``hbm_cache_mb > 0`` goes one level further: iteration 0's transferred
     super-batches are RETAINED ON DEVICE (the stats program does not donate
@@ -708,6 +745,7 @@ def kmeans_fit_streaming(
         return np.asarray(c0, np.float32)
 
     cache: Optional[list] = [] if cache_mb > 0 else None
+    spill: Optional[_DiskSpill] = None  # disk tier, engaged on RAM overflow
     cache_sealed = False
     cache_bytes = 0
     # device-resident corpus: iteration 0's (x, fills, fill) feeds retained
@@ -727,161 +765,273 @@ def kmeans_fit_streaming(
     obj = float("nan")
     x2_total = None  # sum ||x||^2: iteration-invariant, collected on iter 0
     ax = axis_name if mesh else None
-    for it in range(start_iter, niter):
-        first_pass = it == start_iter
-        t_iter = _time.perf_counter()
-        t_wait = 0.0
-        sums = jnp.zeros((k, d), jnp.float32)
-        counts = jnp.zeros((k,), jnp.float32)
-        obj_acc = jnp.float32(0.0)
-        x2_acc = jnp.float32(0.0)
-        if mesh is not None:
-            sums, counts, obj_acc, x2_acc = (
-                jax.device_put(v, NamedSharding(mesh, P()))
-                for v in (sums, counts, obj_acc, x2_acc)
-            )
-        n_seen = 0
-        from_hbm = hbm is not None and hbm_sealed and not first_pass
-        from_cache = (not from_hbm and cache is not None and cache_sealed
-                      and not first_pass)
-        if from_hbm:
-            # device-resident replay: no feeder thread, no put_fn, no wire
-            source_iter = iter([(x, fills, fill, None)
-                                for x, fills, fill in hbm])
-        elif from_cache:
-            source_iter = _FeedPipeline(
-                _CacheReplay(capacity_local, d), cache, put_fn,
-                depth=pipeline_depth)
-        else:
-            source_iter = _FeedPipeline(
-                feeder, batches_fn(), put_fn, depth=pipeline_depth)
-        centroids_dev = (jnp.asarray(centroids)
-                         if centroids is not None else None)
-        n_feeds = 0
-        try:
-            feeds = iter(source_iter)
-            t_last = _time.perf_counter()
-            while True:
-                item = next(feeds, None)
-                t_wait += _time.perf_counter() - t_last
-                if mp:
-                    # lock-step feed agreement: every process must dispatch
-                    # the same number of (collective) stats programs.  The
-                    # schedule is discovered with a tiny psum per feed on
-                    # iteration 0 and replayed verbatim after (the stream is
-                    # deterministic across iterations).
-                    if n_feeds_sched is None:  # iteration 0: discover
-                        more = float(_global_sum(
-                            np.float32(0.0 if item is None else 1.0)))
-                        if more == 0.0:
-                            break
-                    else:
-                        if n_feeds >= n_feeds_sched:
-                            if item is not None:
-                                raise RuntimeError(
-                                    "stream yielded more super-batches than "
-                                    "iteration 0 — streams must be "
-                                    "deterministic across Lloyd iterations"
-                                )
-                            break
-                    if item is None:  # exhausted locally; others continue
-                        if zeros_local is None:
-                            zeros_local = np.zeros((capacity_local, d),
-                                                   wire_dtype)
-                        item = (*put_fn(zeros_local, 0), 0, None)
-                elif item is None:
-                    break
-                x, fills, fill, buf = item
-                if centroids_dev is None:  # init from the first super-batch
-                    centroids = _init_centroids_from(buf, fill)
-                    centroids_dev = jnp.asarray(centroids)
-                sums, counts, obj_acc, x2_acc = _stats_accum_jit(
-                    x, fills, centroids_dev, sums, counts, obj_acc, x2_acc,
-                    chunk, precision, mesh, ax,
-                    include_x2=x2_total is None,
+    try:
+        for it in range(start_iter, niter):
+            first_pass = it == start_iter
+            t_iter = _time.perf_counter()
+            t_wait = 0.0
+            sums = jnp.zeros((k, d), jnp.float32)
+            counts = jnp.zeros((k,), jnp.float32)
+            obj_acc = jnp.float32(0.0)
+            x2_acc = jnp.float32(0.0)
+            if mesh is not None:
+                sums, counts, obj_acc, x2_acc = (
+                    jax.device_put(v, NamedSharding(mesh, P()))
+                    for v in (sums, counts, obj_acc, x2_acc)
                 )
-                n_feeds += 1
-                n_seen += fill
-                if hbm is not None and not hbm_sealed and first_pass:
-                    # retain the transferred device feed (x is NOT donated
-                    # by the stats program); fills/fill replay as-is
-                    hbm_bytes += _local_nbytes(x)
-                    if hbm_bytes > hbm_cache_mb * (1 << 20):
-                        logger.info(
-                            "HBM corpus cache dropped: exceeds "
-                            "hbm_cache_mb=%d (falling back to %s)",
-                            hbm_cache_mb,
-                            "host cache" if cache is not None else "re-stream")
-                        hbm = None
-                    else:
-                        hbm.append((x, fills, fill))
-                if (cache is not None and not cache_sealed and first_pass
-                        and buf is not None):
-                    if isinstance(buf, jax.Array):
-                        logger.info(
-                            "stream cache disabled: device-resident feeds")
-                        cache = None
-                    else:
-                        # partial feeds (the stream tail) are cached trimmed;
-                        # replay re-pads them to the compiled capacity
-                        entry = (buf if fill == len(buf)
-                                 else buf[:fill].copy())
-                        cache_bytes += entry.nbytes
-                        if cache_bytes > cache_mb * (1 << 20):
-                            logger.info(
-                                "stream cache dropped: corpus exceeds "
-                                "cache_mb=%d (each Lloyd iteration re-streams"
-                                " — decode/pack cost x niter)", cache_mb)
-                            cache = None
-                        else:
-                            cache.append((entry, fill))
-                t_last = _time.perf_counter()
-        finally:
-            if hasattr(source_iter, "close"):
-                source_iter.close()  # the HBM replay is a plain iterator
-        if first_pass:
-            if mp:
-                n_feeds_sched = n_feeds
-                n_total = _global_sum_int(n_seen)
+            n_seen = 0
+            from_hbm = hbm is not None and hbm_sealed and not first_pass
+            from_cache = (not from_hbm and cache_sealed and not first_pass
+                          and (cache is not None or spill is not None))
+            if from_hbm:
+                # device-resident replay: no feeder thread, no put_fn, no wire
+                source_iter = iter([(x, fills, fill, None)
+                                    for x, fills, fill in hbm])
+            elif from_cache:
+                source_iter = _FeedPipeline(
+                    _CacheReplay(capacity_local, d),
+                    cache if cache is not None else spill.entries(),
+                    put_fn, depth=pipeline_depth)
             else:
-                n_total = n_seen
-            if n_total == 0:
-                raise ValueError("empty stream")
-            if hbm is not None:
-                hbm_sealed = True
-                logger.info(
-                    "HBM corpus cache sealed: %d super-batches, %.0f MB "
-                    "resident per process — later iterations run without "
-                    "host involvement", len(hbm), hbm_bytes / (1 << 20))
-            if cache is not None:
-                cache_sealed = True
-                logger.info("stream cache sealed: %d super-batches, %.0f MB",
-                            len(cache), cache_bytes / (1 << 20))
-        # the single host sync point of the iteration (accumulators are
-        # replicated shard_map outputs — addressable on every process)
-        if x2_total is None:
-            x2_total = float(np.asarray(x2_acc))
-        sums_h = np.asarray(sums)
-        counts_h = np.asarray(counts)
-        nonempty = counts_h > 0
-        centroids = np.where(
-            nonempty[:, None],
-            sums_h / np.maximum(counts_h, 1.0)[:, None],
-            centroids,
-        ).astype(np.float32)
-        if empty_policy == "split_largest":
-            centroids, _ = _split_empty_clusters_np(centroids, counts_h)
-        obj = float(np.asarray(obj_acc)) + x2_total
-        logger.info(
-            "streaming kmeans iter %d/%d: %d pts%s, obj=%.4f (%.2fs%s)",
-            it + 1, niter, n_total, " global" if mp else "", obj,
-            _time.perf_counter() - t_iter,
-            ", cached stream" if from_cache else
-            f", waiting on stream {t_wait:.2f}s",
-        )
-        if checkpoint_fn is not None:
-            checkpoint_fn(it + 1, centroids, obj)
+                source_iter = _FeedPipeline(
+                    feeder, batches_fn(), put_fn, depth=pipeline_depth)
+            centroids_dev = (jnp.asarray(centroids)
+                             if centroids is not None else None)
+            n_feeds = 0
+            try:
+                feeds = iter(source_iter)
+                t_last = _time.perf_counter()
+                while True:
+                    item = next(feeds, None)
+                    t_wait += _time.perf_counter() - t_last
+                    if mp:
+                        # lock-step feed agreement: every process must dispatch
+                        # the same number of (collective) stats programs.  The
+                        # schedule is discovered with a tiny psum per feed on
+                        # iteration 0 and replayed verbatim after (the stream is
+                        # deterministic across iterations).
+                        if n_feeds_sched is None:  # iteration 0: discover
+                            more = float(_global_sum(
+                                np.float32(0.0 if item is None else 1.0)))
+                            if more == 0.0:
+                                break
+                        else:
+                            if n_feeds >= n_feeds_sched:
+                                if item is not None:
+                                    raise RuntimeError(
+                                        "stream yielded more super-batches than "
+                                        "iteration 0 — streams must be "
+                                        "deterministic across Lloyd iterations"
+                                    )
+                                break
+                        if item is None:  # exhausted locally; others continue
+                            if zeros_local is None:
+                                zeros_local = np.zeros((capacity_local, d),
+                                                       wire_dtype)
+                            item = (*put_fn(zeros_local, 0), 0, None)
+                    elif item is None:
+                        break
+                    x, fills, fill, buf = item
+                    if centroids_dev is None:  # init from the first super-batch
+                        centroids = _init_centroids_from(buf, fill)
+                        centroids_dev = jnp.asarray(centroids)
+                    sums, counts, obj_acc, x2_acc = _stats_accum_jit(
+                        x, fills, centroids_dev, sums, counts, obj_acc, x2_acc,
+                        chunk, precision, mesh, ax,
+                        include_x2=x2_total is None,
+                    )
+                    n_feeds += 1
+                    n_seen += fill
+                    if hbm is not None and not hbm_sealed and first_pass:
+                        # retain the transferred device feed (x is NOT donated
+                        # by the stats program); fills/fill replay as-is
+                        hbm_bytes += _local_nbytes(x)
+                        if hbm_bytes > hbm_cache_mb * (1 << 20):
+                            logger.info(
+                                "HBM corpus cache dropped: exceeds "
+                                "hbm_cache_mb=%d (falling back to %s)",
+                                hbm_cache_mb,
+                                "host cache" if cache is not None else "re-stream")
+                            hbm = None
+                        else:
+                            hbm.append((x, fills, fill))
+                    if ((cache is not None or spill is not None)
+                            and not cache_sealed and first_pass
+                            and buf is not None):
+                        if isinstance(buf, jax.Array):
+                            logger.info(
+                                "stream cache disabled: device-resident feeds")
+                            cache = spill = None
+                        elif spill is not None:
+                            if not spill.append(buf, fill):
+                                logger.info(
+                                    "stream spill dropped: corpus exceeds "
+                                    "cache_spill_mb=%d (each Lloyd iteration "
+                                    "re-streams)", cache_spill_mb)
+                                spill.cleanup()
+                                spill = None
+                        else:
+                            # partial feeds (the stream tail) are cached trimmed;
+                            # replay re-pads them to the compiled capacity
+                            entry = (buf if fill == len(buf)
+                                     else buf[:fill].copy())
+                            cache_bytes += entry.nbytes
+                            if cache_bytes <= cache_mb * (1 << 20):
+                                cache.append((entry, fill))
+                            elif cache_spill_path is not None and cache_spill_mb > 0:
+                                # RAM overflow -> disk tier: migrate what's
+                                # cached, keep appending to the file
+                                spill = _DiskSpill(cache_spill_path, d,
+                                                   wire_dtype, cache_spill_mb)
+                                ok = all(spill.append(e, f_)
+                                         for e, f_ in cache + [(entry, fill)])
+                                cache = None
+                                if ok:
+                                    logger.info(
+                                        "stream cache spilled to disk: %s "
+                                        "(exceeded cache_mb=%d)",
+                                        cache_spill_path, cache_mb)
+                                else:
+                                    logger.info(
+                                        "stream spill dropped: corpus exceeds "
+                                        "cache_spill_mb=%d (each Lloyd "
+                                        "iteration re-streams)", cache_spill_mb)
+                                    spill.cleanup()
+                                    spill = None
+                            else:
+                                logger.info(
+                                    "stream cache dropped: corpus exceeds "
+                                    "cache_mb=%d (each Lloyd iteration re-streams"
+                                    " — decode/pack cost x niter)", cache_mb)
+                                cache = None
+                    t_last = _time.perf_counter()
+            finally:
+                if hasattr(source_iter, "close"):
+                    source_iter.close()  # the HBM replay is a plain iterator
+            if first_pass:
+                if mp:
+                    n_feeds_sched = n_feeds
+                    n_total = _global_sum_int(n_seen)
+                else:
+                    n_total = n_seen
+                if n_total == 0:
+                    raise ValueError("empty stream")
+                if hbm is not None:
+                    hbm_sealed = True
+                    logger.info(
+                        "HBM corpus cache sealed: %d super-batches, %.0f MB "
+                        "resident per process — later iterations run without "
+                        "host involvement", len(hbm), hbm_bytes / (1 << 20))
+                if cache is not None:
+                    cache_sealed = True
+                    logger.info("stream cache sealed: %d super-batches, %.0f MB",
+                                len(cache), cache_bytes / (1 << 20))
+                elif spill is not None:
+                    spill.seal()
+                    cache_sealed = True
+                    logger.info(
+                        "stream cache sealed on disk: %d super-batches, "
+                        "%.0f MB at %s — later iterations replay the file "
+                        "sequentially", len(spill.meta),
+                        spill.nbytes() / (1 << 20), spill.path)
+            # the single host sync point of the iteration (accumulators are
+            # replicated shard_map outputs — addressable on every process)
+            if x2_total is None:
+                x2_total = float(np.asarray(x2_acc))
+            sums_h = np.asarray(sums)
+            counts_h = np.asarray(counts)
+            nonempty = counts_h > 0
+            centroids = np.where(
+                nonempty[:, None],
+                sums_h / np.maximum(counts_h, 1.0)[:, None],
+                centroids,
+            ).astype(np.float32)
+            if empty_policy == "split_largest":
+                centroids, _ = _split_empty_clusters_np(centroids, counts_h)
+            obj = float(np.asarray(obj_acc)) + x2_total
+            logger.info(
+                "streaming kmeans iter %d/%d: %d pts%s, obj=%.4f (%.2fs%s)",
+                it + 1, niter, n_total, " global" if mp else "", obj,
+                _time.perf_counter() - t_iter,
+                ", cached stream" if from_cache else
+                f", waiting on stream {t_wait:.2f}s",
+            )
+            if checkpoint_fn is not None:
+                checkpoint_fn(it + 1, centroids, obj)
+    finally:
+        # the spill file is per-fit scratch: delete it even on
+        # failure (a crashed fit must not leak corpus-sized files)
+        if spill is not None:
+            spill.cleanup()
     return centroids, obj, n_total
+
+
+class _DiskSpill:
+    """On-disk spill tier of the stream cache: super-batches append to one
+    sequential file during iteration 0 and replay as memmap views.
+
+    This is the 'staged NVMe' leg of the 2M-clip plan (BASELINE.md): the
+    corpus's ~880 GB of frames fit neither host RAM (``cache_mb``) nor HBM
+    (``hbm_cache_mb``), but a sequential NVMe read at GB/s beats
+    re-decoding 2M FLAC clips on every Lloyd iteration by an order of
+    magnitude.  Entries are written trimmed to their fill (file size ==
+    corpus bytes, in the wire dtype — bf16 wire halves the disk too);
+    replay yields memmap views that the existing ``_CacheReplay`` adapter
+    re-pads, so the feed pipeline and the device programs are identical to
+    the RAM-cache path.  Multi-process fits pass a per-process path (each
+    process spills its own stream shard)."""
+
+    def __init__(self, path, d: int, dtype, budget_mb: int):
+        from pathlib import Path as _Path
+
+        self.path = _Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.d = d
+        self.dtype = np.dtype(dtype)
+        self.budget = budget_mb << 20
+        self.meta: list = []  # (row_offset, fill)
+        self.rows = 0
+        self._f = open(self.path, "wb")
+        self._mm = None
+
+    def append(self, entry: np.ndarray, fill: int) -> bool:
+        """Write one (fill, d) entry; False when the budget would overflow
+        (caller drops the spill and re-streams)."""
+        row_bytes = self.d * self.dtype.itemsize
+        if (self.rows + fill) * row_bytes > self.budget:
+            return False
+        entry[:fill].tofile(self._f)
+        self.meta.append((self.rows, fill))
+        self.rows += fill
+        return True
+
+    def seal(self) -> None:
+        self._f.flush()
+        self._f.close()
+        self._f = None
+        self._mm = np.memmap(self.path, dtype=self.dtype, mode="r",
+                             shape=(self.rows, self.d))
+
+    def entries(self):
+        """(view, fill) pairs — the same shape _CacheReplay.feeds consumes;
+        the page-cache/NVMe read happens on the feed pipeline's producer
+        thread, overlapped with device compute like any other feed."""
+        for off, fill in self.meta:
+            yield self._mm[off:off + fill], fill
+
+    def nbytes(self) -> int:
+        return self.rows * self.d * self.dtype.itemsize
+
+    def cleanup(self) -> None:
+        """The spill is per-fit scratch: close and delete the file."""
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+        self._mm = None
+        try:
+            self.path.unlink(missing_ok=True)
+        except OSError:  # pragma: no cover - best-effort scratch removal
+            pass
 
 
 class _CacheReplay:
@@ -919,7 +1069,7 @@ class KMeans:
         niter: int = 20,
         seed: int = 1234,
         mesh: Optional[Mesh] = None,
-        chunk: int = 16384,
+        chunk: int = DEFAULT_CHUNK,
         max_points_per_centroid: Optional[int] = None,
         precision=jax.lax.Precision.HIGHEST,
         init: str = "random",

@@ -41,6 +41,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def decode_wire(padded_batch: jax.Array) -> jax.Array:
+    """Waveform wire format -> f32: int16 PCM rows (config.pcm_wire='i16')
+    become s/32768; float rows pass through.  The ONE definition of the PCM
+    wire decoding rule — MelFrontend._spectrum applies it, so EVERY device
+    DSP path (staged spectrograms, the fused tokenizer, the all-device
+    cluster feed, serving export) decodes identically and routing between
+    them never changes numerics."""
+    if padded_batch.dtype == jnp.int16:
+        return padded_batch.astype(jnp.float32) * (1.0 / 32768.0)
+    return padded_batch
+
+
 def hann_window(n: int, dtype=np.float32) -> np.ndarray:
     """Periodic Hann window (torch.hann_window(periodic=True))."""
     return (0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n) / n))).astype(dtype)
@@ -187,6 +199,7 @@ class MelFrontend:
 
     def _spectrum(self, padded_batch: jax.Array) -> jax.Array:
         """(B, L) -> (B, T, 2F) windowed real-DFT re/im, fp32 accumulation."""
+        padded_batch = decode_wire(padded_batch)  # i16 PCM wire -> f32
         if padded_batch.shape[1] > self.padded_len:  # alloc_len > padded_len
             padded_batch = padded_batch[:, : self.padded_len]
         b = padded_batch.shape[0]

@@ -25,6 +25,11 @@ import numpy as np
 
 EPS = 1e-10  # matches reference normalize_vectors (processors/cluster_creator.py:64-66)
 
+# Rows per device per compiled program in vq_assign_fused's corpus-scale
+# block loops (a single whole-corpus program at 15.5M rows exceeded the TPU
+# compiler's limits; module-level so tests can shrink it).
+ASSIGN_BLOCK = 1 << 22
+
 
 def l2_normalize(x: jax.Array, eps: float = EPS) -> jax.Array:
     """x / (||x|| + eps), row-wise — identical formula to the reference."""
@@ -128,14 +133,15 @@ def vq_assign_fused(
         interpret = not on_tpu
     n = x.shape[0]
     n_dev = mesh.shape["data"] if mesh is not None else 1
+    # corpus-scale inputs (the HBM-resident cluster-feed handoff is tens of
+    # millions of rows) go through fixed-size row blocks on BOTH branches:
+    # one program compiled for (BLOCK rows per device, d) — a single
+    # whole-corpus program at 15.5M rows exceeded what the TPU compiler
+    # accepts, and a whole-corpus pad temp would double HBM (r4 review:
+    # the sharded branch used to pad the full corpus and had no blocking)
+    BLOCK = ASSIGN_BLOCK
     if n_dev <= 1 or n < n_dev:
         if use_pallas:
-            # corpus-scale inputs (the HBM-resident cluster-feed handoff is
-            # tens of millions of rows) go through fixed-size row blocks:
-            # one pallas program compiled for (BLOCK, d) — a single
-            # whole-corpus program at 15.5M rows exceeded what the TPU
-            # compiler accepts, and its N-padding temp doubled HBM
-            BLOCK = 1 << 22
             if n <= BLOCK:
                 return np.asarray(vq_assign_pallas(
                     x, c, normalize=normalize, interpret=interpret))
@@ -153,14 +159,25 @@ def vq_assign_fused(
         return vq_assign(x, c, chunk=chunk)
     # equal per-device shards, each a whole number of scan chunks; zero-pad
     # rows (trimmed below) never affect real rows' assignments
-    local_chunk = min(chunk, -(-n // n_dev))
+    local_chunk = min(chunk, -(-n // n_dev), BLOCK)
     unit = n_dev * local_chunk
-    n_pad = -(-n // unit) * unit
-    if n_pad != n:
-        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
-    out = _vq_fused_sharded(x, c, mesh, normalize, use_pallas, interpret,
-                            local_chunk)
-    return np.asarray(out[:n])
+    gblock = (BLOCK // local_chunk) * local_chunk * n_dev  # unit-aligned
+    if n <= gblock:
+        n_pad = -(-n // unit) * unit
+        if n_pad != n:
+            x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        out = _vq_fused_sharded(x, c, mesh, normalize, use_pallas, interpret,
+                                local_chunk)
+        return np.asarray(out[:n])
+    out_np = np.empty((n,), np.int32)
+    for i in range(0, n, gblock):
+        blk = x[i : i + gblock]
+        if blk.shape[0] < gblock:  # keep the compiled shape
+            blk = jnp.pad(blk, ((0, gblock - blk.shape[0]), (0, 0)))
+        out_np[i : i + gblock] = np.asarray(_vq_fused_sharded(
+            blk, c, mesh, normalize, use_pallas, interpret,
+            local_chunk))[: n - i]
+    return out_np
 
 
 def vq_assign(

@@ -74,8 +74,12 @@ class ClusterCreator:
 
     def run(self) -> np.ndarray:
         logger.info("starting clustering (mode=%s)", self.config.kmeans_mode)
+        # which route the fit actually took (tools report wire economics
+        # from this instead of re-deriving the predicate — r4 review)
+        self.used_device_feed = False
         if self.config.kmeans_mode == "full":
             if self._use_fused_device_feed():
+                self.used_device_feed = True
                 # all-device feature chain: waveforms are the only
                 # host->device traffic; frames land directly in HBM and
                 # kmeans_fit consumes them device-resident.  Applies to any
@@ -83,7 +87,7 @@ class ClusterCreator:
                 # ones beyond the HOST in-memory budget that would otherwise
                 # stream (the balanced-AudioSet frame corpus is ~9.8 GB,
                 # inside one v5e's HBM)
-                frames = self._fused_frames_device()
+                frames, n_valid = self._fused_frames_device()
                 centroids, obj = kmeans_fit(
                     frames,
                     self.config.vocab_size,
@@ -94,9 +98,10 @@ class ClusterCreator:
                     init=self.config.kmeans_init,
                     empty_policy=self.config.kmeans_empty_policy,
                     precision=precision_from_str(self.config.kmeans_precision),
+                    n_valid=n_valid,
                 )
                 logger.info("full kmeans over %d frames: obj=%.2f",
-                            len(frames), obj)
+                            n_valid, obj)
             elif self._should_stream() or distributed.is_multiprocess():
                 if self.config.max_points_per_centroid is not None:
                     logger.warning(
@@ -142,6 +147,13 @@ class ClusterCreator:
                         precision=precision_from_str(
                             self.config.kmeans_precision),
                         cache_mb=self.config.kmeans_stream_cache_mb,
+                        cache_spill_path=(
+                            Path(self.config.base_dir) / "output" /
+                            "kmeans_stream_spill"
+                            f".p{distributed.process_index()}.bin"
+                            if self.config.kmeans_stream_spill_mb > 0
+                            else None),
+                        cache_spill_mb=self.config.kmeans_stream_spill_mb,
                         hbm_cache_mb=self.config.kmeans_hbm_cache_mb,
                         wire_dtype=wire_dtype,
                     )
@@ -319,10 +331,20 @@ class ClusterCreator:
         (``_fused_frames_device``): fused pipeline, single-process, no
         min-max normalize (its degenerate-clip screen is host-side), and the
         whole frame corpus fits the ``kmeans_hbm_cache_mb`` device budget —
-        the budget covers the corpus buffer; the Lloyd working set (chunked
-        stats scan) adds only centroid-sized state on top."""
+        the budget covers the corpus buffer, which is the PEAK residency:
+        the buffer is chunk-aligned so ``kmeans_fit(..., n_valid=...)``
+        consumes it with no slice/pad copy, and the Lloyd working set adds
+        only centroid-sized state on top.
+
+        ``kmeans_streaming='always'`` is an explicit user bound on device
+        memory and wins over this routing.  Note on ``pcm_wire='i16'``:
+        the wire format applies to every device-bound waveform path
+        (this feed, the streaming feed's decode, and the fused tokenizer
+        alike), so routing between them never changes numerics; int16
+        round-trip is bit-exact for 16-bit sources (all of AudioSet)."""
         cfg = self.config
         if (not cfg.fused_pipeline or cfg.normalize
+                or cfg.kmeans_streaming == "always"
                 or distributed.is_multiprocess()):
             return False
         budget = cfg.kmeans_hbm_cache_mb * (1 << 20)
@@ -332,9 +354,7 @@ class ClusterCreator:
 
         with open(cfg.split_file) as f:
             n_clips = len(_json.load(f)["train"])
-        frames_max = 1 + cfg.clip_samples // cfg.hop_length
-        est = ((n_clips + cfg.device_batch_size) * frames_max
-               * self.feature_dim * 4)
+        est = self._feed_capacity_rows(n_clips) * self.feature_dim * 4
         if est > budget:
             logger.info(
                 "fused device feed declined: ~%.1f GB of frames exceeds "
@@ -342,6 +362,24 @@ class ClusterCreator:
                 est / 2**30, cfg.kmeans_hbm_cache_mb)
             return False
         return True
+
+    def _feed_capacity_rows(self, n_clips: int) -> int:
+        """HBM rows the fused device feed allocates for ``n_clips``: every
+        clip at max frames, one batch of update slack, rounded up to a whole
+        number of kmeans scan chunks across the mesh so ``kmeans_fit``
+        consumes the buffer with NO slice or pad copy (the buffer IS the
+        peak residency — r4 review found the old slice+pad path peaked at
+        ~2x the corpus)."""
+        from audio_tokens_tpu.ops.kmeans import DEFAULT_CHUNK
+
+        cfg = self.config
+        frames_max = 1 + cfg.clip_samples // cfg.hop_length
+        rows = (n_clips + cfg.device_batch_size) * frames_max
+        n_dev = (int(np.prod([self.mesh.shape[a]
+                              for a in self.mesh.axis_names]))
+                 if self.mesh else 1)
+        unit = DEFAULT_CHUNK * n_dev
+        return -(-rows // unit) * unit
 
     def _should_stream(self) -> bool:
         """Whether full-mode k-means must stream super-batches (bounded host
@@ -440,7 +478,6 @@ class ClusterCreator:
         from audio_tokens_tpu.processors.spectrogram_generator import (
             SpectrogramGenerator,
         )
-        from audio_tokens_tpu.tokenizer import decode_wire
 
         cfg = self.config
         gen = getattr(self, "_fused_gen", None)
@@ -449,13 +486,16 @@ class ClusterCreator:
         ytids = distributed.process_shard(sorted(gen.data_split["train"]))
         fe = gen.frontend
         bs, t_max, m = cfg.device_batch_size, fe.frames_max, cfg.n_mels
-        cap = len(ytids) * t_max + bs * t_max  # slack: update never clamps
+        # chunk-aligned capacity: kmeans_fit(n_valid=...) consumes the
+        # buffer with no slice/pad copy, so this allocation IS the fit's
+        # peak HBM residency (plus centroid-sized state)
+        cap = self._feed_capacity_rows(len(ytids))
         buffer = jnp.zeros((cap, self.feature_dim), jnp.float32)
         conv = self.conv
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def accum(buf, batch, idx, offset):
-            mel = fe.mel_frames(decode_wire(batch))       # (B, T, M)
+            mel = fe.mel_frames(batch)  # (B, T, M); decodes the PCM wire
             fr = mel.reshape(bs * t_max, m)
             if conv is not None:
                 fr = conv(fr)
@@ -483,13 +523,15 @@ class ClusterCreator:
         if offset == 0:
             raise FileNotFoundError(
                 "fused cluster feed found no decodable training audio")
-        frames = buffer[:offset]
         # resident handoff: the tokenize stage can assign train-split tokens
         # straight from these frames — the composed pipeline then decodes
-        # the train audio ONCE (see SpecTokenizer resident_frames)
-        self.resident_frames = frames
+        # the train audio ONCE (see SpecTokenizer resident_frames).  The
+        # FULL capacity buffer is handed around (never sliced — a device
+        # slice would copy the corpus); rows >= offset are masked by
+        # consumers via n_valid / the manifest ranges.
+        self.resident_frames = buffer
         self.resident_manifest = manifest
-        return frames
+        return buffer, offset
 
     def take_resident_frames(self):
         """(frames, {ytid: (offset, n_frames)}) from the fused device feed,

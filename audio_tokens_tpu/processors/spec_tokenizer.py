@@ -350,24 +350,16 @@ class SpecTokenizer:
                     ytids = ytids + failed  # re-tokenize unreadable clips
             logger.info("Fused-tokenizing %s: audio --> %s", split, tokenized_dir)
             n_todo = len(ytids)
+            resident_work = None
             resident_tokens: Dict[str, np.ndarray] = {}
             if self.resident is not None and split == "train":
                 frames, manifest = self.resident
                 covered = [y for y in ytids if y in manifest]
                 if covered:
-                    all_tokens = np.asarray(vq_assign_fused(
-                        frames, self.centroids, mesh=self.mesh,
-                        normalize=False,  # resident rows are pre-normalized
-                    )).astype(np.int64)
-                    for y in covered:
-                        off, n = manifest[y]
-                        resident_tokens[y] = all_tokens[off:off + n]
+                    resident_work = (frames, manifest, covered)
                     ytids = [y for y in ytids if y not in manifest]
-                    logger.info(
-                        "resident frames: %d clips tokenized with no "
-                        "re-decode and no waveform wire", len(covered))
-                # release the HBM corpus before the validation decode and
-                # the training stage
+                # release the creator's reference; the HBM corpus now lives
+                # until the assignment below completes
                 self.resident = frames = None
             found = [(y, p) for y in ytids
                      if (p := find_audio_file(cfg, y)) is not None]
@@ -375,6 +367,16 @@ class SpecTokenizer:
             bs = cfg.device_batch_size
             with maybe_trace(cfg.profile_dir), \
                     StageTimer(f"tokenize-fused/{split}") as timer:
+                if resident_work is not None:
+                    # inside the timer/trace: the assignment is the dominant
+                    # resident-path device cost and must show up in the
+                    # stage's reported rate and profile (r4 review)
+                    resident_tokens = self._assign_resident(*resident_work)
+                    resident_work = None
+                    logger.info(
+                        "resident frames: %d clips tokenized with no "
+                        "re-decode and no waveform wire",
+                        len(resident_tokens))
                 n_clips = 0
                 for ytid, toks in resident_tokens.items():
                     atomic_save_npy(tokenized_dir / f"{ytid}.npy", toks)
@@ -401,6 +403,40 @@ class SpecTokenizer:
             if split == "train":
                 stats[split] = self._finish_train_stats(counts, ledger)
         return stats
+
+    def _assign_resident(
+        self, frames, manifest, covered: List[str]
+    ) -> Dict[str, np.ndarray]:
+        """Per-clip tokens straight from the HBM-resident frame corpus
+        (rows are pre-normalized; ``frames`` may be a capacity buffer whose
+        rows beyond the manifest ranges are junk — only covered ranges are
+        read).  Full-coverage runs assign the whole buffer in blocked
+        programs; sparse incremental reruns gather just the covered clips'
+        row ranges first (r4 review: a few-clip rerun was assigning all
+        15.5M corpus rows for a handful of token sequences)."""
+        import jax.numpy as jnp
+
+        spans = [(y, *manifest[y]) for y in covered]
+        need = sum(n for _, _, n in spans)
+        out: Dict[str, np.ndarray] = {}
+        if need >= frames.shape[0] // 2:
+            all_tokens = np.asarray(vq_assign_fused(
+                frames, self.centroids, mesh=self.mesh, normalize=False,
+            )).astype(np.int64)
+            for y, off, n in spans:
+                out[y] = all_tokens[off:off + n]
+            return out
+        idx = np.concatenate(
+            [np.arange(off, off + n, dtype=np.int32) for _, off, n in spans])
+        sub = jnp.take(frames, jnp.asarray(idx), axis=0)
+        toks = np.asarray(vq_assign_fused(
+            sub, self.centroids, mesh=self.mesh, normalize=False,
+        )).astype(np.int64)
+        pos = 0
+        for y, off, n in spans:
+            out[y] = toks[pos:pos + n]
+            pos += n
+        return out
 
     def _fused_tokens_native(self, ft, chunk, bs):
         """C++ threaded decode into the device layout -> fused program."""

@@ -34,6 +34,16 @@ from audio_tokens_tpu.utils.profiling import StageTimer, maybe_trace
 
 logger = logging.getLogger(__name__)
 
+# Waveform amplitude sanity bound for the decode-only feed (iter_wave_batches,
+# consumed by the all-device cluster feed).  The staged paths screen the
+# COMPUTED spectrogram for NaN/Inf, but the wave feed never materializes one
+# on the host: a finite waveform with |s| ~ 1e17 overflows f32 in the
+# in-program |spec|^2 (re^2 ~ (n_fft*|s|)^2 > 3.4e38) and a single such clip
+# would write NaN rows into the HBM frame corpus, poisoning every centroid.
+# Sane decoded audio is |s| <= ~1; overflow needs |s| > ~3e16 — 1e8 is far
+# from both, so the screen drops exactly the clips the spec screen would.
+AMPLITUDE_LIMIT = 1e8
+
 
 
 class SpectrogramGenerator:
@@ -118,15 +128,29 @@ class SpectrogramGenerator:
             return
         bs = self.config.device_batch_size
         pending: List[Tuple[str, np.ndarray]] = []
-        # bounded decode-ahead: Executor.map would submit every ytid up
-        # front, letting decoders run arbitrarily far ahead of the
-        # device-bound consumer and buffer the whole corpus's waveforms in
-        # completed futures (~GBs at real scale).  A sliding window of
-        # in-flight futures keeps the threads busy with O(window) live
-        # waveforms instead.
+        for ytid, wave in self._decoded_waves(ytids):
+            pending.append((ytid, wave))
+            if len(pending) == bs:
+                yield from self._specs_for_batch(pending)
+                pending = []
+        if pending:
+            yield from self._specs_for_batch(pending)
+
+    def _decoded_waves(self, ytids: List[str]):
+        """Threaded decode with bounded decode-ahead: yields (ytid, wave)
+        for decodable, finite, sane-amplitude clips.
+
+        Executor.map would submit every ytid up front, letting decoders run
+        arbitrarily far ahead of the device-bound consumer and buffer the
+        whole corpus's waveforms in completed futures (~GBs at real scale);
+        a sliding window of in-flight futures keeps the threads busy with
+        O(window) live waveforms instead.  One implementation shared by the
+        python iter_specs and iter_wave_batches paths so the staged and
+        fused feeds cannot drift (r4 review)."""
         from collections import deque
 
-        window = max(2 * bs, 2 * self.config.num_workers)
+        window = max(2 * self.config.device_batch_size,
+                     2 * self.config.num_workers)
         inflight: deque = deque()
         it = iter(ytids)
         while True:
@@ -142,12 +166,12 @@ class SpectrogramGenerator:
             wave = fut.result()
             if wave is None:
                 continue
-            pending.append((ytid, wave))
-            if len(pending) == bs:
-                yield from self._specs_for_batch(pending)
-                pending = []
-        if pending:
-            yield from self._specs_for_batch(pending)
+            amax = float(np.max(np.abs(wave))) if wave.size else 0.0
+            if not np.isfinite(amax) or amax > AMPLITUDE_LIMIT:
+                logger.info("skipping %s: non-finite or extreme samples "
+                            "(max |s| = %.3g)", ytid, amax)
+                continue
+            yield ytid, wave
 
     def iter_wave_batches(self, ytids: List[str]):
         """Decode-only batches: (padded (B, L) waveforms, lengths (B,) int32,
@@ -176,13 +200,16 @@ class SpectrogramGenerator:
                     cfg.n_fft, n_threads=cfg.num_workers, dtype=dtype,
                 )
                 if dtype is np.float32:
-                    # same NaN/Inf screen as _iter_specs_native (a non-finite
-                    # waveform is the only source of a non-finite mel row);
-                    # int16 PCM is finite by construction
+                    # the staged paths screen the computed SPECTROGRAM for
+                    # NaN/Inf; the wave feed never materializes one, so
+                    # screen the waveform for non-finite AND extreme
+                    # amplitude (which would overflow |spec|^2 in-program —
+                    # see AMPLITUDE_LIMIT); int16 PCM is safe by construction
+                    amax = np.abs(batch).max(axis=1)
                     for r in np.flatnonzero(
-                            ~np.isfinite(batch).all(axis=1)):
-                        logger.info("skipping %s: non-finite samples",
-                                    chunk[r][1])
+                            ~np.isfinite(amax) | (amax > AMPLITUDE_LIMIT)):
+                        logger.info("skipping %s: non-finite or extreme "
+                                    "samples", chunk[r][1])
                         lengths[r] = -1
                 row_ytids = [y for y, _ in chunk] + [None] * (bs - len(chunk))
                 if len(chunk) < bs:
@@ -192,11 +219,6 @@ class SpectrogramGenerator:
                         [lengths, np.full(bs - len(chunk), -1, np.int32)])
                 yield batch, lengths, row_ytids
             return
-        from collections import deque
-
-        window = max(2 * bs, 2 * cfg.num_workers)
-        inflight: deque = deque()
-        it = iter(ytids)
         waves: List[np.ndarray] = []
         wave_ytids: List[str] = []
 
@@ -210,19 +232,7 @@ class SpectrogramGenerator:
                     [lengths, np.full(bs - len(waves), -1, np.int32)])
             return batch, lengths, row_ytids
 
-        while True:
-            while len(inflight) < window:
-                y = next(it, None)
-                if y is None:
-                    break
-                inflight.append(
-                    (y, self._decode_pool.submit(self._decode_one, y)))
-            if not inflight:
-                break
-            y, fut = inflight.popleft()
-            wave = fut.result()
-            if wave is None or not np.isfinite(wave).all():
-                continue
+        for y, wave in self._decoded_waves(ytids):
             waves.append(wave)
             wave_ytids.append(y)
             if len(waves) == bs:
@@ -238,13 +248,19 @@ class SpectrogramGenerator:
         found = [(y, p) for y in ytids if (p := self.find_audio_file(y)) is not None]
         for i in range(0, len(found), bs):
             chunk = found[i : i + bs]
+            # pcm_wire='i16' ships int16 PCM here too (halves the staged
+            # stage's wire); MelFrontend._spectrum decodes the wire, so the
+            # staged artifacts and the fused feeds stay numerically
+            # identical under the same config
             batch, lengths = native_loader.decode_batch(
                 [p for _, p in chunk], cfg.common_sr, cfg.clip_samples,
                 cfg.n_fft, n_threads=cfg.num_workers,
+                dtype=np.int16 if cfg.pcm_wire == "i16" else np.float32,
             )
             if len(chunk) < bs:  # keep the compiled shape
                 batch = np.concatenate(
-                    [batch, np.zeros((bs - len(chunk), batch.shape[1]), np.float32)]
+                    [batch, np.zeros((bs - len(chunk), batch.shape[1]),
+                                     batch.dtype)]
                 )
                 lengths = np.concatenate(
                     [lengths, np.full(bs - len(chunk), -1, np.int32)]

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_tokens_tpu.config import AudioTokensConfig
-from audio_tokens_tpu.ops.mel import MelFrontend, num_frames
+from audio_tokens_tpu.ops.mel import MelFrontend, decode_wire, num_frames
 from audio_tokens_tpu.ops.conv_features import ConvFeatures
 from audio_tokens_tpu.ops.pallas_vq import (
     _on_tpu,
@@ -29,16 +29,6 @@ from audio_tokens_tpu.ops.pallas_vq import (
     vq_assign_pallas,
 )
 from audio_tokens_tpu.ops.vq import l2_normalize
-
-
-def decode_wire(padded_batch: jax.Array) -> jax.Array:
-    """Waveform wire format -> f32: int16 PCM rows (config.pcm_wire='i16')
-    become s/32768; float rows pass through.  The ONE definition of the PCM
-    wire decoding rule — tokens_from_padded and export.ServingProgram.serve
-    both route through it so the formats cannot drift."""
-    if padded_batch.dtype == jnp.int16:
-        return padded_batch.astype(jnp.float32) * (1.0 / 32768.0)
-    return padded_batch
 
 
 class FusedTokenizer:

@@ -170,10 +170,9 @@ def main() -> None:
         else:
             print(f"{k:>16s}: {timings[k] * scale / 3600:8.1f} h")
     compute_s = n_train * frames_per_clip * args.niter / 74e6
-    frames_est = ((n_train + cfg.device_batch_size) * frames_per_clip
-                  * cfg.feature_dim * 4)
-    fused_dev = (cfg.fused_pipeline and not cfg.normalize
-                 and frames_est <= cfg.kmeans_hbm_cache_mb * (1 << 20))
+    # the route the fit ACTUALLY took, recorded by ClusterCreator.run()
+    # (re-deriving the predicate here drifted once already — r4 review)
+    fused_dev = getattr(cluster, "used_device_feed", False)
     if fused_dev:
         wav_bytes = 2 if cfg.pcm_wire == "i16" else 4
         print(f"(clustering moves ~{n_train * cfg.clip_samples * wav_bytes / 2**30:.0f} GiB "

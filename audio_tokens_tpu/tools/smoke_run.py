@@ -117,8 +117,10 @@ def main() -> None:
     for name, stage in stages:
         t0 = time.perf_counter()
         if stage is SpecTokenizer and cluster is not None:
-            # fused handoff: tokenize the train split from the cluster
-            # stage's HBM-resident frames (one decode pass for the pipeline)
+            # same wiring as run_pipeline.py: the handoff is a no-op (None)
+            # under the smoke config's reference-default batch_warm_start
+            # clustering — it only engages when the fit took the all-device
+            # feed (kmeans_mode='full' fused runs; scale_run exercises it)
             stage(cfg,
                   resident_frames=cluster.take_resident_frames()).run()
         else:

@@ -146,9 +146,13 @@ def test_fused_device_feed_matches_host_generator(tmp_path_factory):
     cfg = fixtures.test_config(base, fused_pipeline=True)
     DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
     cc = ClusterCreator(cfg)
-    dev = np.asarray(cc._fused_frames_device())
+    buf, n_valid = cc._fused_frames_device()
     host = np.concatenate(
         list(cc._batch_generator(cfg.clustering_batch_size)), axis=0)
+    # the buffer is a chunk-aligned CAPACITY allocation (consumed copy-free
+    # via kmeans_fit(n_valid=...)); rows beyond n_valid are masked junk
+    assert buf.shape[0] >= n_valid
+    dev = np.asarray(buf)[:n_valid]
     assert dev.shape == host.shape
     np.testing.assert_array_equal(dev, host)
 
@@ -230,3 +234,95 @@ def test_fused_pipeline_byte_identical_to_staged(tmp_path_factory):
         assert [f.name for f in a] == [f.name for f in b] and a
         for fa, fb in zip(a, b):
             np.testing.assert_array_equal(np.load(fa), np.load(fb))
+
+
+def test_wave_feed_amplitude_screen(tmp_path_factory, monkeypatch):
+    """A finite but absurd-amplitude clip (|s| ~ 1e17 overflows f32 in the
+    in-program |spec|^2) is dropped by the wave feed's host screen, exactly
+    as the staged paths' spectrogram NaN/Inf screen would drop it — one
+    such clip would otherwise write NaN rows into the HBM frame corpus and
+    poison every centroid (r4 review)."""
+    base = tmp_path_factory.mktemp("amp_screen")
+    fixtures.make_workspace(base)
+    # python backend: the rig injects via _decode_one (the native path
+    # applies the same amax screen to its decoded batch rows)
+    cfg = fixtures.test_config(base, fused_pipeline=True,
+                               audio_backend="python")
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+    gen = SpectrogramGenerator(cfg)
+    ytids = sorted(gen.data_split["train"])[:4]
+    bad = ytids[1]
+    orig = SpectrogramGenerator._decode_one
+
+    def rigged(self, ytid):
+        wave = orig(self, ytid)
+        if ytid == bad and wave is not None:
+            wave = wave * np.float32(1e17)
+        return wave
+
+    monkeypatch.setattr(SpectrogramGenerator, "_decode_one", rigged)
+    seen = []
+    for batch, lengths, row_ytids in gen.iter_wave_batches(ytids):
+        seen += [y for y in row_ytids if y is not None]
+        assert np.isfinite(batch).all()
+        assert np.abs(batch).max() < 1e8
+    assert bad not in seen
+    assert set(seen) == set(ytids) - {bad}
+
+
+def test_fused_device_feed_respects_streaming_always(tmp_path_factory):
+    """kmeans_streaming='always' is an explicit user bound on device memory
+    and must win over the all-device feed routing (r4 review: the feed used
+    to be consulted first, silently ignoring the override)."""
+    base = tmp_path_factory.mktemp("stream_always")
+    fixtures.make_workspace(base)
+    DatasetSplitter(
+        fixtures.test_config(base)
+    ).create_split_file(AudiosetMetadataProcessor(fixtures.test_config(base)))
+    cfg = fixtures.test_config(base, fused_pipeline=True, kmeans_mode="full",
+                               kmeans_streaming="always")
+    cc = ClusterCreator(cfg)
+    assert not cc._use_fused_device_feed()
+    cfg2 = fixtures.test_config(base, fused_pipeline=True, kmeans_mode="full")
+    assert ClusterCreator(cfg2)._use_fused_device_feed()
+
+
+def test_melfrontend_decodes_i16_wire(rng):
+    """MelFrontend accepts int16 PCM rows directly (decode_wire applied
+    inside _spectrum): every DSP consumer — staged specs, fused tokenizer,
+    cluster feed — shares one wire-decode rule, so pipeline routing can
+    never change numerics."""
+    import jax.numpy as jnp
+
+    from audio_tokens_tpu.ops.mel import MelFrontend
+
+    fe = MelFrontend(sample_rate=22050, n_mels=32, n_fft=256, hop_length=128,
+                     clip_samples=22050, normalize=False)
+    pcm = rng.integers(-32768, 32767, (2, fe.padded_len)).astype(np.int16)
+    f32 = pcm.astype(np.float32) / 32768.0
+    out_i16 = np.asarray(fe(jnp.asarray(pcm)))
+    out_f32 = np.asarray(fe(jnp.asarray(f32)))
+    np.testing.assert_array_equal(out_i16, out_f32)
+
+
+def test_assign_resident_sparse_gathers_only_covered(rng):
+    """Incremental reruns with few clips left gather just the covered
+    clips' row ranges instead of assigning the whole resident corpus
+    (r4 review); both routes must produce identical tokens."""
+    from types import SimpleNamespace
+
+    from audio_tokens_tpu.ops.vq import l2_normalize
+
+    d, k = 16, 12
+    cents = np.asarray(l2_normalize(
+        rng.standard_normal((k, d)).astype(np.float32)))
+    frames = np.asarray(l2_normalize(
+        rng.standard_normal((400, d)).astype(np.float32)))
+    manifest = {f"y{i}": (i * 40, 40) for i in range(10)}
+    stub = SimpleNamespace(centroids=cents, mesh=None)
+    full = SpecTokenizer._assign_resident(
+        stub, frames, manifest, [f"y{i}" for i in range(10)])
+    sparse = SpecTokenizer._assign_resident(stub, frames, manifest, ["y3"])
+    assert set(sparse) == {"y3"}
+    np.testing.assert_array_equal(sparse["y3"], full["y3"])
+    assert len(full) == 10 and all(len(v) == 40 for v in full.values())

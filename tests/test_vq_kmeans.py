@@ -348,6 +348,71 @@ class TestStreamingKMeans:
         assert calls["n"] == 3  # cache dropped -> one stream per iteration
         assert any("cache dropped" in r.message for r in caplog.records)
 
+    def test_stream_spill_replays_bit_identical(self, rng, tmp_path):
+        """cache_spill: when the packed stream outgrows the RAM budget it
+        spills to one sequential file, the stream is still produced exactly
+        once, replay matches re-streaming BIT-identically (masked pad rows
+        contribute exact zeros), and the scratch file is deleted on
+        return."""
+        from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
+
+        x = self._blobs(rng, n=20000)  # ~1.25 MB packed > 1 MB RAM budget
+        k = 8
+        init = x[rng.choice(len(x), k, replace=False)].copy()
+        calls = {"n": 0}
+
+        def batches():
+            calls["n"] += 1
+            return iter([x[i : i + 700] for i in range(0, len(x), 700)])
+
+        spill = tmp_path / "kmeans_spill.bin"
+        c_spill, o_spill, n1 = kmeans_fit_streaming(
+            batches, k, niter=4, d=x.shape[1], init_centroids=init,
+            superbatch_rows=1024, chunk=256, cache_mb=1,
+            cache_spill_path=spill, cache_spill_mb=64,
+        )
+        assert calls["n"] == 1  # stream produced exactly once
+        assert not spill.exists()  # per-fit scratch, deleted on return
+        c_plain, o_plain, n2 = kmeans_fit_streaming(
+            lambda: iter([x[i : i + 700] for i in range(0, len(x), 700)]),
+            k, niter=4, init_centroids=init,
+            superbatch_rows=1024, chunk=256,
+        )
+        assert n1 == n2 == len(x)
+        np.testing.assert_array_equal(np.asarray(c_spill),
+                                      np.asarray(c_plain))
+        assert o_spill == o_plain
+
+    def test_stream_spill_dropped_when_over_budget(self, rng, tmp_path,
+                                                   caplog):
+        """Corpus beyond BOTH the RAM and disk budgets: the spill is
+        dropped (file deleted), every iteration re-streams, and it's
+        logged."""
+        import logging
+
+        from audio_tokens_tpu.ops.kmeans import kmeans_fit_streaming
+
+        x = self._blobs(rng, n=20000)  # ~1.25 MB packed
+        k = 8
+        init = x[rng.choice(len(x), k, replace=False)].copy()
+        calls = {"n": 0}
+
+        def batches():
+            calls["n"] += 1
+            return iter([x[i : i + 700] for i in range(0, len(x), 700)])
+
+        spill = tmp_path / "kmeans_spill.bin"
+        with caplog.at_level(logging.INFO,
+                             logger="audio_tokens_tpu.ops.kmeans"):
+            kmeans_fit_streaming(
+                batches, k, niter=3, d=x.shape[1], init_centroids=init,
+                superbatch_rows=1024, chunk=256, cache_mb=1,
+                cache_spill_path=spill, cache_spill_mb=1,
+            )
+        assert calls["n"] == 3  # spill dropped -> one stream per iteration
+        assert not spill.exists()
+        assert any("spill dropped" in r.message for r in caplog.records)
+
     def test_feeder_preserves_order_and_values(self, rng):
         from audio_tokens_tpu.ops.kmeans import _SuperbatchFeeder
 
@@ -726,3 +791,58 @@ def test_kmeans_ckpt_multiprocess_reconciliation(tmp_path, monkeypatch, rng):
         lambda v: np.stack([v, np.zeros_like(np.asarray(v))]))
     start, c = cc._load_kmeans_checkpoint()
     assert start == 0 and c is None
+
+
+def test_kmeans_fit_n_valid_capacity_buffer(rng):
+    """A chunk-aligned CAPACITY buffer (junk rows beyond n_valid) fits
+    identically to the exact-n array — the all-device cluster feed hands
+    kmeans_fit its HBM buffer this way so no slice/pad copy is made (r4
+    review: the old slice+pad path peaked at ~2x the corpus in HBM)."""
+    import jax.numpy as jnp
+
+    n, d, k, chunk = 1000, 8, 16, 128
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    init = x[rng.choice(n, k, replace=False)]
+    cap = 1280  # multiple of chunk, > n; junk tail must not matter
+    buf = np.full((cap, d), 7.25, np.float32)
+    buf[:n] = x
+    exact, obj_e = kmeans_fit(x, k, niter=5, init_centroids=init, chunk=chunk)
+    capped, obj_c = kmeans_fit(jnp.asarray(buf), k, niter=5,
+                               init_centroids=init, chunk=chunk, n_valid=n)
+    np.testing.assert_array_equal(capped, exact)
+    assert obj_c == obj_e
+
+
+def test_kmeans_fit_n_valid_with_random_init_and_validation(rng):
+    """Random init must draw only valid rows; bad n_valid rejected."""
+    n, d, k = 600, 6, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    buf = np.concatenate([x, np.full((424, d), 1e6, np.float32)])
+    c, _ = kmeans_fit(buf, k, niter=3, seed=7, chunk=128, n_valid=n)
+    # junk rows are huge (1e6); any leak into init/stats would show up as
+    # a centroid far outside the data's range
+    assert np.abs(c).max() < 100.0
+    with pytest.raises(ValueError, match="n_valid"):
+        kmeans_fit(buf, k, niter=1, n_valid=0)
+    with pytest.raises(ValueError, match="n_valid"):
+        kmeans_fit(buf, k, niter=1, n_valid=buf.shape[0] + 1)
+
+
+def test_vq_assign_fused_sharded_block_loop(rng, monkeypatch):
+    """The sharded corpus-scale block loop (r4 review: it used to pad the
+    whole corpus and had no row blocking) produces the same assignments as
+    the single-program path."""
+    from audio_tokens_tpu.ops import vq as vq_mod
+
+    assert len(jax.devices()) == 8
+    mesh = Mesh(np.array(jax.devices()), axis_names=("data",))
+    x = rng.standard_normal((3000, 16)).astype(np.float32)
+    c = rng.standard_normal((24, 16)).astype(np.float32)
+    ref = vq_mod.vq_assign_fused(x, c, mesh=mesh)
+    monkeypatch.setattr(vq_mod, "ASSIGN_BLOCK", 128)
+    blocked = vq_mod.vq_assign_fused(x, c, mesh=mesh)
+    np.testing.assert_array_equal(blocked, ref)
+    # single-device block loop too (non-pallas path falls through; force
+    # the pallas interpret path to cover the block slicing)
+    ref1 = vq_mod.vq_assign_fused(x, c, use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(ref1, ref)
