@@ -744,7 +744,11 @@ def kmeans_fit_streaming(
             raise ValueError(f"unknown init '{init}'")
         return np.asarray(c0, np.float32)
 
-    cache: Optional[list] = [] if cache_mb > 0 else None
+    # a configured spill with cache_mb=0 means "cache on disk only": the RAM
+    # tier exists but overflows on the first entry, migrating straight to
+    # the file
+    want_spill = cache_spill_path is not None and cache_spill_mb > 0
+    cache: Optional[list] = [] if (cache_mb > 0 or want_spill) else None
     spill: Optional[_DiskSpill] = None  # disk tier, engaged on RAM overflow
     cache_sealed = False
     cache_bytes = 0

@@ -96,10 +96,24 @@ def main() -> None:
     local = x[pid::nproc]
     feeds = [local[i : i + 300] for i in range(0, len(local), 300)]
     mesh = Mesh(np.array(jax.devices()), ("data",))
+    # through the DISK-SPILL tier: a 0 MB RAM budget forces every super-batch
+    # to the per-process spill file on iteration 0, and iterations 2..niter
+    # replay it — the lock-step cross-process feed schedule must hold off
+    # disk exactly as it does off the live stream (each process spills only
+    # its own shard)
+    stream_calls = {"n": 0}
+
+    def batches():
+        stream_calls["n"] += 1
+        return iter(feeds)
+
+    spill = os.path.join(outdir, f"kmeans_spill_{pid}.bin")
     centroids, obj, n_total = kmeans_fit_streaming(
-        lambda: iter(feeds), 8, niter=3, d=16, init_centroids=init,
+        batches, 8, niter=3, d=16, init_centroids=init,
         mesh=mesh, superbatch_rows=1024, chunk=128,
+        cache_mb=0, cache_spill_path=spill, cache_spill_mb=64,
     )
+    assert not os.path.exists(spill), "spill scratch must be deleted"
 
     # ---- part C: SpecTokenizer stage with per-process ytid sharding ----
     # proc 0 synthesizes a shared workspace (spectrograms + centroids);
