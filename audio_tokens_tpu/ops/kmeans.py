@@ -338,6 +338,7 @@ def kmeans_fit(
         sel = rng.choice(n, size=k * max_points_per_centroid, replace=False)
         x = x[xp.asarray(np.sort(sel))]
         n = x.shape[0]
+        n_valid = None  # the gather kept exactly the valid subsample
 
     if init_centroids is None:
         if n < k:
@@ -356,7 +357,13 @@ def kmeans_fit(
     init_centroids = xp.asarray(init_centroids, dtype=xp.float32).reshape(k, d)
 
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names])) if mesh else 1
-    eff_chunk = min(chunk, _round_up(-(-n // n_dev), 8))
+    # capacity buffers (n_valid) size the scan chunk from the BUFFER, not
+    # the valid rows: a chunk-aligned capacity must stay a whole number of
+    # chunks even when n_valid is small, or the `cap % unit` branch below
+    # would pad-copy the very buffer the n_valid API exists to not copy
+    # (masked capacity rows cost one mostly-masked scan chunk, not a copy)
+    chunk_base = x.shape[0] if n_valid is not None else n
+    eff_chunk = min(chunk, _round_up(-(-chunk_base // n_dev), 8))
     unit = eff_chunk * n_dev
     cap = x.shape[0]
     if cap % unit:
@@ -855,7 +862,9 @@ def kmeans_fit_streaming(
                                 "HBM corpus cache dropped: exceeds "
                                 "hbm_cache_mb=%d (falling back to %s)",
                                 hbm_cache_mb,
-                                "host cache" if cache is not None else "re-stream")
+                                "host cache" if cache is not None
+                                else "disk spill" if spill is not None
+                                else "re-stream")
                             hbm = None
                         else:
                             hbm.append((x, fills, fill))
@@ -865,6 +874,8 @@ def kmeans_fit_streaming(
                         if isinstance(buf, jax.Array):
                             logger.info(
                                 "stream cache disabled: device-resident feeds")
+                            if spill is not None:
+                                spill.cleanup()  # drop the scratch file too
                             cache = spill = None
                         elif spill is not None:
                             if not spill.append(buf, fill):
@@ -926,6 +937,20 @@ def kmeans_fit_streaming(
                         "HBM corpus cache sealed: %d super-batches, %.0f MB "
                         "resident per process — later iterations run without "
                         "host involvement", len(hbm), hbm_bytes / (1 << 20))
+                    # the host tiers will never be read (HBM replay wins
+                    # every remaining iteration): free the RAM copy and
+                    # delete the spill scratch now rather than at return.
+                    # (They were still written during iteration 0 as
+                    # insurance against a mid-iteration HBM drop — dead
+                    # work bounded by hbm_cache_mb, since a corpus that
+                    # seals fits the HBM budget by definition.)
+                    if cache is not None or spill is not None:
+                        logger.info(
+                            "host stream cache released: HBM replay "
+                            "supersedes it")
+                        if spill is not None:
+                            spill.cleanup()
+                        cache = spill = None
                 if cache is not None:
                     cache_sealed = True
                     logger.info("stream cache sealed: %d super-batches, %.0f MB",

@@ -141,22 +141,30 @@ def vq_assign_fused(
     # the sharded branch used to pad the full corpus and had no blocking)
     BLOCK = ASSIGN_BLOCK
     if n_dev <= 1 or n < n_dev:
-        if use_pallas:
-            if n <= BLOCK:
+        if n <= BLOCK:
+            if use_pallas:
                 return np.asarray(vq_assign_pallas(
                     x, c, normalize=normalize, interpret=interpret))
-            out = np.empty((n,), np.int32)
-            for i in range(0, n, BLOCK):
-                blk = x[i : i + BLOCK]
-                if blk.shape[0] < BLOCK:  # keep the compiled shape
-                    blk = jnp.pad(blk, ((0, BLOCK - blk.shape[0]), (0, 0)))
-                out[i : i + BLOCK] = np.asarray(vq_assign_pallas(
-                    blk, c, normalize=normalize,
-                    interpret=interpret))[: n - i]
-            return out
-        if normalize:
-            x = l2_normalize(x)
-        return vq_assign(x, c, chunk=chunk)
+            return vq_assign(l2_normalize(x) if normalize else x, c,
+                             chunk=chunk)
+        out = np.empty((n,), np.int32)
+        for i in range(0, n, BLOCK):
+            blk = x[i : i + BLOCK]
+            nb = blk.shape[0]
+            if use_pallas:
+                if nb < BLOCK:  # keep the compiled shape
+                    blk = jnp.pad(blk, ((0, BLOCK - nb), (0, 0)))
+                res = vq_assign_pallas(blk, c, normalize=normalize,
+                                       interpret=interpret)
+            else:
+                # the XLA fallback blocks too: l2_normalize + vq_assign's
+                # internal pad on the WHOLE corpus would each make a
+                # corpus-sized temp (~2x HBM peak) and a single
+                # whole-corpus program can exceed compiler limits
+                res = vq_assign(l2_normalize(blk) if normalize else blk,
+                                c, chunk=chunk)
+            out[i : i + nb] = np.asarray(res)[:nb]
+        return out
     # equal per-device shards, each a whole number of scan chunks; zero-pad
     # rows (trimmed below) never affect real rows' assignments
     local_chunk = min(chunk, -(-n // n_dev), BLOCK)

@@ -164,6 +164,22 @@ class ClusterCreator:
                     self._batch_generator(self.config.clustering_batch_size)
                 )
                 frames = np.concatenate(batches, axis=0)
+                # present the fit with the SAME capacity-buffer layout the
+                # all-device feed uses (chunk-aligned capacity + n_valid)
+                # whenever that layout fits the device budget: the scan
+                # chunking — and therefore the f32 summation association —
+                # is a function of the buffer shape, so this keeps staged
+                # and fused centroids BIT-identical (tested).  The pad is
+                # host-side zeros; masked rows contribute exact zeros.
+                n_valid = frames.shape[0]
+                cap = self._feed_capacity_rows(self._n_train_clips())
+                if (cap >= n_valid and cap * self.feature_dim * 4
+                        <= self.config.kmeans_hbm_cache_mb * (1 << 20)):
+                    frames = np.concatenate(
+                        [frames, np.zeros((cap - n_valid, self.feature_dim),
+                                          np.float32)])
+                else:
+                    n_valid = None
                 centroids, obj = kmeans_fit(
                     frames,
                     self.config.vocab_size,
@@ -174,9 +190,11 @@ class ClusterCreator:
                     init=self.config.kmeans_init,
                     empty_policy=self.config.kmeans_empty_policy,
                     precision=precision_from_str(self.config.kmeans_precision),
+                    n_valid=n_valid,
                 )
                 logger.info("full kmeans over %d frames: obj=%.2f",
-                            len(frames), obj)
+                            n_valid if n_valid is not None else len(frames),
+                            obj)
         else:  # batch_warm_start (reference schedule)
             km = KMeans(
                 self.feature_dim,
@@ -350,11 +368,8 @@ class ClusterCreator:
         budget = cfg.kmeans_hbm_cache_mb * (1 << 20)
         if budget <= 0:
             return False
-        import json as _json
-
-        with open(cfg.split_file) as f:
-            n_clips = len(_json.load(f)["train"])
-        est = self._feed_capacity_rows(n_clips) * self.feature_dim * 4
+        est = (self._feed_capacity_rows(self._n_train_clips())
+               * self.feature_dim * 4)
         if est > budget:
             logger.info(
                 "fused device feed declined: ~%.1f GB of frames exceeds "
@@ -362,6 +377,14 @@ class ClusterCreator:
                 est / 2**30, cfg.kmeans_hbm_cache_mb)
             return False
         return True
+
+    def _n_train_clips(self) -> int:
+        """Train-split clip count — sizes the fused feed's capacity buffer
+        and the staged fit's matching capacity pad (bit-identity contract)."""
+        import json as _json
+
+        with open(self.config.split_file) as f:
+            return len(_json.load(f)["train"])
 
     def _feed_capacity_rows(self, n_clips: int) -> int:
         """HBM rows the fused device feed allocates for ``n_clips``: every

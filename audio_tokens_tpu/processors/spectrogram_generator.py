@@ -265,12 +265,27 @@ class SpectrogramGenerator:
                 lengths = np.concatenate(
                     [lengths, np.full(bs - len(chunk), -1, np.int32)]
                 )
+            if batch.dtype == np.float32:
+                # same amplitude screen as the wave feeds (_decoded_waves /
+                # iter_wave_batches): a finite extreme-amplitude clip must
+                # be dropped from the staged corpus too, or the staged and
+                # fused pipelines would tokenize different clip sets
+                # (int16 PCM is safe by construction)
+                amax = np.abs(batch).max(axis=1)
+                for r in np.flatnonzero(
+                        (~np.isfinite(amax) | (amax > AMPLITUDE_LIMIT))
+                        & (lengths >= 0)):
+                    logger.info("skipping %s: non-finite or extreme "
+                                "samples", chunk[r][0])
+                    lengths[r] = -2  # distinct from decode failure (-1)
             ok_lengths = np.maximum(lengths, 0)
             if cfg.normalize:
                 specs = np.asarray(self.frontend.normalized(batch, ok_lengths))
             else:
                 specs = np.asarray(self.frontend(batch))
             for row, (ytid, path) in enumerate(chunk):
+                if lengths[row] == -2:  # amplitude screen, logged above
+                    continue
                 if lengths[row] < 0:
                     logger.info("skipping %s: %s", path, native_loader.last_error())
                     continue

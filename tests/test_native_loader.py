@@ -252,3 +252,51 @@ def test_nonfinite_samples_fail_decode_in_both_wire_formats(tmp_path):
             [path], sr, n, 256, dtype=dtype)
         assert lengths[0] == -1, f"NaN clip decoded as valid ({dtype})"
         assert "non-finite" in native_loader.last_error()
+
+
+def _write_float_wav(path, x, sr=22050):
+    import struct
+
+    raw = np.asarray(x, np.float32).tobytes()
+    with open(path, "wb") as f:  # minimal IEEE-float (fmt 3) WAV
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, sr, sr * 4, 4, 32))
+        f.write(b"data" + struct.pack("<I", len(raw)) + raw)
+
+
+def test_native_staged_and_wave_feeds_drop_same_extreme_clip(
+        tmp_path_factory):
+    """A finite but extreme-amplitude clip (|s| ~ 1e17: finite waveform,
+    f32-overflowing |spec|^2) must be dropped by the NATIVE staged spec path
+    and the wave feed alike — the staged and fused pipelines have to
+    tokenize the SAME clip set (r4 review: the screen was on the wave feeds
+    and the python backend only, so backends/routes diverged)."""
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+    from audio_tokens_tpu.data.splitter import DatasetSplitter
+    from audio_tokens_tpu.processors.spectrogram_generator import (
+        SpectrogramGenerator,
+    )
+
+    base = tmp_path_factory.mktemp("native_amp")
+    fixtures.make_workspace(base)
+    cfg = fixtures.test_config(base, audio_backend="native",
+                               fused_pipeline=False)
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+    gen = SpectrogramGenerator(cfg)
+    ytids = sorted(gen.data_split["train"])[:4]
+    bad = ytids[1]
+    bad_path = gen.find_audio_file(bad)
+    n = int(cfg.common_sr * 2.0)
+    _write_float_wav(bad_path.with_suffix(".wav"), np.full(n, 1e17,
+                                                           np.float32),
+                     sr=cfg.common_sr)
+
+    staged = [y for y, _ in gen._iter_specs_native(ytids)]
+    assert bad not in staged and set(staged) == set(ytids) - {bad}
+
+    wave_seen = []
+    for batch, lengths, row_ytids in gen.iter_wave_batches(ytids):
+        for r, y in enumerate(row_ytids):
+            if y is not None and lengths[r] >= 0:
+                wave_seen.append(y)
+    assert set(wave_seen) == set(staged)

@@ -846,3 +846,27 @@ def test_vq_assign_fused_sharded_block_loop(rng, monkeypatch):
     # the pallas interpret path to cover the block slicing)
     ref1 = vq_mod.vq_assign_fused(x, c, use_pallas=True, interpret=True)
     np.testing.assert_array_equal(ref1, ref)
+
+
+def test_kmeans_fit_small_n_valid_in_default_chunk_capacity(rng):
+    """The copy-free contract holds when n_valid is much smaller than the
+    buffer: the scan chunk is sized from the CAPACITY (one mostly-masked
+    chunk), not from n_valid — sizing it from n_valid left cap % unit != 0
+    and the pad branch copied the whole buffer (r4 review).  Junk rows are
+    huge so any mask leak would blow the centroids out of data range."""
+    import jax.numpy as jnp
+
+    from audio_tokens_tpu.ops.kmeans import DEFAULT_CHUNK, kmeans_fit
+
+    n, d, k = 500, 8, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    init = x[rng.choice(n, k, replace=False)]
+    buf = np.full((DEFAULT_CHUNK, d), 1e6, np.float32)
+    buf[:n] = x
+    capped, obj_c = kmeans_fit(jnp.asarray(buf), k, niter=4,
+                               init_centroids=init, n_valid=n)
+    exact, obj_e = kmeans_fit(x, k, niter=4, init_centroids=init)
+    assert np.abs(capped).max() < 100.0
+    # different chunkings reassociate the f32 sums; allclose, not equal
+    np.testing.assert_allclose(capped, exact, rtol=1e-5, atol=1e-5)
+    assert abs(obj_c - obj_e) / abs(obj_e) < 1e-5
