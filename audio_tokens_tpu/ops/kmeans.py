@@ -357,13 +357,13 @@ def kmeans_fit(
     init_centroids = xp.asarray(init_centroids, dtype=xp.float32).reshape(k, d)
 
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names])) if mesh else 1
-    # capacity buffers (n_valid) size the scan chunk from the BUFFER, not
-    # the valid rows: a chunk-aligned capacity must stay a whole number of
-    # chunks even when n_valid is small, or the `cap % unit` branch below
-    # would pad-copy the very buffer the n_valid API exists to not copy
-    # (masked capacity rows cost one mostly-masked scan chunk, not a copy)
-    chunk_base = x.shape[0] if n_valid is not None else n
-    eff_chunk = min(chunk, _round_up(-(-chunk_base // n_dev), 8))
+    # the scan chunk is sized from the BUFFER, not the valid rows (the two
+    # differ only for capacity buffers, n_valid): a chunk-aligned capacity
+    # must stay a whole number of chunks even when n_valid is small, or the
+    # `cap % unit` branch below would pad-copy the very buffer the n_valid
+    # API exists to not copy (masked capacity rows cost one mostly-masked
+    # scan chunk, not a copy)
+    eff_chunk = min(chunk, _round_up(-(-x.shape[0] // n_dev), 8))
     unit = eff_chunk * n_dev
     cap = x.shape[0]
     if cap % unit:

@@ -166,15 +166,29 @@ class ClusterCreator:
                 frames = np.concatenate(batches, axis=0)
                 # present the fit with the SAME capacity-buffer layout the
                 # all-device feed uses (chunk-aligned capacity + n_valid)
-                # whenever that layout fits the device budget: the scan
-                # chunking — and therefore the f32 summation association —
-                # is a function of the buffer shape, so this keeps staged
-                # and fused centroids BIT-identical (tested).  The pad is
+                # whenever that layout fits BOTH budgets: the scan chunking
+                # — and therefore the f32 summation association — is a
+                # function of the buffer shape, so this keeps staged and
+                # fused centroids BIT-identical (tested).  The pad is
                 # host-side zeros; masked rows contribute exact zeros.
+                # Skipped when kmeans_fit would subsample anyway (the
+                # gather discards the layout, and its indices depend only
+                # on n_valid — identity holds pad or no pad) and when the
+                # capacity rows exceed the HOST in-memory budget that
+                # routed us here (short-clip corpora: actual frames can be
+                # far below the every-clip-at-frames_max capacity estimate,
+                # and a capacity-sized zero pad would defeat that budget).
                 n_valid = frames.shape[0]
                 cap = self._feed_capacity_rows(self._n_train_clips())
-                if (cap >= n_valid and cap * self.feature_dim * 4
-                        <= self.config.kmeans_hbm_cache_mb * (1 << 20)):
+                cap_pts = self.config.max_points_per_centroid
+                will_subsample = (
+                    cap_pts is not None
+                    and n_valid > self.config.vocab_size * cap_pts)
+                cap_bytes = cap * self.feature_dim * 4
+                budget = (1 << 20) * min(
+                    self.config.kmeans_hbm_cache_mb,
+                    self.config.kmeans_inmemory_budget_mb)
+                if cap >= n_valid and cap_bytes <= budget and not will_subsample:
                     frames = np.concatenate(
                         [frames, np.zeros((cap - n_valid, self.feature_dim),
                                           np.float32)])
@@ -263,8 +277,7 @@ class ClusterCreator:
 
         cfg = self.config
         if cfg.fused_pipeline:
-            with open(cfg.split_file) as f:
-                n_src = len(_json.load(f)["train"])
+            n_src = self._n_train_clips()
         else:
             spec_dir = Path(cfg.source_spec_path) / "train"
             n_src = len(list(spec_dir.glob("*.npy")))
@@ -424,12 +437,9 @@ class ClusterCreator:
             if cap_bytes <= budget:
                 return False
         if self.config.fused_pipeline:
-            import json as _json
-
-            with open(self.config.split_file) as f:
-                n_clips = len(_json.load(f)["train"])
             frames_max = 1 + self.config.clip_samples // self.config.hop_length
-            est = n_clips * frames_max * self.config.n_mels * expansion * 4
+            est = (self._n_train_clips() * frames_max * self.config.n_mels
+                   * expansion * 4)
         else:
             spec_dir = Path(self.config.source_spec_path) / "train"
             est = sum(f.stat().st_size for f in spec_dir.glob("*.npy"))

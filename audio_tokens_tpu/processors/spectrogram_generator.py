@@ -276,7 +276,7 @@ class SpectrogramGenerator:
                         (~np.isfinite(amax) | (amax > AMPLITUDE_LIMIT))
                         & (lengths >= 0)):
                     logger.info("skipping %s: non-finite or extreme "
-                                "samples", chunk[r][0])
+                                "samples", chunk[r][1])
                     lengths[r] = -2  # distinct from decode failure (-1)
             ok_lengths = np.maximum(lengths, 0)
             if cfg.normalize:
