@@ -326,3 +326,46 @@ def test_assign_resident_sparse_gathers_only_covered(rng):
     assert set(sparse) == {"y3"}
     np.testing.assert_array_equal(sparse["y3"], full["y3"])
     assert len(full) == 10 and all(len(v) == 40 for v in full.values())
+
+
+def test_staged_capacity_pad_gates(tmp_path_factory, monkeypatch):
+    """The staged in-memory fit adopts the device feed's capacity layout
+    (n_valid set) ONLY when it helps: it must decline when the capacity
+    rows exceed the host in-memory budget (short-clip corpora — the pad
+    would defeat the budget that routed the run in-memory) and when
+    max_points_per_centroid will subsample anyway (the gather discards
+    the layout, so the pad is pure wasted allocation)."""
+    import audio_tokens_tpu.processors.cluster_creator as cc_mod
+
+    base = tmp_path_factory.mktemp("pad_gate")
+    fixtures.make_workspace(base)
+    cfg0 = fixtures.test_config(base, kmeans_mode="full",
+                                kmeans_streaming="never")
+    DatasetSplitter(cfg0).create_split_file(AudiosetMetadataProcessor(cfg0))
+    SpectrogramGenerator(cfg0).run()
+
+    seen = {}
+    real_fit = cc_mod.kmeans_fit
+
+    def spy_fit(x, *a, **kw):
+        seen["n_valid"] = kw.get("n_valid")
+        seen["rows"] = x.shape[0]
+        return real_fit(x, *a, **kw)
+
+    monkeypatch.setattr(cc_mod, "kmeans_fit", spy_fit)
+
+    def run(**overrides):
+        seen.clear()
+        cfg = fixtures.test_config(base, kmeans_mode="full",
+                                   kmeans_streaming="never", **overrides)
+        return ClusterCreator(cfg).run()
+
+    padded = run()
+    assert seen["n_valid"] is not None and seen["rows"] > seen["n_valid"]
+
+    plain = run(kmeans_inmemory_budget_mb=0)  # capacity exceeds host budget
+    assert seen["n_valid"] is None
+    np.testing.assert_allclose(plain, padded, rtol=1e-5, atol=1e-6)
+
+    run(max_points_per_centroid=2)  # subsample discards the layout
+    assert seen["n_valid"] is None
