@@ -43,9 +43,17 @@ def save_checkpoint(
 
     path = (Path(directory) / name).absolute()
     path.parent.mkdir(parents=True, exist_ok=True)
+    # reap scratch dirs from ANY pid — a preempted run leaves its
+    # checkpoint-sized `.tmp.<pid>` / `.old.<pid>` behind, and a new
+    # process (new pid) would otherwise leak one per preemption until the
+    # disk fills.  Only this writer's name-prefix is touched, and the
+    # single-writer discipline (process 0 owns checkpoints) makes the
+    # sweep race-free.
+    for stale in path.parent.glob(f"{name}.tmp.*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    for stale in path.parent.glob(f"{name}.old.*"):
+        shutil.rmtree(stale, ignore_errors=True)
     tmp = path.parent / f"{name}.tmp.{os.getpid()}"
-    if tmp.exists():
-        shutil.rmtree(tmp)
     try:
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(tmp / "params", jax.device_get(params))

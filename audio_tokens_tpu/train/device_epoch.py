@@ -84,10 +84,24 @@ def corpus_arrays(ds, batch_size: int, max_seq_len: int):
     labels = np.zeros((n_pad, cfg.num_classes), np.uint8)
     from audio_tokens_tpu.data.datasets import pack_features_row
 
-    for i in range(n):
+    def pack_row(i: int) -> None:
         feats = ds.load_features(i)
         lengths[i] = pack_features_row(feats, ds.kind, inputs[i], t, m)
         labels[i] = ds.labels_for(i)
+
+    workers = max(1, int(getattr(cfg, "num_workers", 1) or 1))
+    if workers > 1 and n > 1:
+        # the one-time corpus pack is disk-bound at real scale; spread the
+        # per-clip reads over the same worker budget the streaming
+        # BatchLoader uses (rows write to disjoint slices — no locking)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for _ in pool.map(pack_row, range(n)):
+                pass
+    else:
+        for i in range(n):
+            pack_row(i)
     return inputs, lengths, labels, n
 
 
@@ -209,7 +223,9 @@ class DeviceEpochRunner:
                 m = self._epoch_map(preds, labels, perm, n_real, n_steps * b)
                 return params, opt_state, loss_sum / n_steps, m
 
-            return jax.jit(epoch)
+            # donate params/opt_state (replaced by the outputs every epoch);
+            # the corpus args (3-5) are reused each epoch and must NOT donate
+            return jax.jit(epoch, donate_argnums=(0, 1))
 
         # DP mesh: the whole epoch under one shard_map (works for every
         # model incl. the Pallas LSTM kernel, which GSPMD cannot partition)
@@ -264,7 +280,8 @@ class DeviceEpochRunner:
             m = self._epoch_map(preds, labels, perm, n_real, n_steps * b)
             return params, opt_state, mean_loss, m
 
-        return jax.jit(epoch)
+        # donate params/opt_state only — never the resident corpus
+        return jax.jit(epoch, donate_argnums=(0, 1))
 
     def _build_eval_fn(self):
         c = self.corpora["validation"]

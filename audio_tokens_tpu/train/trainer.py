@@ -164,7 +164,12 @@ class Trainer:
         if runner is None:
             train_step, eval_step = self._build_steps()
 
-        best_metric = 0.0
+        # seeded BELOW any real mAP (not the reference's 0.0,
+        # model_trainer.py:46) so the first epoch always checkpoints: a
+        # degenerate run whose val mAP stays exactly 0.0 would otherwise
+        # never save and a later evaluate()/resume would crash on the
+        # missing '{run}-best' directory
+        best_metric = -1.0
         epochs_since_best = 0
         step = 0
         start_epoch = 0
@@ -194,6 +199,7 @@ class Trainer:
                     lambda restored, t: jax.device_put(restored, t.sharding),
                     opt_state, template,
                 )
+            del fresh_opt_state  # or the unused init moments stay in HBM
             # the epoch counter resumes too: epoch drives the shuffle
             # permutations (seed+epoch) and the remaining-epoch budget, so
             # restarting at 0 would replay consumed permutations and train
@@ -287,7 +293,7 @@ class Trainer:
                 )
             checkpoint_name = f"{self.run_name}-best"
         train_loader, val_loader = DataLoaderCreator(cfg).get_dataloaders()
-        params, _ = self._init_state(train_loader)
+        params, _ = self._init_state(train_loader, with_optimizer=False)
         params = ckpt.load_params(cfg.checkpoint_dir, checkpoint_name, params)
         params = self._shard_params(params)
         runner = self._maybe_device_runner(train_loader, val_loader,
@@ -302,7 +308,7 @@ class Trainer:
         return val_loss, val_metrics
 
     # ------------------------------------------------------------------
-    def _init_state(self, loader: BatchLoader):
+    def _init_state(self, loader: BatchLoader, with_optimizer: bool = True):
         cfg = self.config
         batch = loader.dummy_batch()  # shapes only; no producer thread
         devices = getattr(self, "_mesh_devices", None)
@@ -372,6 +378,10 @@ class Trainer:
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         logger.info("model %s: %.2fM params", self.config.model_type, n_params / 1e6)
         params = self._shard_params(params)
+        if not with_optimizer:
+            # inference-only callers (evaluate): AdamW moments would be 2x
+            # params of dead HBM
+            return params, None
         # optimizer state mirrors params (zeros_like inherits shardings)
         opt_state = self.optimizer.init(params)
         return params, opt_state
@@ -476,7 +486,11 @@ class Trainer:
                     p, NamedSharding(mesh, P()))
             return p
 
-        @jax.jit
+        # params/opt_state are donated: the caller always replaces them with
+        # the step's outputs, and without donation every step transiently
+        # holds TWO copies of params + AdamW moments (~6x params peak HBM
+        # instead of ~3x) — the budget-relevant term for the big families
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, root_key, inputs, lengths, labels,
                        row_w, step_idx):
             key = jax.random.fold_in(root_key, step_idx)
@@ -560,7 +574,7 @@ class Trainer:
             in_specs=(P(), P(), P(), d, d, d, d, P()),
             out_specs=(P(), P(), P(), P() if mp else d),
             check_vma=False,  # pallas outputs carry no vma info
-        ))
+        ), donate_argnums=(0, 1))  # same ~2x params+moments saving as above
         eval_step = jax.jit(jax.shard_map(
             lambda *a: (lambda r: (r[0], gather_preds(r[1])))(
                 local_eval(*a)),
@@ -655,6 +669,12 @@ class Trainer:
         collector = _AsyncCollector(acc)
         try:
             for put, batch in self._prefetch(loader.batches(epoch), step):
+                # budget check BEFORE the update (matching the device-corpus
+                # runner): resuming a checkpoint saved exactly at the cap
+                # must not train one extra step
+                if (self.config.max_train_steps
+                        and step >= self.config.max_train_steps):
+                    break
                 inputs, lengths, lab, row_w, step_idx = put
                 params, opt_state, loss, p = train_step(
                     params, opt_state, self._root_key, inputs, lengths, lab,
@@ -703,6 +723,21 @@ class Trainer:
         but left it disabled — reference: processors/model_trainer.py:56-58)."""
         from audio_tokens_tpu.utils.diagnostics import gradient_flow, make_batch_loss
 
+        if distributed.is_multiprocess():
+            # this hook runs on the coordinator only, but params live on
+            # the GLOBAL mesh — dispatching the diagnostic grad program
+            # from one process over non-addressable devices would desync
+            # the hosts' SPMD programs (deadlock).  Fully-replicated params
+            # are readable locally: rehost them so the diagnostic compiles
+            # on this process's devices alone.
+            if not all(getattr(a, "is_fully_replicated", True)
+                       for a in jax.tree_util.tree_leaves(params)):
+                logger.warning(
+                    "diagnostics skipped: params are sharded across "
+                    "processes (TP under multi-host) and cannot be "
+                    "inspected from the coordinator alone")
+                return
+            params = jax.device_get(params)
         batch = next(iter(loader.batches(epoch)))
         loss_fn = make_batch_loss(self.model, batch, self.use_lengths)
         plot = Path(self.config.checkpoint_dir) / f"{self.run_name}-gradflow-e{epoch}.png"

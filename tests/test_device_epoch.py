@@ -132,7 +132,10 @@ def test_device_epoch_matches_streaming(token_ws, batch):
     runner.set_corpus("train", train_loader.ds, batch, cfg.max_seq_len)
     runner.set_corpus("validation", val_loader.ds, cfg.eval_batch_size,
                       cfg.max_seq_len)
-    p2, o2, step = params0, opt0, 0
+    # the train programs DONATE params/opt_state (HBM), so the streaming
+    # pass consumed params0/opt0 — re-init (seeded: bit-identical values)
+    p2, o2 = trainer._init_state(train_loader)
+    step = 0
     for epoch in range(cfg.epochs):
         p2, o2, step, loss, m = runner.train_epoch(
             p2, o2, trainer._root_key, epoch, step)
