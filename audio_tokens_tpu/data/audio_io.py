@@ -120,7 +120,13 @@ def read_wav(path) -> Tuple[np.ndarray, int]:
         else:
             raise AudioDecodeError(f"unsupported PCM bit depth {bits}: {path}")
     elif audio_format == 3:  # IEEE float
-        dtype = "<f4" if bits == 32 else "<f8"
+        if bits == 32:
+            dtype = "<f4"
+        elif bits == 64:
+            dtype = "<f8"
+        else:  # half-float / corrupt fmt: reject like the native decoder
+            raise AudioDecodeError(
+                f"unsupported float bit depth {bits}: {path}")
         x = np.frombuffer(raw, dtype=dtype).astype(np.float32)
     else:
         raise AudioDecodeError(f"unsupported WAV format {audio_format}: {path}")

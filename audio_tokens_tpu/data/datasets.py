@@ -107,11 +107,25 @@ class ClipDataset:
             try:
                 if not (bin_f.exists() and idx_f.exists()):
                     return False
-                cache_mtime = min(bin_f.stat().st_mtime, idx_f.stat().st_mtime)
                 idx = np.load(idx_f, allow_pickle=False)
                 if list(idx["ytids"]) != self.ytids:  # '<U..' string array
                     return False
-                return all(p.stat().st_mtime <= cache_mtime for p in self.files)
+                # bind the cache to its SOURCE DIRECTORY and the files'
+                # EXACT identity (mtime_ns + size).  The old `mtime <=
+                # cache mtime` test missed content swapped in with OLDER
+                # timestamps (a restored backup, a re-pointed sibling dir,
+                # an extracted tar) — the cache would silently serve the
+                # previous corpus.  Pre-round-4 caches lack these keys ->
+                # rebuild.
+                if ("base" not in idx.files or "mtimes" not in idx.files
+                        or str(idx["base"]) != str(self._base_path())):
+                    return False
+                stats = [p.stat() for p in self.files]
+                return (
+                    np.array_equal(idx["mtimes"],
+                                   [s.st_mtime_ns for s in stats])
+                    and np.array_equal(idx["sizes"],
+                                       [s.st_size for s in stats]))
             except Exception as e:  # corrupt idx etc. -> rebuild, never raise
                 logger.warning("training-input cache invalid (%s); rebuilding", e)
                 return False
@@ -199,7 +213,11 @@ class ClipDataset:
             except OSError:
                 pass
         buf = io.BytesIO()
-        np.savez(buf, offsets=offsets, ytids=np.asarray(self.ytids))
+        stats = [p.stat() for p in self.files]
+        np.savez(buf, offsets=offsets, ytids=np.asarray(self.ytids),
+                 base=np.asarray(str(self._base_path())),
+                 mtimes=np.asarray([s.st_mtime_ns for s in stats], np.int64),
+                 sizes=np.asarray([s.st_size for s in stats], np.int64))
         atomic_save_bytes(idx_f, buf.getvalue())
         logger.info("training-input cache built: %s (%d clips, %.1f MB)",
                     bin_f, len(self.files),

@@ -105,22 +105,23 @@ for _i in range(8, 16):
 
 _SAMPLE_SIZE_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
-_SAMPLE_RATE_CODES = {
-    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
-    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
-}
-
-
 def _decode_residual(br: _BitReader, block_size: int, order: int) -> np.ndarray:
     method = br.read(2)
     if method > 1:
         raise FlacError(f"reserved residual method {method}")
     param_bits = 4 if method == 0 else 5
     escape = (1 << param_bits) - 1
+    if order > block_size:
+        raise FlacError("subframe order exceeds block size")
     partition_order = br.read(4)
     n_partitions = 1 << partition_order
     if block_size % n_partitions:
         raise FlacError("invalid partition order")
+    if partition_order > 0 and (block_size >> partition_order) <= order:
+        # libFLAC validates this: the warm-up must fit the FIRST partition
+        # or the partition sample counts go inconsistent (the C++ twin
+        # rejects identically)
+        raise FlacError("partition order incompatible with predictor order")
     residual = np.empty(block_size - order, dtype=np.int64)
     idx = 0
     for p in range(n_partitions):
@@ -268,6 +269,11 @@ def read_flac(path) -> Tuple[np.ndarray, int]:
             if n_ch != channels:
                 raise FlacError("frame/stream channel mismatch")
             sub = [_decode_subframe(br, block_size, bps) for _ in range(n_ch)]
+        elif chan_assign <= 10 and channels != 2:
+            # stereo-decorrelated assignments imply exactly 2 channels; on a
+            # mono stream the mixdown below would silently keep only sub[0]
+            # (the C++ twin rejects identically)
+            raise FlacError("frame/stream channel mismatch")
         elif chan_assign == 8:  # left/side
             left = _decode_subframe(br, block_size, bps)
             side = _decode_subframe(br, block_size, bps + 1)

@@ -68,8 +68,13 @@ class AudiosetMetadataProcessor:
             with open(csv_file, "r") as f:
                 reader = csv.reader(f, skipinitialspace=True)
                 for _ in range(3):  # header comment rows
-                    next(reader)
+                    if next(reader, None) is None:
+                        raise ValueError(
+                            f"segment CSV {csv_file} is truncated "
+                            "(expected 3 header rows)")
                 for row in reader:
+                    if len(row) < 4:  # blank/short line: skip, don't crash
+                        continue
                     ytid, label_str = row[0], row[3]
                     self.ytid_labels[ytid] = [
                         self.label_index[lab]
@@ -104,7 +109,10 @@ class AudiosetMetadataProcessor:
         import numpy as np
 
         vec = np.zeros(num_classes, dtype=np.float32)
-        idxs = self.ytid_labels.get(ytid, [])
+        # load_class_names supports num_classes BELOW the ontology's class
+        # count (truncation); labels past the truncated range drop out of
+        # the vector instead of raising IndexError
+        idxs = [i for i in self.ytid_labels.get(ytid, []) if i < num_classes]
         if idxs:
             vec[np.asarray(idxs)] = 1.0
         return vec

@@ -46,7 +46,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
             ctypes.c_int, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
         ]
-        assert lib.atk_version() == 3
+        got = lib.atk_version()
+        if got != 3:
+            # a bare assert would vanish under python -O and let a stale
+            # libaudiodec.so be called with the wrong argument layout
+            raise RuntimeError(
+                f"libaudiodec ABI {got} != 3 — rebuild with "
+                f"python native/build.py")
         _lib = lib
         logger.info("native audio decoder loaded: %s", _LIB_PATH)
     except Exception as e:

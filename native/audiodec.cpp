@@ -327,6 +327,14 @@ bool decode_residual(BitReader& br, int block_size, int order,
     set_error("invalid partition order");
     return false;
   }
+  if ((block_size >> partition_order) <= order && partition_order > 0) {
+    // libFLAC validates this too: the predictor warm-up must fit inside
+    // the FIRST partition, or its sample count goes negative and the
+    // remaining partitions write past residual[block_size - order]
+    // (heap corruption from one corrupt clip, not a skip-and-log)
+    set_error("partition order incompatible with predictor order");
+    return false;
+  }
   residual.resize(block_size - order);
   size_t idx = 0;
   for (int p = 0; p < n_partitions; ++p) {
@@ -579,6 +587,12 @@ bool decode_flac(const std::vector<uint8_t>& d, Decoded& out) {
       }
       for (int c = 0; c < channels; ++c)
         if (!decode_subframe(br, block_size, bps, sub[c])) return false;
+    } else if (chan_assign <= 10 && channels != 2) {
+      // the stereo-decorrelated assignments imply exactly 2 channels; a
+      // bit-flipped header on a mono stream would otherwise write through
+      // sub[1] (out of bounds — sub has one entry per STREAMINFO channel)
+      set_error("frame/stream channel mismatch");
+      return false;
     } else if (chan_assign == 8) {  // left/side
       if (!decode_subframe(br, block_size, bps, sub[0])) return false;
       if (!decode_subframe(br, block_size, bps + 1, sub[1])) return false;

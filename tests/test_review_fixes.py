@@ -329,3 +329,138 @@ def test_stale_cache_removed_when_budget_skips_rebuild(tmp_path, monkeypatch):
     assert not bin_f.exists() and not idx_f.exists()  # ...and nothing stale left
     np.testing.assert_array_equal(ds2.load_features(0), np.full(12, 7))
     assert not np.array_equal(old_vals, np.full(12, 7))
+
+
+# ---------------------------------------------------------------------------
+# r4 data-layer review: malformed-FLAC memory safety
+# ---------------------------------------------------------------------------
+def _flac_bad_partition_order(n=64, order=4, partition_order=4) -> bytes:
+    """Single-frame mono FIXED subframe whose rice partition size equals the
+    predictor order — spec-invalid (libFLAC rejects it), and before the r4
+    fix the first partition's sample count went to zero/negative while the
+    remaining partitions wrote past residual[n - order] (heap OOB in the
+    native decoder)."""
+    from tests.flac_encoder import BitWriter, _frame_header, _streaminfo, crc16
+
+    out = b"fLaC"
+    si = _streaminfo(n, 22050, 1, 16, n)
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    header = _frame_header(0, n, 1)
+    w = BitWriter()
+    w.write(0, 1); w.write(8 + order, 6); w.write(0, 1)  # FIXED order
+    for i in range(order):
+        w.write_signed(i, 16)  # warmup
+    w.write(0, 2)                # residual method: rice 4-bit
+    w.write(partition_order, 4)  # partition size == order -> invalid
+    for _ in range(1 << partition_order):
+        w.write(0, 4)  # param 0
+        for _ in range(n >> partition_order):
+            w.write_unary(0)
+    w.align()
+    frame = header + w.tobytes()
+    return out + frame + crc16(frame).to_bytes(2, "big")
+
+
+def _flac_mono_with_stereo_assign(n=32) -> bytes:
+    """STREAMINFO declares 1 channel but the frame header carries
+    chan_assign=8 (left/side) — one flipped bit in a real download.  Before
+    the r4 fix the native decoder wrote through sub[1] (out of bounds) and
+    the python decoder silently kept only the left channel."""
+    from tests.flac_encoder import (
+        BitWriter, _streaminfo, _utf8_number, crc8, crc16,
+    )
+
+    out = b"fLaC"
+    si = _streaminfo(n, 22050, 1, 16, n)
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    w = BitWriter()
+    w.write(0b11111111111110, 14)
+    w.write(0, 1); w.write(0, 1)
+    w.write(7, 4)   # 16-bit block size field at end
+    w.write(0, 4)   # sample rate from STREAMINFO
+    w.write(8, 4)   # chan_assign: left/side on a MONO stream
+    w.write(0, 3); w.write(0, 1)
+    header = w.tobytes() + _utf8_number(0)
+    w2 = BitWriter()
+    w2.write(n - 1, 16)
+    header += w2.tobytes()
+    header += bytes([crc8(header)])
+    w = BitWriter()
+    for bits in (16, 17):  # left at bps, side at bps+1 (VERBATIM)
+        w.write(0, 1); w.write(1, 6); w.write(0, 1)
+        for i in range(n):
+            w.write_signed(i - 5, bits)
+    w.align()
+    frame = header + w.tobytes()
+    return out + frame + crc16(frame).to_bytes(2, "big")
+
+
+@pytest.mark.parametrize("builder,msg", [
+    (_flac_bad_partition_order, "partition order"),
+    (_flac_mono_with_stereo_assign, "channel mismatch"),
+])
+def test_malformed_flac_rejected_by_both_decoders(tmp_path, builder, msg):
+    from audio_tokens_tpu.data.flac import FlacError, read_flac
+
+    path = tmp_path / "bad.flac"
+    path.write_bytes(builder())
+
+    with pytest.raises(FlacError, match=msg):
+        read_flac(path)
+
+    if native_loader.available():
+        batch, lengths = native_loader.decode_batch(
+            [str(path)], 22050, 22050, 512)
+        assert lengths[0] == -1, "malformed FLAC decoded as valid"
+        assert msg in native_loader.last_error()
+
+
+def test_multi_hot_truncates_to_num_classes(tmp_workspace):
+    """load_class_names supports num_classes below the ontology count; the
+    label vector must drop out-of-range indices instead of IndexError."""
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+
+    cfg = fixtures.test_config(tmp_workspace)
+    meta = AudiosetMetadataProcessor(cfg)
+    ytid = next(y for y in meta.get_all_ytids() if meta.get_ytid_labels(y))
+    idxs = meta.get_ytid_labels(ytid)
+    small = max(idxs)  # guarantees at least one label falls out of range
+    vec = meta.multi_hot(ytid, small)
+    assert vec.shape == (small,)
+    assert set(np.flatnonzero(vec)) == {i for i in idxs if i < small}
+
+
+def test_token_cache_invalidates_on_older_mtime_content_swap(tmp_workspace):
+    """The consolidated training-input cache must invalidate when token
+    artifacts are REPLACED with content carrying OLDER timestamps (a
+    restored backup, an extracted tar) — the old `mtime <= cache mtime`
+    test passed on exactly that and silently served the previous corpus."""
+    import os
+
+    from audio_tokens_tpu.data.datasets import DataLoaderCreator
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+    from audio_tokens_tpu.data.splitter import DatasetSplitter
+    from audio_tokens_tpu.processors.cluster_creator import ClusterCreator
+    from audio_tokens_tpu.processors.spec_tokenizer import SpecTokenizer
+    from audio_tokens_tpu.processors.spectrogram_generator import (
+        SpectrogramGenerator,
+    )
+
+    cfg = fixtures.test_config(tmp_workspace)
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+    SpectrogramGenerator(cfg).run()
+    ClusterCreator(cfg).run()
+    SpecTokenizer(cfg).run()
+
+    loader_a, _ = DataLoaderCreator(cfg).get_dataloaders()  # builds the cache
+    victim = loader_a.ds.files[0]
+    arr = np.load(victim)
+    assert np.any(arr)  # the swap below must actually change content
+    np.save(victim, np.zeros_like(arr))
+    old = victim.stat().st_mtime - 3600
+    os.utime(victim, (old, old))
+
+    loader_b, _ = DataLoaderCreator(cfg).get_dataloaders()
+    i = loader_b.ds.ytids.index(victim.stem)
+    assert not np.any(loader_b.ds.load_features(i)), (
+        "cache served the PRE-SWAP tokens for older-mtime replacements")
