@@ -496,7 +496,7 @@ class TokenizerKernel:
             in_specs=[
                 # whole array stays in HBM; the kernel DMAs overlapping
                 # windows itself (ANY-space blocks must be trivial)
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(self._w.shape, lambda bb, ii, kk: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(self._fb.shape, lambda bb, ii, kk: (0, 0),

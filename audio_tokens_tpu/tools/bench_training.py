@@ -307,6 +307,59 @@ def bench_device_loop(model_type: str, batch: int, seq: int, epochs: int,
     )
 
 
+def bench_ensemble(model_type: str, batch: int, seq: int, epochs: int,
+                   n_batches: int, k: int, **overrides) -> None:
+    """Vmapped ensemble epoch rate (train/ensemble.py): K members training
+    simultaneously over ONE shared device-resident corpus vs a 1-member run
+    of the same program.  The per-member cost ratio is the ensemble win —
+    the reference's equivalent is K sequential full runs
+    (reference: processors/model_trainer.py:44-64)."""
+    from audio_tokens_tpu.train.ensemble import EnsembleTrainer
+
+    kwargs = dict(
+        model_type=model_type, vocab_size=500, num_classes=543,
+        max_seq_len=seq, training_batch_size=batch, dropout=0.0,
+        save_best_checkpoint=False,
+    )
+    kwargs.update(overrides)
+    from audio_tokens_tpu.models import model_input_kind
+
+    cfg = AudioTokensConfig(**kwargs)
+    rng = np.random.default_rng(0)
+    n = batch * n_batches
+    kind = model_input_kind(cfg)
+    if kind == "tokens":
+        inputs = rng.integers(0, cfg.vocab_size, (n, seq)).astype(np.uint16)
+    else:
+        shape = (n, seq, cfg.n_mels) if kind == "spec" else (n, seq * cfg.n_mels)
+        inputs = rng.standard_normal(shape).astype(np.float32)
+    lengths = np.full(n, seq, np.int32)
+    labels = (rng.random((n, cfg.num_classes)) < 0.05).astype(np.uint8)
+    val_n = batch
+    times = {}
+    for members in (1, k):
+        ens = EnsembleTrainer(cfg, n_models=members)
+        ens.set_corpus_arrays("train", inputs, lengths, labels, n, batch)
+        ens.set_corpus_arrays("validation", inputs[:val_n], lengths[:val_n],
+                              labels[:val_n], val_n, batch)
+        params, opt_state = ens.init_state()
+        # warm epoch compiles the whole-epoch program
+        params, opt_state, step, _, _, _ = ens.train_epoch(
+            params, opt_state, 0, 0)
+        t0 = time.perf_counter()
+        for e in range(1, epochs + 1):
+            params, opt_state, step, losses, per, em = ens.train_epoch(
+                params, opt_state, e, step)
+        times[members] = (time.perf_counter() - t0) / epochs
+    t1, tk = times[1], times[k]
+    print(
+        f"{model_type:8s} B={batch} T={seq}: ensemble epoch x{k} members "
+        f"{tk * 1e3:8.1f} ms vs x1 {t1 * 1e3:7.1f} ms -> "
+        f"{k * t1 / tk:4.1f}x the throughput of sequential runs "
+        f"({tk / t1 / k:.2f}x cost per member)"
+    )
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -325,6 +378,9 @@ def main() -> None:
                         help="epochs for --real-loop/--device-loop timing")
     parser.add_argument("--batches", type=int, default=32,
                         help="batches per epoch for --real-loop/--device-loop")
+    parser.add_argument("--ensemble", type=int, default=0, metavar="K",
+                        help="also bench a K-member vmapped ensemble epoch "
+                             "vs a 1-member run (train/ensemble.py)")
     args = parser.parse_args()
     wanted = set(args.models.split(","))
     for name, model_type, batch, seq, overrides in DEFAULT_CASES:
@@ -341,6 +397,9 @@ def main() -> None:
             if args.device_loop:
                 bench_device_loop(model_type, batch, seq, args.epochs,
                                   args.batches, **overrides)
+            if args.ensemble:
+                bench_ensemble(model_type, batch, seq, args.epochs,
+                               args.batches, args.ensemble, **overrides)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,443 @@
+"""Vmapped ensemble / sweep training: K models in one compiled epoch program.
+
+The reference trains one classifier per process invocation
+(reference: processors/model_trainer.py:44-64); seed ensembles and
+learning-rate sweeps there mean K sequential runs, each re-reading the corpus
+and re-paying the whole training wall-clock.  On TPU the natural formulation
+is ``jax.vmap`` over the model axis on top of the device-resident epoch
+program (train/device_epoch.py):
+
+  * the corpus lives in HBM ONCE and is shared — the per-step batch gather is
+    computed from unbatched operands, so XLA performs it once for all K
+    models (vmap only batches values that carry a model axis);
+  * each scan step applies K independent forward/backward/AdamW updates as
+    BATCHED GEMMs — small-model steps that underfill the MXU at K=1 (e.g.
+    ``simple``'s (B, H) x (H, C) head) become K-deep batched matmuls, so an
+    ensemble epoch costs far less than K single epochs;
+  * per-model hyperparameters vmap too: ``learning_rates`` makes the same
+    program an LR sweep (AdamW's update is lr-linear; optax traces the lr
+    as a per-model scalar);
+  * the epoch ends with per-model exact macro mAP AND the ensemble
+    (mean-of-sigmoids) mAP, all on device — K models train and evaluate for
+    one dispatch and a (K+1)-scalar fetch per epoch.
+
+Multi-chip: the model axis shards over a 1-D device mesh (``shard_map`` with
+the vmapped epoch inside — no collectives; ensemble members are independent),
+so 8 chips train 8x the members at the same wall-clock.  Sharded == unsharded
+is tested on the virtual CPU mesh.
+
+Scope: single-process, DP/TP-free (each member fits one chip — true for
+every reference family).  The LSTM family runs its XLA scan backend here:
+``pallas_call`` has no batching rule for the model-axis vmap.
+
+Measured on one v5e (BASELINE.md): 8 ``simple`` members train at 2.8x the
+throughput of sequential runs (0.35x cost per member).  The bound is HBM,
+not compute — every member keeps its own backward residuals, so big
+recurrent/attention members cap K (``lstm`` at B=64/T=1728 fits K=2;
+K=4 measured OOM at 22.8 GB) while token-family members fit K=8+.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from audio_tokens_tpu.config import AudioTokensConfig
+from audio_tokens_tpu.models import get_model
+from audio_tokens_tpu.train.objective import make_loss_fn
+from audio_tokens_tpu.utils.device_metrics import macro_map_device
+from audio_tokens_tpu.utils.seeding import key_for, set_seed
+
+logger = logging.getLogger(__name__)
+
+
+def _make_optimizer(lr):
+    """AdamW with torch defaults (reference: processors/model_trainer.py:143),
+    lr may be a traced per-model scalar (LR sweeps vmap over it)."""
+    return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+
+
+class EnsembleTrainer:
+    """Train ``n_models`` variants of one architecture simultaneously.
+
+    ``seeds`` vary init + dropout per member (default: ``random_seed + i``);
+    ``learning_rates`` vary the AdamW lr per member (default: the config lr
+    for every member).  Batch order/composition is shared across members —
+    it comes from ``config.random_seed`` exactly like a single
+    ``Trainer.run()`` — so member i with ``seeds[i] == config.random_seed``
+    and the config lr reproduces the single-model device-epoch trajectory
+    (tested in tests/test_ensemble.py).
+    """
+
+    def __init__(
+        self,
+        config: AudioTokensConfig,
+        n_models: int = 8,
+        seeds: Optional[Sequence[int]] = None,
+        learning_rates: Optional[Sequence[float]] = None,
+        mesh: Optional[Mesh] = None,
+    ):
+        if seeds is not None and learning_rates is not None and (
+                len(seeds) != len(learning_rates)):
+            raise ValueError(
+                f"seeds ({len(seeds)}) and learning_rates "
+                f"({len(learning_rates)}) must have the same length")
+        if seeds is not None:
+            n_models = len(seeds)
+        elif learning_rates is not None:
+            n_models = len(learning_rates)
+        if n_models < 1:
+            raise ValueError("n_models must be >= 1")
+        self.config = config
+        if config.model_type == "lstm" and config.lstm_backend != "xla":
+            if config.lstm_backend in ("pallas", "pallas_interpret"):
+                raise ValueError(
+                    "lstm_backend='pallas' cannot be vmapped over the model "
+                    "axis; use lstm_backend='xla' (or 'auto') for ensembles")
+            # 'auto' resolves to the Pallas kernel on a single TPU chip —
+            # force the scan, which vmaps cleanly
+            config = dataclasses.replace(config, lstm_backend="xla")
+            self.config = config
+        if config.model_parallel > 1 or config.sequence_parallel > 1:
+            raise ValueError(
+                "ensembles assume single-chip members (model_parallel = "
+                "sequence_parallel = 1); the model axis is the parallel axis")
+        set_seed(config.random_seed)
+        self.n_models = n_models
+        self.seeds = list(seeds) if seeds is not None else [
+            config.random_seed + i for i in range(n_models)]
+        self.learning_rates = (
+            list(learning_rates) if learning_rates is not None
+            else [config.learning_rate] * n_models)
+        self.mesh = mesh
+        if mesh is not None:
+            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            if n_models % ndev:
+                raise ValueError(
+                    f"n_models={n_models} must divide over the "
+                    f"{ndev}-device mesh")
+        self.model = get_model(config)
+        self.use_lengths = not config.reference_compat
+        self.corpora: Dict[str, dict] = {}
+        self._train_fn = None
+        self._eval_fn = None
+
+    # -- data ------------------------------------------------------------
+    def _put(self, x, spec=P()):
+        if self.mesh is None:
+            return jax.device_put(x)
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+    def set_corpus_arrays(self, split: str, inputs, lengths, labels,
+                          n_real: int, batch_size: int) -> None:
+        n_pad = int(inputs.shape[0])
+        self.corpora[split] = dict(
+            inputs=self._put(inputs), lengths=self._put(lengths),
+            labels=self._put(labels), n_real=int(n_real),
+            batch_size=int(batch_size), n_steps=n_pad // int(batch_size))
+
+    def load_corpora(self) -> None:
+        """Pack both splits from the pipeline's artifacts (same datasets /
+        shapes as Trainer's device-resident path)."""
+        from audio_tokens_tpu.data.datasets import DataLoaderCreator
+        from audio_tokens_tpu.train.device_epoch import corpus_arrays
+
+        cfg = self.config
+        train_loader, val_loader = DataLoaderCreator(cfg).get_dataloaders()
+        if len(train_loader.ds) == 0:
+            raise RuntimeError(
+                "no training data found — run the pipeline stages first")
+        for split, loader, bs in (
+            ("train", train_loader, cfg.training_batch_size),
+            ("validation", val_loader, cfg.eval_batch_size),
+        ):
+            inputs, lengths, labels, n_real = corpus_arrays(
+                loader.ds, bs, cfg.max_seq_len)
+            logger.info(
+                "ensemble corpus %s: %d clips, %.1f MB resident (shared by "
+                "all %d members)", split, n_real,
+                (inputs.nbytes + labels.nbytes) / 2**20, self.n_models)
+            self.set_corpus_arrays(split, inputs, lengths, labels, n_real, bs)
+
+    # -- stacked state ----------------------------------------------------
+    def init_state(self):
+        """(stacked params, stacked opt_state): member i initialized from
+        ``key_for(seeds[i], 'model_init')`` — identical to a single Trainer
+        run with ``random_seed=seeds[i]`` (train/trainer.py _init_state)."""
+        c = self.corpora["train"]
+        b = c["batch_size"]
+        init_inputs = c["inputs"][:b]
+        if jnp.issubdtype(init_inputs.dtype, jnp.integer):
+            init_inputs = init_inputs.astype(jnp.int32)
+        else:
+            init_inputs = init_inputs.astype(jnp.float32)
+        init_lengths = c["lengths"][:b] if self.use_lengths else None
+        model = self.model
+
+        def init_one(pkey, dkey):
+            return model.init(
+                {"params": pkey, "dropout": dkey}, init_inputs,
+                lengths=init_lengths, deterministic=True)["params"]
+
+        pkeys = jnp.stack([key_for(s, "model_init") for s in self.seeds])
+        dkeys = jnp.stack([key_for(s, "dropout_init") for s in self.seeds])
+        params = jax.jit(jax.vmap(init_one))(pkeys, dkeys)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        logger.info(
+            "ensemble of %d x %s: %.2fM params each (%.2fM stacked)",
+            self.n_models, self.config.model_type,
+            n_params / self.n_models / 1e6, n_params / 1e6)
+        # AdamW state structure is lr-independent (a float lr lowers to a
+        # stateless scale); one optimizer initializes every member
+        opt_state = jax.jit(jax.vmap(_make_optimizer(0.0).init))(params)
+        if self.mesh is not None:
+            shard = lambda t: jax.tree_util.tree_map(
+                lambda x: self._put(x, P("data")), t)
+            params, opt_state = shard(params), shard(opt_state)
+        return params, opt_state
+
+    def _stacked_keys(self):
+        return jnp.stack([key_for(s, "trainer") for s in self.seeds])
+
+    def _perm(self, c: dict, epoch: int, shuffle: bool):
+        """Same per-epoch permutation as BatchLoader / DeviceEpochRunner —
+        shared by every member (seeded by config.random_seed, not the
+        member seeds)."""
+        n_real, n_pad = c["n_real"], c["n_steps"] * c["batch_size"]
+        order = np.arange(n_real, dtype=np.int32)
+        if shuffle:
+            np.random.default_rng(
+                self.config.random_seed + epoch).shuffle(order)
+        perm = np.concatenate(
+            [order, np.arange(n_real, n_pad, dtype=np.int32)])
+        return self._put(perm)
+
+    # -- epoch programs ----------------------------------------------------
+    def _member_train_epoch(self, n_steps: int, b: int, n_real: int,
+                            axis_name: Optional[str] = None):
+        loss_fn = make_loss_fn(self.model, self.use_lengths)
+
+        def model_epoch(params, opt_state, lr, root_key,
+                        inputs, lengths, labels, perm, step0):
+            optimizer = _make_optimizer(lr)
+            loss0 = jnp.float32(0.0)
+            if axis_name is not None:
+                # under shard_map the carry holds device-varying data (the
+                # member params/losses differ per shard); the invariant zero
+                # init must be marked varying for scan's carry types to match
+                loss0 = jax.lax.pcast(loss0, axis_name, to="varying")
+
+            def body(carry, i):
+                params, opt_state, loss_sum = carry
+                idx = jax.lax.dynamic_slice(perm, (i * b,), (b,))
+                row_w = (idx < n_real).astype(jnp.float32)
+                key = jax.random.fold_in(root_key, step0 + i)
+                (loss, logits), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, jnp.take(inputs, idx, axis=0),
+                  jnp.take(lengths, idx, axis=0),
+                  jnp.take(labels, idx, axis=0), row_w, key, False)
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return ((params, opt_state, loss_sum + loss),
+                        jax.nn.sigmoid(logits))
+
+            (params, opt_state, loss_sum), preds = jax.lax.scan(
+                body, (params, opt_state, loss0), jnp.arange(n_steps))
+            return params, opt_state, loss_sum / n_steps, preds
+
+        return model_epoch
+
+    def _maps(self, preds, labels, perm, n_real: int, n_rows: int):
+        """(per-member mAP (K,), ensemble mean-of-sigmoids mAP)."""
+        scores = preds.reshape(self.n_models, n_rows, -1)
+        rows = perm[:n_rows]
+        lab = jnp.take(labels, rows, axis=0)
+        valid = rows < n_real
+        per = jax.vmap(lambda s: macro_map_device(s, lab, valid))(scores)
+        ens = macro_map_device(jnp.mean(scores, axis=0), lab, valid)
+        return per, ens
+
+    def _build_train_fn(self):
+        c = self.corpora["train"]
+        n_steps, b, n_real = c["n_steps"], c["batch_size"], c["n_real"]
+        member = self._member_train_epoch(
+            n_steps, b, n_real,
+            axis_name="data" if self.mesh is not None else None)
+        vmapped = jax.vmap(
+            member, in_axes=(0, 0, 0, 0, None, None, None, None, None))
+        if self.mesh is not None:
+            vmapped = jax.shard_map(
+                vmapped, mesh=self.mesh,
+                in_specs=(P("data"), P("data"), P("data"), P("data"),
+                          P(), P(), P(), P(), P()),
+                out_specs=(P("data"), P("data"), P("data"), P("data")),
+            )
+
+        def epoch(params, opt_state, lrs, keys, inputs, lengths, labels,
+                  perm, step0):
+            params, opt_state, losses, preds = vmapped(
+                params, opt_state, lrs, keys, inputs, lengths, labels,
+                perm, step0)
+            per, ens = self._maps(preds, labels, perm, n_real, n_steps * b)
+            return params, opt_state, losses, per, ens
+
+        return jax.jit(epoch, donate_argnums=(0, 1))
+
+    def _build_eval_fn(self):
+        c = self.corpora["validation"]
+        n_steps, b, n_real = c["n_steps"], c["batch_size"], c["n_real"]
+        loss_fn = make_loss_fn(self.model, self.use_lengths)
+        axis_name = "data" if self.mesh is not None else None
+
+        def model_eval(params, inputs, lengths, labels, perm):
+            loss0 = jnp.float32(0.0)
+            if axis_name is not None:
+                loss0 = jax.lax.pcast(loss0, axis_name, to="varying")
+
+            def body(loss_sum, i):
+                idx = jax.lax.dynamic_slice(perm, (i * b,), (b,))
+                row_w = (idx < n_real).astype(jnp.float32)
+                loss, logits = loss_fn(
+                    params, jnp.take(inputs, idx, axis=0),
+                    jnp.take(lengths, idx, axis=0),
+                    jnp.take(labels, idx, axis=0), row_w, None, True)
+                return loss_sum + loss, jax.nn.sigmoid(logits)
+
+            loss_sum, preds = jax.lax.scan(
+                body, loss0, jnp.arange(n_steps))
+            return loss_sum / n_steps, preds
+
+        vmapped = jax.vmap(model_eval, in_axes=(0, None, None, None, None))
+        if self.mesh is not None:
+            vmapped = jax.shard_map(
+                vmapped, mesh=self.mesh,
+                in_specs=(P("data"), P(), P(), P(), P()),
+                out_specs=(P("data"), P("data")),
+            )
+
+        def epoch(params, inputs, lengths, labels, perm):
+            losses, preds = vmapped(params, inputs, lengths, labels, perm)
+            per, ens = self._maps(preds, labels, perm, n_real, n_steps * b)
+            return losses, per, ens
+
+        return jax.jit(epoch)
+
+    # -- public entry points -----------------------------------------------
+    def train_epoch(self, params, opt_state, epoch: int, step: int):
+        c = self.corpora["train"]
+        if self._train_fn is None:
+            self._train_fn = self._build_train_fn()
+        perm = self._perm(c, epoch, shuffle=True)
+        lrs = self._put(np.asarray(self.learning_rates, np.float32),
+                        P("data") if self.mesh is not None else P())
+        keys = self._stacked_keys()
+        if self.mesh is not None:
+            keys = jax.device_put(keys, NamedSharding(self.mesh, P("data")))
+        params, opt_state, losses, per, ens = self._train_fn(
+            params, opt_state, lrs, keys, c["inputs"], c["lengths"],
+            c["labels"], perm, jnp.int32(step))
+        return (params, opt_state, step + c["n_steps"],
+                np.asarray(losses), np.asarray(per), float(np.asarray(ens)))
+
+    def eval_epoch(self, params):
+        c = self.corpora["validation"]
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval_fn()
+        perm = self._perm(c, 0, shuffle=False)
+        losses, per, ens = self._eval_fn(
+            params, c["inputs"], c["lengths"], c["labels"], perm)
+        return np.asarray(losses), np.asarray(per), float(np.asarray(ens))
+
+    def member_params(self, params, i: int):
+        """Unstack one member's params (e.g. to checkpoint the best)."""
+        return jax.tree_util.tree_map(lambda x: x[i], params)
+
+    def run(self) -> dict:
+        """Full training run; returns the report dict (and optionally saves
+        the best member + metadata under ``checkpoint_dir``)."""
+        import time
+
+        cfg = self.config
+        if not self.corpora:
+            self.load_corpora()
+        params, opt_state = self.init_state()
+        best_per = np.full(self.n_models, -1.0)
+        best_ens = -1.0
+        history: List[dict] = []
+        step = 0
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            params, opt_state, step, tr_loss, tr_map, tr_ens = (
+                self.train_epoch(params, opt_state, epoch, step))
+            va_loss, va_map, va_ens = self.eval_epoch(params)
+            best_per = np.maximum(best_per, va_map)
+            best_ens = max(best_ens, va_ens)
+            history.append(dict(
+                epoch=epoch, train_loss=tr_loss.tolist(),
+                val_loss=va_loss.tolist(), val_mAP=va_map.tolist(),
+                ensemble_val_mAP=va_ens))
+            logger.info(
+                "epoch %d (%.1fs): val mAP per member [%s], ensemble %.4f",
+                epoch, time.time() - t0,
+                " ".join(f"{m:.4f}" for m in va_map), va_ens)
+        best_i = int(np.argmax(best_per))
+        report = dict(
+            n_models=self.n_models, seeds=self.seeds,
+            learning_rates=self.learning_rates,
+            best_member=best_i,
+            best_member_val_mAP=float(best_per[best_i]),
+            per_member_best_val_mAP=best_per.tolist(),
+            ensemble_val_mAP=float(va_ens),
+            best_ensemble_val_mAP=float(best_ens),
+            history=history,
+        )
+        if cfg.save_best_checkpoint:
+            from audio_tokens_tpu.train import checkpoint as ckpt
+
+            ckpt.save_checkpoint(
+                cfg.checkpoint_dir, "ensemble-best",
+                self.member_params(params, best_i),
+                step=step, metric=float(best_per[best_i]), epoch=cfg.epochs)
+            logger.info(
+                "best member %d (seed %d, lr %g) saved as 'ensemble-best'",
+                best_i, self.seeds[best_i], self.learning_rates[best_i])
+        return report
+
+
+def main(argv=None) -> dict:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Train a seed ensemble / LR sweep in one compiled "
+                    "program over the device-resident corpus.")
+    parser.add_argument("--n_models", type=int, default=8)
+    parser.add_argument("--seeds", type=str, default="",
+                        help="comma list; default random_seed + i")
+    parser.add_argument("--lrs", type=str, default="",
+                        help="comma list of learning rates (LR sweep); "
+                             "default: the config lr for every member")
+    args, rest = parser.parse_known_args(argv)
+    config = AudioTokensConfig.from_args(rest)
+    seeds = [int(s) for s in args.seeds.split(",") if s] or None
+    lrs = [float(s) for s in args.lrs.split(",") if s] or None
+    trainer = EnsembleTrainer(config, n_models=args.n_models,
+                              seeds=seeds, learning_rates=lrs)
+    report = trainer.run()
+    print(f"best member: {report['best_member']} "
+          f"(val mAP {report['best_member_val_mAP']:.4f}); "
+          f"ensemble val mAP {report['ensemble_val_mAP']:.4f}")
+    return report
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()

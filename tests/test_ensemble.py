@@ -1,0 +1,206 @@
+"""Ensemble / sweep trainer (train/ensemble.py): member trajectories match
+the single-model device-epoch path, the model axis shards over a mesh, and
+per-member hyperparameters (seed, lr) behave independently."""
+
+import numpy as np
+import pytest
+
+import jax
+import optax
+
+from audio_tokens_tpu.config import AudioTokensConfig
+from audio_tokens_tpu.models import get_model
+from audio_tokens_tpu.train.device_epoch import DeviceEpochRunner
+from audio_tokens_tpu.train.ensemble import EnsembleTrainer
+from audio_tokens_tpu.utils.seeding import key_for
+
+VOCAB, C, T, B, N = 50, 8, 24, 8, 32
+
+
+def _cfg(tmp_path=None, **kw):
+    kwargs = dict(
+        model_type="simple", vocab_size=VOCAB, num_classes=C,
+        max_seq_len=T, training_batch_size=B, hidden_size=32,
+        random_seed=11, learning_rate=1e-3, epochs=2,
+        save_best_checkpoint=False,
+    )
+    if tmp_path is not None:
+        kwargs["base_dir"] = str(tmp_path)
+    kwargs.update(kw)
+    return AudioTokensConfig(**kwargs)
+
+
+def _corpus(rng, n=N):
+    inputs = rng.integers(0, VOCAB, (n, T)).astype(np.uint16)
+    lengths = np.full(n, T, np.int32)
+    labels = (rng.random((n, C)) < 0.3).astype(np.uint8)
+    labels[0] = 1  # every class has at least one positive
+    return inputs, lengths, labels
+
+
+def _ensemble_with_corpus(cfg, rng, **kw):
+    ens = EnsembleTrainer(cfg, **kw)
+    tr = _corpus(rng)
+    va = _corpus(rng, n=2 * B)
+    ens.set_corpus_arrays("train", *tr, n_real=N, batch_size=B)
+    ens.set_corpus_arrays("validation", *va, n_real=2 * B, batch_size=B)
+    return ens, tr, va
+
+
+def test_member_matches_single_device_epoch(tmp_path):
+    """Member i with seeds[i] == config.random_seed reproduces the single
+    Trainer device-epoch trajectory (same init, dropout keys, perm)."""
+    cfg = _cfg(tmp_path)
+    rng = np.random.default_rng(0)
+    ens, tr, va = _ensemble_with_corpus(
+        cfg, rng, seeds=[cfg.random_seed, cfg.random_seed + 5])
+
+    params, opt_state = ens.init_state()
+    # single-model reference: the exact Trainer/device-epoch construction
+    model = get_model(cfg)
+    sp = model.init(
+        {"params": key_for(cfg.random_seed, "model_init"),
+         "dropout": key_for(cfg.random_seed, "dropout_init")},
+        np.asarray(tr[0][:B], np.int32), lengths=None, deterministic=True,
+    )["params"]
+    optimizer = optax.adamw(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                            weight_decay=0.01)
+    so = optimizer.init(sp)
+    runner = DeviceEpochRunner(model, optimizer, cfg, None,
+                               use_lengths=not cfg.reference_compat)
+    runner.set_corpus_arrays("train", *tr, n_real=N, batch_size=B)
+    runner.set_corpus_arrays("validation", *va, n_real=2 * B, batch_size=B)
+    root = key_for(cfg.random_seed, "trainer")
+
+    step = sstep = 0
+    for epoch in range(2):
+        params, opt_state, step, losses, per, _ = ens.train_epoch(
+            params, opt_state, epoch, step)
+        sp, so, sstep, sloss, smet = runner.train_epoch(
+            sp, so, root, epoch, sstep)
+        assert losses[0] == pytest.approx(sloss, rel=1e-5, abs=1e-6)
+        assert per[0] == pytest.approx(smet["mAP"], abs=2e-6)
+        # the second member (different seed) genuinely diverges
+        assert abs(losses[1] - sloss) > 1e-7
+    va_loss, va_map, _ = ens.eval_epoch(params)
+    sv_loss, sv_met = runner.eval_epoch(sp)
+    assert va_loss[0] == pytest.approx(sv_loss, rel=1e-5, abs=1e-6)
+    assert va_map[0] == pytest.approx(sv_met["mAP"], abs=2e-6)
+    # member params match the single run's
+    m0 = ens.member_params(params, 0)
+    for a, b in zip(jax.tree_util.tree_leaves(m0),
+                    jax.tree_util.tree_leaves(sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_matches_unsharded(tmp_path):
+    from audio_tokens_tpu.parallel.mesh import data_mesh
+
+    mesh = data_mesh(min_devices=2)
+    if mesh is None:
+        pytest.skip("needs >= 2 devices")
+    cfg = _cfg(tmp_path)
+    rng = np.random.default_rng(1)
+    n_dev = mesh.devices.size
+    k = 2 * n_dev
+    ens_s, _, _ = _ensemble_with_corpus(cfg, np.random.default_rng(1),
+                                        n_models=k, mesh=mesh)
+    ens_u, _, _ = _ensemble_with_corpus(cfg, np.random.default_rng(1),
+                                        n_models=k, mesh=None)
+    ps, os_ = ens_s.init_state()
+    pu, ou = ens_u.init_state()
+    ps, os_, _, ls, per_s, ens_map_s = ens_s.train_epoch(ps, os_, 0, 0)
+    pu, ou, _, lu, per_u, ens_map_u = ens_u.train_epoch(pu, ou, 0, 0)
+    np.testing.assert_allclose(ls, lu, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(per_s, per_u, rtol=1e-5, atol=1e-6)
+    assert ens_map_s == pytest.approx(ens_map_u, abs=2e-6)
+    vs = ens_s.eval_epoch(ps)
+    vu = ens_u.eval_epoch(pu)
+    np.testing.assert_allclose(vs[0], vu[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(vs[1], vu[1], rtol=1e-5, atol=1e-6)
+
+
+def test_lr_sweep_member_independence(tmp_path):
+    """lr=0 freezes its member exactly (AdamW's update is scale(-lr));
+    distinct lrs produce distinct members from the same seed."""
+    cfg = _cfg(tmp_path)
+    ens, _, _ = _ensemble_with_corpus(
+        cfg, np.random.default_rng(2), seeds=[3, 3, 3],
+        learning_rates=[0.0, 1e-3, 1e-2])
+    params, opt_state = ens.init_state()
+    init0 = jax.tree_util.tree_map(
+        lambda x: np.asarray(x[0]).copy(), params)
+    params, opt_state, _, losses, _, _ = ens.train_epoch(
+        params, opt_state, 0, 0)
+    frozen = ens.member_params(params, 0)
+    for a, b in zip(jax.tree_util.tree_leaves(frozen),
+                    jax.tree_util.tree_leaves(init0)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    p1 = jax.tree_util.tree_leaves(ens.member_params(params, 1))
+    p2 = jax.tree_util.tree_leaves(ens.member_params(params, 2))
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(p1, p2))
+
+
+def test_identical_seeds_are_identical_members(tmp_path):
+    cfg = _cfg(tmp_path)
+    ens, _, _ = _ensemble_with_corpus(cfg, np.random.default_rng(3),
+                                      seeds=[7, 7])
+    params, opt_state = ens.init_state()
+    params, opt_state, _, losses, per, ens_map = ens.train_epoch(
+        params, opt_state, 0, 0)
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+    assert per[0] == pytest.approx(per[1], abs=1e-6)
+    # mean of identical sigmoid matrices == the member matrix
+    assert ens_map == pytest.approx(per[0], abs=1e-6)
+
+
+def test_lstm_auto_backend_vmaps(tmp_path):
+    """The lstm family forces its XLA scan backend under the model-axis
+    vmap ('auto' would pick the Pallas kernel on a TPU chip)."""
+    cfg = _cfg(tmp_path, model_type="lstm", lstm_embed_dim=8,
+               lstm_hidden_dim=16, num_layers=1)
+    ens, _, _ = _ensemble_with_corpus(cfg, np.random.default_rng(4),
+                                      n_models=2)
+    assert ens.config.lstm_backend == "xla"
+    params, opt_state = ens.init_state()
+    params, opt_state, _, losses, per, _ = ens.train_epoch(
+        params, opt_state, 0, 0)
+    assert np.isfinite(losses).all()
+    with pytest.raises(ValueError, match="pallas"):
+        EnsembleTrainer(_cfg(tmp_path, model_type="lstm",
+                             lstm_backend="pallas"), n_models=2)
+
+
+def test_run_report_and_checkpoint(tmp_path):
+    from audio_tokens_tpu.train import checkpoint as ckpt
+
+    cfg = _cfg(tmp_path, epochs=2, save_best_checkpoint=True)
+    ens, _, _ = _ensemble_with_corpus(cfg, np.random.default_rng(5),
+                                      n_models=2)
+    report = ens.run()
+    assert report["n_models"] == 2
+    assert 0.0 <= report["best_member_val_mAP"] <= 1.0
+    assert 0.0 <= report["ensemble_val_mAP"] <= 1.0
+    assert len(report["history"]) == 2
+    # the best member's params round-trip through the checkpoint
+    params, _ = ens.init_state()
+    template = ens.member_params(params, 0)
+    restored = ckpt.load_params(cfg.checkpoint_dir, "ensemble-best", template)
+    assert jax.tree_util.tree_structure(restored) == (
+        jax.tree_util.tree_structure(template))
+
+
+def test_arg_validation(tmp_path):
+    cfg = _cfg(tmp_path)
+    with pytest.raises(ValueError, match="same length"):
+        EnsembleTrainer(cfg, seeds=[1, 2], learning_rates=[1e-3])
+    with pytest.raises(ValueError, match="n_models"):
+        EnsembleTrainer(cfg, n_models=0)
+    from audio_tokens_tpu.parallel.mesh import data_mesh
+
+    mesh = data_mesh(min_devices=2)
+    if mesh is not None:
+        with pytest.raises(ValueError, match="divide"):
+            EnsembleTrainer(cfg, n_models=mesh.devices.size + 1, mesh=mesh)
