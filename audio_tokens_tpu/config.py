@@ -241,6 +241,16 @@ class AudioTokensConfig:
     # training RNG stream with mesh shape.  Pin lstm_backend='xla' when
     # bit-identical trajectories across mesh shapes matter.
     lstm_backend: str = "auto"
+    # Rematerialize the LSTM recurrence in time chunks of this many steps
+    # (0 = off).  The backward pass then stores only chunk-boundary (h, c)
+    # carries instead of every step's gate activations and recomputes each
+    # chunk's forward during backprop (jax.checkpoint) — ~5x less residual
+    # HBM per member at default shapes for ~one extra forward of compute.
+    # Numerics are unchanged.  Forces the scan backend (the Pallas kernel
+    # saves exactly the residuals remat avoids).  Main use: stacking more
+    # vmapped ensemble members (train/ensemble.py) — K=4 lstm at defaults
+    # OOMs without it.  256 is a good chunk at T=1728.
+    lstm_remat_chunk: int = 0
     # Transformer attention window (model_type='bert').  512 reproduces the
     # reference, which slices every clip to its first 512 tokens — ~3 s of a
     # 10 s clip (reference: models/custom_bert_classifier.py:21-22).  On TPU

@@ -90,6 +90,7 @@ def get_model(config: AudioTokensConfig) -> nn.Module:
             num_classes=config.num_classes,
             dropout=config.dropout,
             lstm_backend=_resolve_lstm_backend(config),
+            remat_chunk=config.lstm_remat_chunk,
         )
     elif config.model_type == "simple":
         return SimpleTokenClassifier(

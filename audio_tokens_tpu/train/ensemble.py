@@ -35,6 +35,10 @@ throughput of sequential runs (0.35x cost per member).  The bound is HBM,
 not compute — every member keeps its own backward residuals, so big
 recurrent/attention members cap K (``lstm`` at B=64/T=1728 fits K=2;
 K=4 measured OOM at 22.8 GB) while token-family members fit K=8+.
+``--lstm_remat_chunk 256`` lifts that cap: chunked rematerialization
+(models/lstm.py) drops each member's recurrence residuals ~5x for ~one
+extra forward of backward compute, numerics unchanged — K=4 lstm members
+fit and train (measured, BASELINE.md).
 """
 
 from __future__ import annotations
