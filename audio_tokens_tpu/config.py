@@ -266,6 +266,15 @@ class AudioTokensConfig:
     # so 'auto' never engages it; the knob remains for other
     # shapes/hardware.
     transformer_attention: str = "auto"
+    # Rematerialize each transformer encoder block (jax.checkpoint): the
+    # backward keeps only (B, T, H) block boundaries and recomputes the
+    # O(T^2) attention scores during backprop — numerics unchanged, ~one
+    # extra forward of compute.  The memory lever for big-batch training
+    # at full-clip attention (transformer_max_position = max_seq_len),
+    # where the (B, heads, T, T) score residuals otherwise bound batch
+    # size (measured: full-clip B=32 train step OOMs without it, trains
+    # with it — BASELINE.md).
+    transformer_remat: bool = False
     # Megakernel DFT/mel GEMM tier: 'highest' (f32, bit-exact tokens,
     # ~18.5k clips/s on v5e), 'bf16x3' (~26k, 99.997% agreement),
     # 'default' (bf16, ~34k, 99.3%).

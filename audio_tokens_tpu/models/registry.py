@@ -108,6 +108,7 @@ def get_model(config: AudioTokensConfig) -> nn.Module:
             dropout=config.dropout,
             compute_dtype=compute_dtype,
             attention_impl=_resolve_transformer_attention(config),
+            remat_blocks=config.transformer_remat,
         )
     elif config.model_type == "cnn":
         return CNNClassifier(num_classes=config.num_classes,

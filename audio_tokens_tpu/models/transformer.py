@@ -195,6 +195,14 @@ class TransformerClassifier(nn.Module):
     # sequence parallelism: a mesh with a 'sequence' axis; activations are
     # constrained to (data, sequence, None) at block boundaries (no-op None)
     sp_mesh: Optional[Mesh] = None
+    # Rematerialize each encoder block (jax.checkpoint via nn.remat): the
+    # backward stores only block-boundary activations (B, T, H) and
+    # recomputes the block forward — including the (B, heads, T, T)
+    # attention scores, the O(T^2) residual that dominates full-clip
+    # training memory — during backprop.  Numerics unchanged; ~one extra
+    # forward of compute.  The lever for big-batch training at
+    # max_position = max_seq_len (full-clip attention).
+    remat_blocks: bool = False
 
     def _sp(self, x):
         if self.sp_mesh is None:
@@ -240,8 +248,11 @@ class TransformerClassifier(nn.Module):
             # epochs and serving
             impl = "xla"
         num_heads = max(1, self.hidden_size // 64)
+        # deterministic is arg 3 of EncoderBlock.__call__ (self counts as 0)
+        block_cls = (nn.remat(EncoderBlock, static_argnums=(3,))
+                     if self.remat_blocks else EncoderBlock)
         for i in range(self.num_layers):
-            x = self._sp(EncoderBlock(
+            x = self._sp(block_cls(
                 self.hidden_size, num_heads, self.dropout,
                 compute_dtype=self.compute_dtype, attention_impl=impl,
                 lengths=lengths, name=f"layer_{i}",
