@@ -20,6 +20,7 @@ they bypass the embedding table through a width-matching projection-free path
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import flax.linen as nn
@@ -150,7 +151,9 @@ class LSTMLayer(nn.Module):
         m = m.reshape(n_chunks, s, b, 1)
         step = _lstm_step(w_hh)
 
-        @jax.checkpoint
+        # prevent_cse=False: JAX documents CSE prevention as unnecessary (and
+        # costly) for checkpoint bodies inside lax.scan, which this is
+        @partial(jax.checkpoint, prevent_cse=False)
         def chunk(carry, inp):
             xc, mc = inp
             xg = jnp.einsum("tbe,eg->tbg", xc, w_ih) + bias

@@ -39,6 +39,16 @@ def _resolve_lstm_backend(config: AudioTokensConfig) -> str:
     multi-device DP mesh the jitted train step must use the scan (every
     other Pallas kernel here runs under an explicit shard_map instead)."""
     backend = getattr(config, "lstm_backend", "auto")
+    if backend in ("pallas", "pallas_interpret") and config.lstm_remat_chunk > 0:
+        # the remat scan replaces the recurrence entirely (models/lstm.py
+        # routes remat_chunk>0 before the backend branch); an explicit Pallas
+        # request must not silently run the XLA scan instead
+        raise ValueError(
+            f"lstm_backend='{backend}' is incompatible with "
+            f"lstm_remat_chunk={config.lstm_remat_chunk}: chunked remat runs "
+            "the XLA scan (the Pallas sequence kernel stores the per-step "
+            "residuals remat exists to avoid); use lstm_backend='auto'/'xla' "
+            "with remat, or lstm_remat_chunk=0 with the Pallas kernel")
     if backend in ("xla", "pallas", "pallas_interpret"):
         return backend
     if backend != "auto":

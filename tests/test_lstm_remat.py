@@ -71,7 +71,7 @@ def test_forward_and_grads_match_plain_scan(chunk):
         np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-6)
 
 
-def test_degenerate_mask_path(monkeypatch):
+def test_degenerate_mask_path():
     """reference_compat (lengths=None, all-ones mask) through the remat path."""
     tokens, _, _ = _data(1)
     plain = get_model(_cfg())
@@ -113,3 +113,14 @@ def test_ensemble_trajectory_matches_without_remat(tmp_path):
         np.testing.assert_allclose(vl1, vl0, rtol=1e-5)
         np.testing.assert_allclose(vm1, vm0, rtol=1e-5)
         assert abs(e1 - e0) < 1e-5
+
+
+def test_explicit_pallas_with_remat_rejected():
+    """An explicit Pallas backend request must not silently run the remat
+    scan (ADVICE r4: the remat check precedes the backend branch)."""
+    for backend in ("pallas", "pallas_interpret"):
+        with pytest.raises(ValueError, match="lstm_remat_chunk"):
+            get_model(_cfg(lstm_backend=backend, lstm_remat_chunk=8))
+    # 'auto' and 'xla' remain valid with remat
+    get_model(_cfg(lstm_backend="auto", lstm_remat_chunk=8))
+    get_model(_cfg(lstm_backend="xla", lstm_remat_chunk=8))
