@@ -72,6 +72,36 @@ class SpectrogramGenerator:
         logger.info("audio decode backend: %s",
                     "native C++" if self.use_native else "python")
 
+    def _signature(self) -> dict:
+        """Signal-chain signature persisted next to each split's artifacts.
+
+        Every config field that changes the VALUES in a spectrogram ``.npy``
+        (not just which clips render) is included; ``incremental=True`` runs
+        re-render the whole split when the stored signature mismatches, so
+        old-config and new-config spectrograms can never mix in one corpus.
+        Mirrors the tokenizer's centroid-mtime staleness guard
+        (spec_tokenizer.py) and the K-means checkpoint's stream signature
+        (cluster_creator.py).  The reference had no incremental mode at all
+        (destructive restart, reference spectrogram_generator.py:43-44).
+        """
+        cfg = self.config
+        return {
+            "common_sr": cfg.common_sr,
+            "n_mels": cfg.n_mels,
+            "n_fft": cfg.n_fft,
+            "hop_length": cfg.hop_length,
+            "normalize": bool(cfg.normalize),
+            "clip_samples": cfg.clip_samples,
+            "pcm_wire": cfg.pcm_wire,  # i16 wire quantizes decoded samples
+        }
+
+    SIGNATURE_NAME = "_signature.json"
+
+    def _write_signature(self, output_dir: Path) -> None:
+        tmp = output_dir / (self.SIGNATURE_NAME + ".tmp")
+        tmp.write_text(json.dumps(self._signature(), sort_keys=True))
+        tmp.replace(output_dir / self.SIGNATURE_NAME)
+
     def run(self) -> None:
         for split in ["train", "validation"]:
             logger.info("Creating %s spectrograms", split)
@@ -81,14 +111,37 @@ class SpectrogramGenerator:
                 if distributed.is_coordinator():
                     output_dir.mkdir(parents=True, exist_ok=True)
                 distributed.barrier(f"spec-mkdir-{split}")
-                before = len(ytids)
-                ytids = [y for y in ytids if not (output_dir / f"{y}.npy").exists()]
-                logger.info("incremental: %d/%d clips already done",
-                            before - len(ytids), before)
+                sig_path = output_dir / self.SIGNATURE_NAME
+                try:
+                    stored = json.loads(sig_path.read_text())
+                except (FileNotFoundError, json.JSONDecodeError):
+                    stored = None
+                has_artifacts = any(output_dir.glob("*.npy"))
+                if stored == self._signature() or not has_artifacts:
+                    if distributed.is_coordinator() and stored != self._signature():
+                        self._write_signature(output_dir)
+                    before = len(ytids)
+                    ytids = [y for y in ytids
+                             if not (output_dir / f"{y}.npy").exists()]
+                    logger.info("incremental: %d/%d clips already done",
+                                before - len(ytids), before)
+                else:
+                    # every process reads the same file post-barrier, so the
+                    # staleness decision is identical everywhere
+                    logger.info(
+                        "incremental: signal-chain signature changed "
+                        "(%s -> %s); re-rendering the whole %s split",
+                        stored, self._signature(), split)
+                    if distributed.is_coordinator():
+                        shutil.rmtree(output_dir, ignore_errors=True)
+                        output_dir.mkdir(parents=True)
+                        self._write_signature(output_dir)
+                    distributed.barrier(f"spec-rerender-{split}")
             else:  # reference semantics: destructive restart (once, proc 0)
                 if distributed.is_coordinator():
                     shutil.rmtree(output_dir, ignore_errors=True)
                     output_dir.mkdir(parents=True)
+                    self._write_signature(output_dir)
                 distributed.barrier(f"spec-wipe-{split}")
             # multi-host: each process renders its strided slice of the split
             # (same split file everywhere -> pure arithmetic, no coordination)

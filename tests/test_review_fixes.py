@@ -190,6 +190,42 @@ def test_incremental_stage_resume(tmp_path):
     assert keeper.stat().st_mtime_ns == keeper_mtime  # not rewritten
 
 
+def test_incremental_signature_rerenders_on_config_change(tmp_path):
+    """VERDICT r4 #6: changing a signal-chain field (n_mels) with
+    incremental=True must re-render the whole split, not silently mix
+    old-config and new-config spectrograms; a matching config still skips."""
+    import dataclasses
+
+    from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+    from audio_tokens_tpu.data.splitter import DatasetSplitter
+    from audio_tokens_tpu.processors.spectrogram_generator import SpectrogramGenerator
+
+    fixtures.make_workspace(tmp_path, n_clips=8)
+    cfg = fixtures.test_config(tmp_path, incremental=True)
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+
+    SpectrogramGenerator(cfg).run()
+    spec_dir = Path(cfg.dest_spec_path) / "train"
+    files = sorted(spec_dir.glob("*.npy"))
+    assert files and (spec_dir / "_signature.json").exists()
+    old_mels = np.load(files[0]).shape[0]
+    assert old_mels == cfg.n_mels
+
+    # change the signal chain: every artifact must be re-rendered
+    cfg2 = dataclasses.replace(cfg, n_mels=cfg.n_mels // 2)
+    SpectrogramGenerator(cfg2).run()
+    for f in sorted(spec_dir.glob("*.npy")):
+        assert np.load(f).shape[0] == cfg2.n_mels, f
+
+    # matching config: rerun skips (mtimes untouched)
+    stamps = {f: f.stat().st_mtime_ns for f in spec_dir.glob("*.npy")}
+    import time as _time
+    _time.sleep(0.01)
+    SpectrogramGenerator(cfg2).run()
+    for f, stamp in stamps.items():
+        assert f.stat().st_mtime_ns == stamp, f
+
+
 def test_incremental_resume_repairs_killed_mid_write(tmp_path):
     """A run killed mid-write leaves only a .npy.tmp (atomic writes never
     expose a truncated final artifact); incremental rerun must regenerate
