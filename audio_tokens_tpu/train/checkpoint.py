@@ -32,6 +32,7 @@ def save_checkpoint(
     step: int = 0,
     metric: float = 0.0,
     epoch: int = 0,
+    extra: dict | None = None,
 ) -> Path:
     """Write a checkpoint ATOMICALLY: build under a temp name, then rename
     over the previous best.  Deleting first and saving in place would leave
@@ -59,8 +60,11 @@ def save_checkpoint(
             ckptr.save(tmp / "params", jax.device_get(params))
             if opt_state is not None:
                 ckptr.save(tmp / "opt_state", jax.device_get(opt_state))
-        (tmp / "meta.json").write_text(
-            json.dumps({"step": step, "metric": metric, "epoch": epoch}))
+        meta = {"step": step, "metric": metric, "epoch": epoch}
+        if extra:
+            meta.update(extra)  # JSON-serializable run state (e.g. the
+            # ensemble's per-member bests/history for exact resume)
+        (tmp / "meta.json").write_text(json.dumps(meta))
         old = path.parent / f"{name}.old.{os.getpid()}"
         if path.exists():
             os.replace(path, old)   # rename, not rmtree: O(1) swap window
@@ -71,6 +75,12 @@ def save_checkpoint(
             shutil.rmtree(tmp, ignore_errors=True)
     logger.info("checkpoint saved: %s (step=%d metric=%.4f)", path, step, metric)
     return path
+
+
+def load_meta(directory: str | Path, name: str) -> dict:
+    """The checkpoint's full meta.json (step/metric/epoch + any extras)."""
+    path = (Path(directory) / name).absolute()
+    return json.loads((path / "meta.json").read_text())
 
 
 def load_params(directory: str | Path, name: str, template: Any) -> Any:

@@ -365,10 +365,69 @@ class EnsembleTrainer:
         """Unstack one member's params (e.g. to checkpoint the best)."""
         return jax.tree_util.tree_map(lambda x: x[i], params)
 
+    RESUME_NAME = "ensemble-resume"
+
+    def _save_resume(self, params, opt_state, epoch: int, step: int,
+                     best_per, best_ens: float, history) -> None:
+        """Stacked params + opt_state + run state, atomically (coordinator
+        only, like the Trainer).  A K-member sweep that dies at epoch N-1
+        resumes exactly instead of restarting from zero (VERDICT r4 #5)."""
+        from audio_tokens_tpu.parallel import distributed
+        from audio_tokens_tpu.train import checkpoint as ckpt
+
+        if not distributed.is_coordinator():
+            return
+        ckpt.save_checkpoint(
+            self.config.checkpoint_dir, self.RESUME_NAME, params, opt_state,
+            step=step, metric=float(np.max(best_per)), epoch=epoch,
+            extra=dict(
+                seeds=self.seeds, learning_rates=self.learning_rates,
+                best_per=np.asarray(best_per, np.float64).tolist(),
+                best_ens=float(best_ens), history=history))
+
+    def _restore_resume(self, params, opt_state):
+        """Restore a RESUME_NAME checkpoint into the (template) stacked
+        state; returns (params, opt_state, start_epoch, step, best_per,
+        best_ens, history)."""
+        from audio_tokens_tpu.train import checkpoint as ckpt
+
+        cfg = self.config
+        name = cfg.resume_from
+        meta = ckpt.load_meta(cfg.checkpoint_dir, name)
+        if meta.get("seeds") != self.seeds or (
+                meta.get("learning_rates") != self.learning_rates):
+            raise ValueError(
+                f"checkpoint '{name}' was written by an ensemble with "
+                f"seeds={meta.get('seeds')} / lrs={meta.get('learning_rates')}"
+                f"; this run has seeds={self.seeds} / "
+                f"lrs={self.learning_rates} — resuming would silently train "
+                "different members")
+        restored_p, restored_o, step, _, start_epoch = ckpt.load_checkpoint(
+            cfg.checkpoint_dir, name, params, opt_state)
+        if restored_o is None:
+            raise ValueError(
+                f"checkpoint '{name}' has no optimizer state; ensemble "
+                "resume requires the full stacked state (use the "
+                f"'{self.RESUME_NAME}' checkpoint, not a best-member export)")
+        if self.mesh is not None:
+            # re-place restored host arrays on the model-axis sharding
+            place = lambda t, tpl: jax.tree_util.tree_map(
+                lambda x, y: jax.device_put(x, y.sharding), t, tpl)
+            restored_p = place(restored_p, params)
+            restored_o = place(restored_o, opt_state)
+        logger.info("ensemble resumed from %s at epoch %d, step %d",
+                    name, start_epoch, step)
+        return (restored_p, restored_o, start_epoch, step,
+                np.asarray(meta["best_per"]), float(meta["best_ens"]),
+                list(meta["history"]))
+
     def run(self) -> dict:
         """Full training run; returns the report dict (and optionally saves
-        the best member + metadata under ``checkpoint_dir``)."""
+        the best member + the stacked resume state under ``checkpoint_dir``)."""
         import time
+
+        from audio_tokens_tpu.parallel import distributed
+        from audio_tokens_tpu.train import checkpoint as ckpt
 
         cfg = self.config
         if not self.corpora:
@@ -376,9 +435,16 @@ class EnsembleTrainer:
         params, opt_state = self.init_state()
         best_per = np.full(self.n_models, -1.0)
         best_ens = -1.0
+        best_saved = -1.0  # best single-member mAP already checkpointed
         history: List[dict] = []
         step = 0
-        for epoch in range(cfg.epochs):
+        start_epoch = 0
+        if cfg.resume_from:
+            (params, opt_state, start_epoch, step, best_per, best_ens,
+             history) = self._restore_resume(params, opt_state)
+            best_saved = float(np.max(best_per))
+        va_ens = float("nan")
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             params, opt_state, step, tr_loss, tr_map, tr_ens = (
                 self.train_epoch(params, opt_state, epoch, step))
@@ -393,6 +459,35 @@ class EnsembleTrainer:
                 "epoch %d (%.1fs): val mAP per member [%s], ensemble %.4f",
                 epoch, time.time() - t0,
                 " ".join(f"{m:.4f}" for m in va_map), va_ens)
+            if cfg.save_best_checkpoint:
+                # the best member saves WITH its opt_state at the epoch the
+                # improvement happened, so it can be fine-tuned (the
+                # reference saved bare weights: model_trainer.py:195-204)
+                epoch_best = int(np.argmax(va_map))
+                if (float(va_map[epoch_best]) > best_saved
+                        and distributed.is_coordinator()):
+                    best_saved = float(va_map[epoch_best])
+                    ckpt.save_checkpoint(
+                        cfg.checkpoint_dir, "ensemble-best",
+                        self.member_params(params, epoch_best),
+                        opt_state=self.member_params(opt_state, epoch_best),
+                        step=step, metric=best_saved, epoch=epoch + 1,
+                        extra=dict(seed=self.seeds[epoch_best],
+                                   learning_rate=self.learning_rates[
+                                       epoch_best]))
+                    logger.info(
+                        "best member %d (seed %d, lr %g) saved as "
+                        "'ensemble-best'", epoch_best,
+                        self.seeds[epoch_best],
+                        self.learning_rates[epoch_best])
+                # full stacked state for exact resume (epoch+1: resume
+                # continues AFTER this epoch, like the Trainer)
+                self._save_resume(params, opt_state, epoch + 1, step,
+                                  best_per, best_ens, history)
+        if not np.isfinite(va_ens):
+            # resumed with an exhausted epoch budget: no training ran —
+            # report the restored state's validation numbers, not NaN
+            _, _, va_ens = self.eval_epoch(params)
         best_i = int(np.argmax(best_per))
         report = dict(
             n_models=self.n_models, seeds=self.seeds,
@@ -404,16 +499,6 @@ class EnsembleTrainer:
             best_ensemble_val_mAP=float(best_ens),
             history=history,
         )
-        if cfg.save_best_checkpoint:
-            from audio_tokens_tpu.train import checkpoint as ckpt
-
-            ckpt.save_checkpoint(
-                cfg.checkpoint_dir, "ensemble-best",
-                self.member_params(params, best_i),
-                step=step, metric=float(best_per[best_i]), epoch=cfg.epochs)
-            logger.info(
-                "best member %d (seed %d, lr %g) saved as 'ensemble-best'",
-                best_i, self.seeds[best_i], self.learning_rates[best_i])
         return report
 
 

@@ -204,3 +204,57 @@ def test_arg_validation(tmp_path):
     if mesh is not None:
         with pytest.raises(ValueError, match="divide"):
             EnsembleTrainer(cfg, n_models=mesh.devices.size + 1, mesh=mesh)
+
+
+def test_kill_resume_bit_equal_trajectory(tmp_path):
+    """VERDICT r4 #5: a K-member run killed mid-sweep resumes from the
+    'ensemble-resume' checkpoint with a bit-equal trajectory vs an
+    uninterrupted run, and the best member checkpoints WITH opt_state."""
+    import dataclasses
+
+    from audio_tokens_tpu.train import checkpoint as ckpt
+
+    rng_seed = 7
+
+    def fresh(cfg):
+        return _ensemble_with_corpus(cfg, np.random.default_rng(rng_seed),
+                                     n_models=3)[0]
+
+    # uninterrupted 4-epoch run
+    cfg_full = _cfg(tmp_path / "full", epochs=4, save_best_checkpoint=True)
+    report_full = fresh(cfg_full).run()
+
+    # interrupted: 2 epochs, then a NEW trainer resumes to 4
+    cfg_a = _cfg(tmp_path / "int", epochs=2, save_best_checkpoint=True)
+    fresh(cfg_a).run()
+    assert (ckpt.load_meta(cfg_a.checkpoint_dir,
+                           EnsembleTrainer.RESUME_NAME)["epoch"] == 2)
+    cfg_b = dataclasses.replace(cfg_a, epochs=4,
+                                resume_from=EnsembleTrainer.RESUME_NAME)
+    report_res = fresh(cfg_b).run()
+
+    # trajectories bit-equal: epochs 2-3 recompute from the restored state
+    assert len(report_res["history"]) == 4
+    for h_full, h_res in zip(report_full["history"], report_res["history"]):
+        np.testing.assert_array_equal(h_full["train_loss"], h_res["train_loss"])
+        np.testing.assert_array_equal(h_full["val_loss"], h_res["val_loss"])
+        np.testing.assert_array_equal(h_full["val_mAP"], h_res["val_mAP"])
+        assert h_full["ensemble_val_mAP"] == h_res["ensemble_val_mAP"]
+    assert report_res["best_member"] == report_full["best_member"]
+
+    # the best member saved WITH opt_state (fine-tunable)
+    ens = fresh(cfg_b)
+    params, opt_state = ens.init_state()
+    tpl_p = ens.member_params(params, 0)
+    tpl_o = ens.member_params(opt_state, 0)
+    bp, bo, _, metric, _ = ckpt.load_checkpoint(
+        cfg_b.checkpoint_dir, "ensemble-best", tpl_p, tpl_o)
+    assert bo is not None
+    assert metric == pytest.approx(report_res["best_member_val_mAP"])
+    meta = ckpt.load_meta(cfg_b.checkpoint_dir, "ensemble-best")
+    assert meta["seed"] == ens.seeds[report_res["best_member"]]
+
+    # mismatched member spec must refuse to resume
+    cfg_bad = dataclasses.replace(cfg_b, random_seed=99)
+    with pytest.raises(ValueError, match="seeds"):
+        fresh(cfg_bad).run()
