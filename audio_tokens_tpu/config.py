@@ -323,6 +323,16 @@ class AudioTokensConfig:
     # decimal digits preserved).  Token corpora always pack uint16 and
     # ignore this.
     device_corpus_dtype: str = "float32"
+    # How the device-resident epoch composes shuffled batches:
+    # 'step' gathers batch_size permuted rows inside every scan step;
+    # 'epoch' gathers the whole permuted corpus ONCE per epoch and steps
+    # through contiguous slices (same bytes, but the bulk gather runs at HBM
+    # rate instead of serializing with each model step — measured 2x the
+    # whole step for wide-row families); costs one transient corpus-sized
+    # copy of the inputs.  'auto' picks 'epoch' for spec/flat corpora when
+    # the copy fits device_corpus_budget_mb, 'step' for token corpora
+    # (their rows are KBs; the gather is already negligible).
+    device_epoch_gather: str = "auto"
     # Epoch-mAP accumulation: 0 keeps every sigmoid in host RAM (exact,
     # reference semantics; ~4.3 GB/epoch at 2M clips); >0 switches to the
     # constant-memory histogram estimator with this many score buckets
@@ -397,6 +407,10 @@ class AudioTokensConfig:
         if self.pcm_wire not in ("f32", "i16"):
             raise ValueError(f"pcm_wire must be 'f32' or 'i16', "
                              f"got '{self.pcm_wire}'")
+        if self.device_epoch_gather not in ("auto", "step", "epoch"):
+            raise ValueError(
+                f"device_epoch_gather must be 'auto', 'step' or 'epoch', "
+                f"got '{self.device_epoch_gather}'")
         self.dest_spec_path = Path(self.dest_spec_path)
         self.centroids_path = Path(self.centroids_path)
         self.source_spec_path = Path(self.source_spec_path)

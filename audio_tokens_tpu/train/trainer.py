@@ -354,6 +354,10 @@ class Trainer:
             and mesh.shape.get("model", 1) == 1
             and cfg.model_type == "lstm"
             and cfg.lstm_backend == "auto"
+            # remat configs run the scan regardless (models/lstm.py routes
+            # remat_chunk>0 before the backend branch) — keep the jit/GSPMD
+            # path and an accurate log for them
+            and cfg.lstm_remat_chunk == 0
             and jax.devices()[0].platform == "tpu"
             # the kernel's hardware-tile alignment, per LOCAL shard
             and local_b % 8 == 0
@@ -438,8 +442,35 @@ class Trainer:
                 logger.info(msg + "; streaming batches instead", "disabled",
                             est / 2**20, cfg.device_corpus_budget_mb)
                 return None
+        # epoch-gather materialization (train split only): one transient
+        # permuted copy of the training inputs; see config.device_epoch_gather
+        materialize = False
+        if not eval_only:
+            from audio_tokens_tpu.train.device_epoch import row_nbytes
+
+            kind = train_loader.ds.kind
+            n_pad = (-(-max(len(train_loader.ds), 1)
+                       // cfg.training_batch_size) * cfg.training_batch_size)
+            copy_bytes = n_pad * row_nbytes(
+                cfg.max_seq_len, cfg.n_mels, kind, cfg.vocab_size,
+                feat_itemsize)
+            gmode = cfg.device_epoch_gather
+            if gmode == "epoch":
+                materialize = True
+                if est + copy_bytes > budget:
+                    logger.warning(
+                        "device_epoch_gather='epoch': permuted-corpus copy "
+                        "(%.0f MB) pushes the estimate over the budget "
+                        "(forced on)", copy_bytes / 2**20)
+            elif gmode == "auto" and kind in ("spec", "flat"):
+                materialize = est + copy_bytes <= budget
+                if not materialize:
+                    logger.info(
+                        "device epoch: permuted-corpus copy (%.0f MB) over "
+                        "budget; keeping per-step gathers", copy_bytes / 2**20)
         runner = DeviceEpochRunner(self.model, self.optimizer, cfg,
-                                   self.mesh, self.use_lengths)
+                                   self.mesh, self.use_lengths,
+                                   materialize_train=materialize)
         if not eval_only:
             runner.set_corpus("train", train_loader.ds,
                               cfg.training_batch_size, cfg.max_seq_len)

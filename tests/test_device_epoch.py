@@ -299,3 +299,67 @@ def test_device_corpus_dtype_rejects_unknown(spec_ws):
     cfg = fixtures.test_config(spec_ws, device_corpus_dtype="fp8")
     with pytest.raises(ValueError, match="device_corpus_dtype"):
         _feature_dtype(cfg)
+
+
+@pytest.mark.parametrize("batch", [4, 8])  # 4: jit; 8: shard_map DP mesh
+def test_epoch_gather_matches_step_gather(token_ws, batch):
+    """device_epoch_gather='epoch' (bulk permuted gather + contiguous
+    slices) feeds bit-identical batch values to every step — a slice of the
+    gathered corpus IS the per-step gather (VERDICT r4 #2).  The two compiled
+    programs may still fuse reductions differently (observed: a 1-ulp
+    difference in one epoch's loss-sum with identical params/mAP), so the
+    trajectory comparison is tight-tolerance, not bitwise."""
+    cfg = _cfg(token_ws, training_batch_size=batch, device_corpus="off")
+    trainer = Trainer(cfg)
+    train_loader, val_loader = DataLoaderCreator(cfg).get_dataloaders()
+
+    results = {}
+    for materialize in (False, True):
+        runner = DeviceEpochRunner(trainer.model, trainer.optimizer, cfg,
+                                   trainer.mesh, trainer.use_lengths,
+                                   materialize_train=materialize)
+        runner.set_corpus("train", train_loader.ds, batch, cfg.max_seq_len)
+        runner.set_corpus("validation", val_loader.ds, cfg.eval_batch_size,
+                          cfg.max_seq_len)
+        p, o = trainer._init_state(train_loader)  # seeded: identical values
+        step = 0
+        hist = []
+        for epoch in range(cfg.epochs):
+            p, o, step, loss, m = runner.train_epoch(
+                p, o, trainer._root_key, epoch, step)
+            hist.append((loss, m["mAP"]))
+        hist.append(runner.eval_epoch(p))
+        results[materialize] = (hist, jax.device_get(p))
+
+    (h0, p0), (h1, p1) = results[False], results[True]
+    for (l0, m0), (l1, m1) in zip(h0, h1):
+        assert l1 == pytest.approx(l0, abs=1e-6)
+        v0 = m0["mAP"] if isinstance(m0, dict) else m0
+        v1 = m1["mAP"] if isinstance(m1, dict) else m1
+        assert v1 == pytest.approx(v0, abs=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_trainer_auto_materializes_for_spec(spec_ws, caplog):
+    """'auto' picks the epoch gather for spec/flat corpora within budget and
+    the step gather for token corpora."""
+    cfg = fixtures.test_config(
+        spec_ws, model_type="baseline", dataset_type="RawSTFTFlatDataset",
+        epochs=1, max_seq_len=32, n_mels=16, training_batch_size=8,
+        save_best_checkpoint=False, device_corpus="on")
+    trainer = Trainer(cfg)
+    train_loader, val_loader = DataLoaderCreator(cfg).get_dataloaders()
+    trainer._init_state(train_loader)
+    runner = trainer._maybe_device_runner(train_loader, val_loader)
+    assert runner is not None and runner.materialize_train
+
+    # forced 'step' turns it off; forced 'epoch' turns it on even over budget
+    import dataclasses
+    for gmode, want in (("step", False), ("epoch", True)):
+        t2 = Trainer(dataclasses.replace(cfg, device_epoch_gather=gmode))
+        t2._init_state(train_loader)
+        r2 = t2._maybe_device_runner(train_loader, val_loader)
+        assert r2 is not None and r2.materialize_train is want
