@@ -198,20 +198,33 @@ class TorchBertClassifier(nn.Module):
     (reference: models/custom_bert_classifier.py:8-28).  Dropout probs are
     zeroed so training trajectories are deterministic and comparable."""
 
-    def __init__(self, vocab_size, num_layers, hidden_size, num_classes):
+    def __init__(self, vocab_size, num_layers, hidden_size, num_classes,
+                 max_position=512):
         from transformers import BertConfig, BertModel
 
         super().__init__()
+        # max_position>512 is the external anchor for the repo's full-clip
+        # mode (config.transformer_max_position): the same HF stack the
+        # reference instantiated, with the position table sized to the clip
         self.bert = BertModel(BertConfig(
             vocab_size=vocab_size, num_hidden_layers=num_layers,
-            hidden_size=hidden_size,
+            hidden_size=hidden_size, max_position_embeddings=max_position,
             hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
         ))
+        self.max_position = max_position
         self.head = nn.Linear(hidden_size, num_classes)
 
-    def forward(self, x):
-        x = x[:, :512]  # reference truncation (custom_bert_classifier.py:21-22)
-        out = self.bert(input_ids=x, attention_mask=torch.ones_like(x))
+    def forward(self, x, lengths=None):
+        # reference truncation (custom_bert_classifier.py:21-22) generalized
+        # to the configured window; lengths=None keeps the reference's
+        # all-ones masks
+        x = x[:, : self.max_position]
+        if lengths is None:
+            mask = torch.ones_like(x)
+        else:
+            pos = torch.arange(x.shape[1])[None, :]
+            mask = (pos < torch.clamp(lengths, max=x.shape[1])[:, None]).long()
+        out = self.bert(input_ids=x, attention_mask=mask)
         return self.head(out.last_hidden_state[:, 0, :])
 
 
