@@ -333,6 +333,14 @@ class AudioTokensConfig:
     # the copy fits device_corpus_budget_mb, 'step' for token corpora
     # (their rows are KBs; the gather is already negligible).
     device_epoch_gather: str = "auto"
+    # Device-epoch mAP accumulation: 0 = exact on-device metric (stores the
+    # epoch's (n_pad, C) sigmoids in HBM — ~70 GB at 2M clips x 543 classes,
+    # 10x the token corpus itself); >0 = constant-memory histogram metric
+    # with this many score buckets carried through the epoch scan
+    # (2 x C x bins int32, ~36 MB at 543 x 8192; error ~1/bins — the device
+    # twin of streaming_map_bins).  The lever that keeps corpus-scale token
+    # epochs device-resident.
+    device_map_bins: int = 0
     # Epoch-mAP accumulation: 0 keeps every sigmoid in host RAM (exact,
     # reference semantics; ~4.3 GB/epoch at 2M clips); >0 switches to the
     # constant-memory histogram estimator with this many score buckets
@@ -411,6 +419,9 @@ class AudioTokensConfig:
             raise ValueError(
                 f"device_epoch_gather must be 'auto', 'step' or 'epoch', "
                 f"got '{self.device_epoch_gather}'")
+        if self.device_map_bins < 0:
+            raise ValueError(
+                f"device_map_bins must be >= 0, got {self.device_map_bins}")
         self.dest_spec_path = Path(self.dest_spec_path)
         self.centroids_path = Path(self.centroids_path)
         self.source_spec_path = Path(self.source_spec_path)

@@ -42,7 +42,9 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from audio_tokens_tpu.train.objective import make_local_loss, make_loss_fn
-from audio_tokens_tpu.utils.device_metrics import macro_map_device
+from audio_tokens_tpu.utils.device_metrics import (
+    binned_map_init, binned_map_result, binned_map_update, macro_map_device,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -115,13 +117,21 @@ def row_nbytes(max_seq_len: int, n_mels: int, kind: str, vocab_size: int,
 
 def corpus_nbytes(n_clips: int, batch_size: int, max_seq_len: int,
                   n_mels: int, kind: str, num_classes: int,
-                  vocab_size: int, feat_itemsize: int = 4) -> int:
+                  vocab_size: int, feat_itemsize: int = 4,
+                  map_bins: int = 0) -> int:
     """HBM estimate for one resident split: corpus + labels + the epoch's
-    prediction buffer (scan output + the mAP computation's sorted copies)."""
+    metric state — an (n_pad, C) prediction buffer plus the mAP sort copies
+    for the exact metric (map_bins=0), or the constant (2, C, bins) int32
+    histogram carry when config.device_map_bins engages the binned metric
+    (at 2M clips the exact buffer is ~70 GB vs ~7 GB of tokens; the
+    histogram is what keeps corpus-scale epochs resident)."""
     n_pad = -(-max(n_clips, 1) // batch_size) * batch_size
     row = row_nbytes(max_seq_len, n_mels, kind, vocab_size, feat_itemsize)
-    preds = n_pad * num_classes * 4
-    return n_pad * (row + num_classes + 4) + 4 * preds
+    if map_bins > 0:
+        metric = 2 * num_classes * map_bins * 4
+    else:
+        metric = 4 * n_pad * num_classes * 4
+    return n_pad * (row + num_classes + 4) + metric
 
 
 class _Corpus:
@@ -218,6 +228,11 @@ class DeviceEpochRunner:
         optimizer = self.optimizer
 
         materialize = self.materialize_train
+        # device_map_bins > 0: constant-memory histogram mAP carried through
+        # the scan instead of an (n_pad, C) prediction buffer — the lever
+        # that keeps corpus-scale (2M-clip) token epochs device-resident
+        bins = int(getattr(self.config, "device_map_bins", 0))
+        n_classes_m = self.config.num_classes
 
         if self.mesh is None:
             loss_fn = make_loss_fn(self.model, self.use_lengths)
@@ -244,7 +259,7 @@ class DeviceEpochRunner:
                             (idx < n_real).astype(jnp.float32))
 
                 def body(carry, i):
-                    params, opt_state, loss_sum = carry
+                    params, opt_state, loss_sum, hist = carry
                     b_in, b_len, b_lab, row_w = batch_at(i)
                     key = jax.random.fold_in(root_key, step0 + i)
                     (loss, logits), grads = jax.value_and_grad(
@@ -253,13 +268,20 @@ class DeviceEpochRunner:
                     updates, opt_state = optimizer.update(
                         grads, opt_state, params)
                     params = optax.apply_updates(params, updates)
-                    return ((params, opt_state, loss_sum + loss),
-                            jax.nn.sigmoid(logits))
+                    preds_b = jax.nn.sigmoid(logits)
+                    if bins:
+                        hist = binned_map_update(hist, preds_b, b_lab, row_w)
+                        preds_b = None
+                    return (params, opt_state, loss_sum + loss, hist), preds_b
 
-                (params, opt_state, loss_sum), preds = jax.lax.scan(
-                    body, (params, opt_state, jnp.float32(0.0)),
+                hist0 = (binned_map_init(n_classes_m, bins) if bins
+                         else jnp.int32(0))
+                (params, opt_state, loss_sum, hist), preds = jax.lax.scan(
+                    body, (params, opt_state, jnp.float32(0.0), hist0),
                     jnp.arange(n_steps))
-                if materialize:
+                if bins:
+                    m = binned_map_result(hist)
+                elif materialize:
                     m = macro_map_device(
                         preds.reshape(n_steps * b, -1), p_labels, p_valid)
                 else:
@@ -307,7 +329,7 @@ class DeviceEpochRunner:
                         (idx < n_real).astype(jnp.float32))
 
             def body(carry, i):
-                params, opt_state, loss_sum = carry
+                params, opt_state, loss_sum, hist = carry
                 b_in, b_len, b_lab, row_w = batch_at(i)
                 key = jax.random.fold_in(root_key, step0 + i)
                 (num, logits), grads = jax.value_and_grad(
@@ -320,27 +342,37 @@ class DeviceEpochRunner:
                 loss = jax.lax.psum(num, "data") / denom
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return ((params, opt_state, loss_sum + loss),
-                        jax.nn.sigmoid(logits))
+                preds_b = jax.nn.sigmoid(logits)
+                if bins:
+                    # rank-local counts; one psum AFTER the scan merges them
+                    hist = binned_map_update(hist, preds_b, b_lab, row_w)
+                    preds_b = None
+                return (params, opt_state, loss_sum + loss, hist), preds_b
 
-            (params, opt_state, loss_sum), preds = jax.lax.scan(
-                body, (params, opt_state, jnp.float32(0.0)),
+            hist0 = (binned_map_init(n_classes_m, bins) if bins
+                     else jnp.int32(0))
+            (params, opt_state, loss_sum, hist), preds = jax.lax.scan(
+                body, (params, opt_state, jnp.float32(0.0), hist0),
                 jnp.arange(n_steps))
-            return params, opt_state, loss_sum / n_steps, preds
+            stats = jax.lax.psum(hist, "data") if bins else preds
+            return params, opt_state, loss_sum / n_steps, stats
 
         sm = jax.shard_map(
             local_epoch, mesh=mesh,
             in_specs=(P(),) * 8,
-            out_specs=(P(), P(), P(), P(None, "data", None)),
+            out_specs=(P(), P(), P(),
+                       P() if bins else P(None, "data", None)),
             check_vma=False,  # pallas outputs carry no vma info
         )
 
         def epoch(params, opt_state, root_key, inputs, lengths, labels,
                   perm, step0):
-            params, opt_state, mean_loss, preds = sm(
+            params, opt_state, mean_loss, stats = sm(
                 params, opt_state, root_key, inputs, lengths, labels, perm,
                 step0)
-            m = self._epoch_map(preds, labels, perm, n_real, n_steps * b)
+            m = (binned_map_result(stats) if bins
+                 else self._epoch_map(stats, labels, perm, n_real,
+                                      n_steps * b))
             return params, opt_state, mean_loss, m
 
         # donate params/opt_state only — never the resident corpus
@@ -353,28 +385,41 @@ class DeviceEpochRunner:
         # identity perm, paying wide-row gather cost for nothing)
         c = self.corpora["validation"]
         b, n_real, n_steps = c.batch_size, c.n_real, c.n_steps
+        bins = int(getattr(self.config, "device_map_bins", 0))
+        n_classes_m = self.config.num_classes
 
         if self.mesh is None:
             loss_fn = make_loss_fn(self.model, self.use_lengths)
 
             def epoch(params, inputs, lengths, labels):
-                def body(loss_sum, i):
+                def body(carry, i):
+                    loss_sum, hist = carry
                     sl = lambda a: jax.lax.dynamic_slice_in_dim(
                         a, i * b, b, axis=0)
                     row_w = (i * b + jnp.arange(b) < n_real).astype(
                         jnp.float32)
+                    b_lab = sl(labels)
                     loss, logits = loss_fn(
-                        params, sl(inputs), sl(lengths), sl(labels),
+                        params, sl(inputs), sl(lengths), b_lab,
                         row_w, None, True)
-                    return loss_sum + loss, jax.nn.sigmoid(logits)
+                    preds_b = jax.nn.sigmoid(logits)
+                    if bins:
+                        hist = binned_map_update(hist, preds_b, b_lab, row_w)
+                        preds_b = None
+                    return (loss_sum + loss, hist), preds_b
 
-                loss_sum, preds = jax.lax.scan(
-                    body, jnp.float32(0.0), jnp.arange(n_steps))
-                n_rows = n_steps * b
-                m = macro_map_device(
-                    preds.reshape(n_rows, -1),
-                    jax.lax.slice_in_dim(labels, 0, n_rows, axis=0),
-                    jnp.arange(n_rows) < n_real)
+                hist0 = (binned_map_init(n_classes_m, bins) if bins
+                         else jnp.int32(0))
+                (loss_sum, hist), preds = jax.lax.scan(
+                    body, (jnp.float32(0.0), hist0), jnp.arange(n_steps))
+                if bins:
+                    m = binned_map_result(hist)
+                else:
+                    n_rows = n_steps * b
+                    m = macro_map_device(
+                        preds.reshape(n_rows, -1),
+                        jax.lax.slice_in_dim(labels, 0, n_rows, axis=0),
+                        jnp.arange(n_rows) < n_real)
                 return loss_sum / n_steps, m
 
             return jax.jit(epoch)
@@ -387,38 +432,50 @@ class DeviceEpochRunner:
         def local_epoch(params, inputs, lengths, labels):
             rank = jax.lax.axis_index("data")
 
-            def body(loss_sum, i):
+            def body(carry, i):
+                loss_sum, hist = carry
                 start = i * b + rank * b_local
                 sl = lambda a: jax.lax.dynamic_slice_in_dim(
                     a, start, b_local, axis=0)
                 row_w = (start + jnp.arange(b_local) < n_real).astype(
                     jnp.float32)
+                b_lab = sl(labels)
                 num, logits = local_loss(
-                    params, sl(inputs), sl(lengths), sl(labels),
+                    params, sl(inputs), sl(lengths), b_lab,
                     row_w, None, True)
                 denom = jnp.maximum(
                     jax.lax.psum(row_w.sum(), "data") * n_classes, 1.0)
-                return (loss_sum + jax.lax.psum(num, "data") / denom,
-                        jax.nn.sigmoid(logits))
+                preds_b = jax.nn.sigmoid(logits)
+                if bins:
+                    hist = binned_map_update(hist, preds_b, b_lab, row_w)
+                    preds_b = None
+                return ((loss_sum + jax.lax.psum(num, "data") / denom, hist),
+                        preds_b)
 
-            loss_sum, preds = jax.lax.scan(
-                body, jnp.float32(0.0), jnp.arange(n_steps))
-            return loss_sum / n_steps, preds
+            hist0 = (binned_map_init(n_classes_m, bins) if bins
+                     else jnp.int32(0))
+            (loss_sum, hist), preds = jax.lax.scan(
+                body, (jnp.float32(0.0), hist0), jnp.arange(n_steps))
+            stats = jax.lax.psum(hist, "data") if bins else preds
+            return loss_sum / n_steps, stats
 
         sm = jax.shard_map(
             local_epoch, mesh=mesh,
             in_specs=(P(),) * 4,
-            out_specs=(P(), P(None, "data", None)),
+            out_specs=(P(), P() if bins else P(None, "data", None)),
             check_vma=False,
         )
 
         def epoch(params, inputs, lengths, labels):
-            mean_loss, preds = sm(params, inputs, lengths, labels)
-            n_rows = n_steps * b
-            m = macro_map_device(
-                preds.reshape(n_rows, -1),
-                jax.lax.slice_in_dim(labels, 0, n_rows, axis=0),
-                jnp.arange(n_rows) < n_real)
+            mean_loss, stats = sm(params, inputs, lengths, labels)
+            if bins:
+                m = binned_map_result(stats)
+            else:
+                n_rows = n_steps * b
+                m = macro_map_device(
+                    stats.reshape(n_rows, -1),
+                    jax.lax.slice_in_dim(labels, 0, n_rows, axis=0),
+                    jnp.arange(n_rows) < n_real)
             return mean_loss, m
 
         return jax.jit(epoch)

@@ -425,12 +425,16 @@ class Trainer:
             (val_loader, cfg.eval_batch_size),
         )
         feat_itemsize = 2 if cfg.device_corpus_dtype == "bfloat16" else 4
-        est = sum(
-            corpus_nbytes(len(loader.ds), bs, cfg.max_seq_len, cfg.n_mels,
-                          loader.ds.kind, cfg.num_classes, cfg.vocab_size,
-                          feat_itemsize)
-            for loader, bs in wanted
-        )
+
+        def estimate(map_bins):
+            return sum(
+                corpus_nbytes(len(loader.ds), bs, cfg.max_seq_len,
+                              cfg.n_mels, loader.ds.kind, cfg.num_classes,
+                              cfg.vocab_size, feat_itemsize, map_bins)
+                for loader, bs in wanted
+            )
+
+        est = estimate(cfg.device_map_bins)
         budget = cfg.device_corpus_budget_mb * 2**20
         if est > budget:
             msg = ("device corpus %s: estimated %.0f MB exceeds "
@@ -439,6 +443,14 @@ class Trainer:
                 logger.warning(msg + " (forced on)", "over budget",
                                est / 2**20, cfg.device_corpus_budget_mb)
             else:
+                # map_bins=1: the corpus bytes alone (metric term ~0) — if
+                # THAT fits, the exact metric's prediction buffer is what
+                # blew the budget and the histogram metric is the fix
+                if cfg.device_map_bins == 0 and estimate(1) <= budget:
+                    logger.info(
+                        "device corpus disabled by the exact epoch-mAP "
+                        "buffer, not the corpus: set device_map_bins "
+                        "(e.g. 8192) to train device-resident")
                 logger.info(msg + "; streaming batches instead", "disabled",
                             est / 2**20, cfg.device_corpus_budget_mb)
                 return None

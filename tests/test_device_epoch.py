@@ -363,3 +363,157 @@ def test_trainer_auto_materializes_for_spec(spec_ws, caplog):
         t2._init_state(train_loader)
         r2 = t2._maybe_device_runner(train_loader, val_loader)
         assert r2 is not None and r2.materialize_train is want
+
+
+# ---------------------------------------------------------------------------
+# binned (histogram) on-device mAP — VERDICT r4 #3
+# ---------------------------------------------------------------------------
+def test_binned_map_matches_host_streaming(rng):
+    """The device histogram metric is the exact twin of the host
+    StreamingMAP at the SAME bin count (same bucketing, same tie
+    semantics) — f32 vs f64 only."""
+    from audio_tokens_tpu.utils.device_metrics import (
+        binned_map_init, binned_map_result, binned_map_update,
+    )
+    from audio_tokens_tpu.utils.metrics import StreamingMAP
+
+    n, c, bins = 200, 9, 512
+    scores = rng.random((n, c)).astype(np.float32)
+    scores[:20] = np.round(scores[:20] * 4) / 4  # saturated/tied buckets
+    labels = (rng.random((n, c)) < 0.3).astype(np.float32)
+    labels[:, -1] = 0.0  # zero-positive class excluded by both
+    valid = np.ones(n, bool)
+    valid[180:] = False  # padding rows: device excludes via the mask
+
+    host = StreamingMAP(c, bins=bins)
+    host.update(labels[:180], scores[:180])
+
+    hist = binned_map_init(c, bins)
+    for lo in range(0, n, 32):  # batched updates, like the epoch scan
+        hist = binned_map_update(hist, scores[lo:lo + 32],
+                                 labels[lo:lo + 32], valid[lo:lo + 32])
+    got = float(binned_map_result(hist))
+    assert got == pytest.approx(host.result()["mAP"], abs=1e-6)
+
+
+def test_binned_map_close_to_exact(rng):
+    """At a real bin count the histogram metric tracks the exact metric to
+    well under the binning error bound (~1/bins)."""
+    from audio_tokens_tpu.utils.device_metrics import (
+        binned_map_init, binned_map_result, binned_map_update,
+    )
+
+    n, c, bins = 400, 7, 8192
+    scores = rng.random((n, c)).astype(np.float32)
+    labels = (rng.random((n, c)) < 0.2).astype(np.float32)
+    valid = np.ones(n, bool)
+    exact = float(macro_map_device(scores, labels, valid))
+    hist = binned_map_update(binned_map_init(c, bins), scores, labels, valid)
+    assert float(binned_map_result(hist)) == pytest.approx(exact, abs=2e-3)
+
+
+@pytest.mark.parametrize("batch", [4, 8])  # 4: jit; 8: shard_map DP mesh
+def test_binned_epoch_trajectory_identical_metric_close(token_ws, batch):
+    """device_map_bins changes ONLY the metric: losses and params are
+    bit-identical to the exact-metric run (the histogram rides the same
+    scan), and the binned mAP stays within the binning error of exact."""
+    results = {}
+    for bins in (0, 4096):
+        cfg = _cfg(token_ws, training_batch_size=batch, device_corpus="off",
+                   device_map_bins=bins)
+        trainer = Trainer(cfg)
+        train_loader, val_loader = DataLoaderCreator(cfg).get_dataloaders()
+        runner = DeviceEpochRunner(trainer.model, trainer.optimizer, cfg,
+                                   trainer.mesh, trainer.use_lengths)
+        runner.set_corpus("train", train_loader.ds, batch, cfg.max_seq_len)
+        runner.set_corpus("validation", val_loader.ds, cfg.eval_batch_size,
+                          cfg.max_seq_len)
+        p, o = trainer._init_state(train_loader)
+        step, hist = 0, []
+        for epoch in range(cfg.epochs):
+            p, o, step, loss, m = runner.train_epoch(
+                p, o, trainer._root_key, epoch, step)
+            hist.append((loss, m["mAP"]))
+        ev_loss, ev_m = runner.eval_epoch(p)
+        hist.append((ev_loss, ev_m["mAP"]))
+        results[bins] = (hist, jax.device_get(p))
+
+    (h0, p0), (h1, p1) = results[0], results[4096]
+    for (l0, m0), (l1, m1) in zip(h0, h1):
+        assert l1 == pytest.approx(l0, abs=1e-7)   # same training program
+        # binned vs exact metric: early-training sigmoids cluster near 0.5
+        # and the splits have 13/5 rows, so ONE bucket collision moves a
+        # class AP by ~1/n_pos — the tolerance is the fixture's, not the
+        # estimator's (semantics are pinned to 1e-6 against StreamingMAP
+        # above; accuracy at real row counts in
+        # test_binned_map_close_to_exact)
+        assert m1 == pytest.approx(m0, abs=6e-2)
+    for x, y in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_budget_forced_corpus_scale_residency(tmp_path, caplog):
+    """A corpus whose EXACT-metric prediction buffers blow the budget (the
+    2M-clip shape scaled down: many rows x 543 classes, so the 4x preds
+    term dominates the token bytes) still trains device-resident end-to-end
+    with device_map_bins set; with bins unset the trainer logs the
+    device_map_bins hint and streams (VERDICT r4 #3 done-criterion)."""
+    import logging
+
+    from audio_tokens_tpu.train.device_epoch import corpus_nbytes
+
+    n_clips, n_classes, bins = 600, 543, 128
+    meta = tmp_path / "metadata"
+    meta.mkdir(parents=True)
+    fixtures.make_ontology(meta / "ontology.json")
+    fixtures.make_segments_csv(meta / "balanced_train_segments.csv",
+                               n_clips=n_clips)
+    (tmp_path / "output").mkdir()
+    base_kw = dict(epochs=1, num_classes=n_classes, max_seq_len=48,
+                   training_batch_size=8, device_corpus="auto",
+                   save_best_checkpoint=False)
+    cfg = fixtures.test_config(tmp_path, **base_kw)
+    DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+    split = json.loads(Path(cfg.split_file).read_text())
+    rng = np.random.default_rng(5)
+    for sp in ("train", "validation"):
+        d = Path(cfg.dest_tokenized_path) / sp
+        d.mkdir(parents=True)
+        for y in split[sp]:
+            np.save(d / f"{y}.npy",
+                    rng.integers(0, cfg.vocab_size,
+                                 int(rng.integers(30, 48))).astype(np.int64))
+
+    loaders = DataLoaderCreator(cfg).get_dataloaders()
+    pairs = list(zip(loaders, (cfg.training_batch_size, cfg.eval_batch_size)))
+    est = lambda mb: sum(
+        corpus_nbytes(len(ld.ds), bs, cfg.max_seq_len, cfg.n_mels, "tokens",
+                      n_classes, cfg.vocab_size, map_bins=mb)
+        for ld, bs in pairs)
+    est_exact, est_binned = est(0), est(bins)
+    budget_mb = max(1, int(np.ceil(est_binned / 2**20)))
+    # the budget admits the binned run but not the exact one
+    assert est_binned <= budget_mb * 2**20 < est_exact
+
+    # exact metric: over budget -> streams, with the device_map_bins hint
+    cfg0 = fixtures.test_config(tmp_path, device_map_bins=0,
+                                device_corpus_budget_mb=budget_mb, **base_kw)
+    t0 = Trainer(cfg0)
+    l0 = DataLoaderCreator(cfg0).get_dataloaders()
+    t0._init_state(l0[0])
+    with caplog.at_level(logging.INFO):
+        assert t0._maybe_device_runner(*l0) is None
+    assert any("set device_map_bins" in r.message for r in caplog.records)
+
+    # binned metric: fits -> trains device-resident end-to-end
+    cfg1 = fixtures.test_config(tmp_path, device_map_bins=bins,
+                                device_corpus_budget_mb=budget_mb, **base_kw)
+    t1 = Trainer(cfg1)
+    l1 = DataLoaderCreator(cfg1).get_dataloaders()
+    t1._init_state(l1[0])
+    assert t1._maybe_device_runner(*l1) is not None
+    val_loss, metrics = t1.run()
+    assert np.isfinite(val_loss)
+    assert 0.0 <= metrics["mAP"] <= 1.0
