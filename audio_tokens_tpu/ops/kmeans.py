@@ -57,6 +57,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from audio_tokens_tpu.ops.common import round_up as _round_up
+from audio_tokens_tpu.utils.profiling import WIRE
 
 logger = logging.getLogger(__name__)
 
@@ -676,13 +677,16 @@ def kmeans_fit_streaming(
                 f = jax.make_array_from_process_local_data(
                     sharding, fills, global_shape=(n_dev,))
                 return x, f
-            x = buf if isinstance(buf, jax.Array) else jax.device_put(
-                buf, sharding)
-            return x, jax.device_put(fills, sharding)
+            if not isinstance(buf, jax.Array):
+                WIRE.h2d(buf)  # super-batch over the host link
+                buf = jax.device_put(buf, sharding)
+            return buf, jax.device_put(fills, sharding)
     else:
         def put_fn(buf, fill):
-            x = buf if isinstance(buf, jax.Array) else jnp.asarray(buf)
-            return x, jnp.int32(fill)
+            if not isinstance(buf, jax.Array):
+                WIRE.h2d(buf)
+                buf = jnp.asarray(buf)
+            return buf, jnp.int32(fill)
 
     def _global_sum(value: np.ndarray) -> np.ndarray:
         """Sum a per-process host value across processes (one contribution
@@ -978,6 +982,10 @@ def kmeans_fit_streaming(
             if empty_policy == "split_largest":
                 centroids, _ = _split_empty_clusters_np(centroids, counts_h)
             obj = float(np.asarray(obj_acc)) + x2_total
+            if from_hbm:
+                # device-resident replay: the whole iteration is device
+                # compute (no feeder, no wire) — credit it to the meter
+                WIRE.device_seconds += _time.perf_counter() - t_iter
             logger.info(
                 "streaming kmeans iter %d/%d: %d pts%s, obj=%.4f (%.2fs%s)",
                 it + 1, niter, n_total, " global" if mp else "", obj,

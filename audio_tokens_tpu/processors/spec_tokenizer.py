@@ -35,7 +35,7 @@ from audio_tokens_tpu.parallel import distributed
 from audio_tokens_tpu.parallel.mesh import data_mesh
 from audio_tokens_tpu.processors.cluster_creator import make_conv_features
 from audio_tokens_tpu.utils.npy_io import atomic_save_npy
-from audio_tokens_tpu.utils.profiling import StageTimer, maybe_trace
+from audio_tokens_tpu.utils.profiling import WIRE, StageTimer, maybe_trace
 from audio_tokens_tpu.utils.seeding import set_seed
 
 logger = logging.getLogger(__name__)
@@ -278,9 +278,11 @@ class SpecTokenizer:
         frames = np.concatenate(batch_specs, axis=0).astype(np.float32)
         if self.conv is not None:
             frames = np.asarray(self.conv(frames))
+        WIRE.h2d(frames)  # staged mode: mel frames up, tokens down
         tokens = vq_assign_fused(
             frames, self.centroids, mesh=self.mesh, normalize=True
         ).astype(np.int64)
+        WIRE.d2h(tokens)
 
         start = 0
         for spec_file, spec in zip(batch_files, batch_specs):
@@ -420,18 +422,22 @@ class SpecTokenizer:
         need = sum(n for _, _, n in spans)
         out: Dict[str, np.ndarray] = {}
         if need >= frames.shape[0] // 2:
-            all_tokens = np.asarray(vq_assign_fused(
-                frames, self.centroids, mesh=self.mesh, normalize=False,
-            )).astype(np.int64)
+            with WIRE.device():  # resident frames: assignment is device work
+                all_tokens = np.asarray(vq_assign_fused(
+                    frames, self.centroids, mesh=self.mesh, normalize=False,
+                )).astype(np.int64)
+            WIRE.d2h(all_tokens)
             for y, off, n in spans:
                 out[y] = all_tokens[off:off + n]
             return out
         idx = np.concatenate(
             [np.arange(off, off + n, dtype=np.int32) for _, off, n in spans])
         sub = jnp.take(frames, jnp.asarray(idx), axis=0)
-        toks = np.asarray(vq_assign_fused(
-            sub, self.centroids, mesh=self.mesh, normalize=False,
-        )).astype(np.int64)
+        with WIRE.device():
+            toks = np.asarray(vq_assign_fused(
+                sub, self.centroids, mesh=self.mesh, normalize=False,
+            )).astype(np.int64)
+        WIRE.d2h(toks)
         pos = 0
         for y, off, n in spans:
             out[y] = toks[pos:pos + n]
@@ -459,10 +465,12 @@ class SpecTokenizer:
             )
         import jax.numpy as jnp
 
+        WIRE.h2d(batch)  # waveforms up, uint16/32 tokens down
         tokens = np.asarray(ft.tokens_from_padded(
             jnp.asarray(batch),
             jnp.asarray(np.maximum(lengths, 0)) if cfg.normalize else None,
         ))
+        WIRE.d2h(tokens)
         out = []
         for row, (ytid, path) in enumerate(chunk):
             if lengths[row] < 0:

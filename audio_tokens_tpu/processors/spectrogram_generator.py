@@ -30,7 +30,7 @@ from audio_tokens_tpu.data.audio_io import decode_clip, find_audio_file
 from audio_tokens_tpu.ops.mel import MelFrontend, num_frames
 from audio_tokens_tpu.parallel import distributed
 from audio_tokens_tpu.utils.npy_io import atomic_save_npy
-from audio_tokens_tpu.utils.profiling import StageTimer, maybe_trace
+from audio_tokens_tpu.utils.profiling import WIRE, StageTimer, maybe_trace
 
 logger = logging.getLogger(__name__)
 
@@ -336,6 +336,8 @@ class SpectrogramGenerator:
                 specs = np.asarray(self.frontend.normalized(batch, ok_lengths))
             else:
                 specs = np.asarray(self.frontend(batch))
+            WIRE.h2d(batch)   # wave batch up / mel batch down: the staged
+            WIRE.d2h(specs)   # stage's wire (fused mode never pays the d2h)
             for row, (ytid, path) in enumerate(chunk):
                 if lengths[row] == -2:  # amplitude screen, logged above
                     continue
@@ -381,6 +383,8 @@ class SpectrogramGenerator:
             specs = np.asarray(self.frontend.normalized(batch, lengths))
         else:
             specs = np.asarray(self.frontend(batch))
+        WIRE.h2d(batch)
+        WIRE.d2h(specs)
 
         for i, (ytid, wave) in enumerate(items):
             n_valid = num_frames(min(len(wave), self.config.clip_samples),

@@ -54,7 +54,21 @@ def main() -> None:
     base = Path(args.workspace or tempfile.mkdtemp(prefix="audiotokens_scale_"))
     print(f"workspace: {base}  ({args.n_clips} clips)", flush=True)
 
+    from audio_tokens_tpu.utils.profiling import WIRE
+
     timings: dict = {}
+    wire: dict = {}
+
+    import contextlib
+
+    @contextlib.contextmanager
+    def stage(name):
+        snap = WIRE.snapshot()
+        t0 = time.perf_counter()
+        yield
+        timings[name] = time.perf_counter() - t0
+        wire[name] = WIRE.delta(snap)
+
     t0 = time.perf_counter()
     if not (base / "metadata" / "ontology.json").exists():
         make_corpus(base, args.n_clips)
@@ -114,38 +128,43 @@ def main() -> None:
     n_train = len(json.loads(Path(cfg.split_file).read_text())["train"])
 
     if args.staged:
-        t0 = time.perf_counter()
-        SpectrogramGenerator(cfg).run()
-        timings["spectrograms"] = time.perf_counter() - t0
+        with stage("spectrograms"):
+            SpectrogramGenerator(cfg).run()
 
-    t0 = time.perf_counter()
-    cluster = ClusterCreator(cfg)
-    cluster.run()
-    timings["clustering"] = time.perf_counter() - t0
+    with stage("clustering"):
+        cluster = ClusterCreator(cfg)
+        cluster.run()
 
-    t0 = time.perf_counter()
-    SpecTokenizer(cfg,
-                  resident_frames=cluster.take_resident_frames()).run()
-    timings["tokenization"] = time.perf_counter() - t0
+    with stage("tokenization"):
+        SpecTokenizer(cfg,
+                      resident_frames=cluster.take_resident_frames()).run()
 
-    t0 = time.perf_counter()
-    val_loss, val_metrics = ModelTrainer(cfg).run()
-    timings["training"] = time.perf_counter() - t0
+    with stage("training"):
+        val_loss, val_metrics = ModelTrainer(cfg).run()
 
     # ------------------------------------------------------------------
     # report + projection
     # ------------------------------------------------------------------
     frames_per_clip = cfg.frames_per_clip
     print("\n=== scale run summary ===", flush=True)
+    # wall-clock varies ~10x with the host link's mood (BASELINE.md); the
+    # h2d/d2h byte counts and device-compute seconds are the
+    # link-independent columns composed-stage claims should rest on
+    print(f"{'stage':>16s}  {'wall s':>8s}  {'h2d MB':>8s}  {'d2h MB':>8s}  "
+          f"{'device s':>8s}")
     total = 0.0
     for k, v in timings.items():
         total += v
+        w = wire.get(k)
+        cols = (f"{w['h2d_mb']:8.1f}  {w['d2h_mb']:8.1f}  "
+                f"{w['device_s']:8.1f}" if w else f"{'-':>8s}  {'-':>8s}  "
+                f"{'-':>8s}")
         per_clip = ""
         if k in ("spectrograms", "clustering", "tokenization"):
             per_clip = f"  ({n_train / v:8.1f} train clips/s)"
         elif k == "training":
             per_clip = f"  ({args.epochs} epochs)"
-        print(f"{k:>16s}: {v:8.1f} s{per_clip}")
+        print(f"{k:>16s}: {v:8.1f}  {cols}{per_clip}")
     print(f"{'TOTAL':>16s}: {total:8.1f} s")
     print(f"final val mAP: {val_metrics['mAP']:.4f} (random ~0.20), "
           f"val loss {val_loss:.4f}")
@@ -190,7 +209,7 @@ def main() -> None:
 
     out = base / "output" / "scale_run_timings.json"
     out.write_text(json.dumps(
-        {"n_clips": args.n_clips, "timings": timings,
+        {"n_clips": args.n_clips, "timings": timings, "wire": wire,
          "val_mAP": val_metrics["mAP"], "val_loss": val_loss,
          "niter": args.niter, "epochs": args.epochs,
          "fused": not args.staged}, indent=2))

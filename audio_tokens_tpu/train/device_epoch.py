@@ -42,6 +42,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from audio_tokens_tpu.train.objective import make_local_loss, make_loss_fn
+from audio_tokens_tpu.utils.profiling import WIRE
 from audio_tokens_tpu.utils.device_metrics import (
     binned_map_init, binned_map_result, binned_map_update, macro_map_device,
 )
@@ -177,6 +178,7 @@ class DeviceEpochRunner:
 
     # -- corpus residency ------------------------------------------------
     def _put(self, x: np.ndarray):
+        WIRE.h2d(x)  # one-time corpus upload (+ a tiny perm per epoch)
         if self.mesh is None:
             return jax.device_put(x)
         from audio_tokens_tpu.parallel import distributed
@@ -495,11 +497,13 @@ class DeviceEpochRunner:
         if fn is None:
             fn = self._train_fns[n_steps] = self._build_train_fn(n_steps)
         perm = self._perm(c, epoch, shuffle=True)
-        params, opt_state, loss, m = fn(
-            params, opt_state, root_key, c.inputs, c.lengths, c.labels,
-            perm, jnp.int32(step))
-        return (params, opt_state, step + n_steps,
-                float(np.asarray(loss)), {"mAP": float(np.asarray(m))})
+        with WIRE.device():  # whole-epoch program + a two-scalar fetch
+            params, opt_state, loss, m = fn(
+                params, opt_state, root_key, c.inputs, c.lengths, c.labels,
+                perm, jnp.int32(step))
+            loss = float(np.asarray(loss))
+            m = float(np.asarray(m))
+        return params, opt_state, step + n_steps, loss, {"mAP": m}
 
     def eval_epoch(self, params) -> Tuple[float, Dict[str, float]]:
         c = self.corpora["validation"]
@@ -507,5 +511,8 @@ class DeviceEpochRunner:
             return float("nan"), {"mAP": 0.0}
         if self._eval_fn is None:
             self._eval_fn = self._build_eval_fn()
-        loss, m = self._eval_fn(params, c.inputs, c.lengths, c.labels)
-        return float(np.asarray(loss)), {"mAP": float(np.asarray(m))}
+        with WIRE.device():
+            loss, m = self._eval_fn(params, c.inputs, c.lengths, c.labels)
+            loss = float(np.asarray(loss))
+            m = float(np.asarray(m))
+        return loss, {"mAP": m}

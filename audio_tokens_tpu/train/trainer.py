@@ -41,6 +41,7 @@ from audio_tokens_tpu.parallel import distributed
 from audio_tokens_tpu.parallel.mesh import data_mesh, make_mesh, tp_shardings
 from audio_tokens_tpu.train import checkpoint as ckpt
 from audio_tokens_tpu.utils.metrics import MetricsCalculator
+from audio_tokens_tpu.utils.profiling import WIRE
 from audio_tokens_tpu.utils.seeding import key_for, set_seed
 
 logger = logging.getLogger(__name__)
@@ -657,7 +658,9 @@ class Trainer:
                         global_shape=v.shape)
                     for v, sh in zip(host, (d, d, d, d, r))
                 )
+            WIRE.h2d(*host[:4])
             return jax.device_put(host, (d, d, d, d, r))
+        WIRE.h2d(*host[:4])
         return jax.device_put(host)
 
     def _prefetch(self, batch_iter, start_step: int, depth: int = 2):
@@ -701,6 +704,7 @@ class Trainer:
         # fetches would cost a dispatch round-trip each); the collector
         # thread blocks on the wire so the step loop doesn't
         stacked = _stack_predictions([p for _, p, _ in pending])
+        WIRE.d2h(stacked)  # per-batch sigmoids: the streaming loop's d2h
         metas = [(labels, n) for labels, _, n in pending]
         pending.clear()
         collector.submit(stacked, metas)

@@ -46,6 +46,57 @@ class StageTimer:
         logger.info("[%s] %.2fs  %s", self.name, self.seconds, rates)
 
 
+class WireMeter:
+    """Process-global link/compute accounting for rehearsal reporting.
+
+    Composed-stage wall-clocks on tunneled-TPU hosts are tunnel-noise (the
+    same clustering stage measured 111-680 s across sessions, BASELINE.md);
+    what IS durable is (a) how many bytes each stage moved over the host
+    link and (b) how long the device-resident compute sections ran.  The
+    dominant movers increment this meter at their actual transfer sites
+    (waveform/frame feeds, corpus uploads, spectrogram/token downloads);
+    device-resident sections (whole-epoch programs, Lloyd replay
+    iterations, fused VQ passes) wrap themselves in ``device()``.  Scalar
+    fetches and small artifacts are ignored — they dominate LATENCY on RPC
+    links but not bytes.  ``tools/scale_run.py`` snapshots the meter around
+    each stage and prints the per-stage columns (VERDICT r4 #8).
+    """
+
+    def __init__(self):
+        self.h2d_bytes = 0
+        self.d2h_bytes = 0
+        self.device_seconds = 0.0
+
+    def h2d(self, *arrays) -> None:
+        self.h2d_bytes += sum(getattr(a, "nbytes", 0) for a in arrays)
+
+    def d2h(self, *arrays) -> None:
+        self.d2h_bytes += sum(getattr(a, "nbytes", 0) for a in arrays)
+
+    @contextlib.contextmanager
+    def device(self) -> Iterator[None]:
+        """Time a device-resident compute section (dispatch RPC amortizes
+        to <1% at the >=100 ms program granularity these sections run)."""
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.device_seconds += time.perf_counter() - t0
+
+    def snapshot(self) -> tuple:
+        return (self.h2d_bytes, self.d2h_bytes, self.device_seconds)
+
+    def delta(self, snap: tuple) -> dict:
+        return {
+            "h2d_mb": (self.h2d_bytes - snap[0]) / 2**20,
+            "d2h_mb": (self.d2h_bytes - snap[1]) / 2**20,
+            "device_s": self.device_seconds - snap[2],
+        }
+
+
+WIRE = WireMeter()
+
+
 @contextlib.contextmanager
 def maybe_trace(profile_dir: Optional[str]) -> Iterator[None]:
     """jax.profiler.trace when a directory is configured; no-op otherwise."""
