@@ -34,11 +34,13 @@ from audio_tokens_tpu.ops.kmeans import (
     KMeans,
     kmeans_fit,
     kmeans_fit_streaming,
+    kmeans_plusplus_init,
     precision_from_str,
 )
 from audio_tokens_tpu.ops.vq import l2_normalize
 from audio_tokens_tpu.parallel import distributed
 from audio_tokens_tpu.parallel.mesh import data_mesh
+from audio_tokens_tpu.utils.profiling import WIRE
 from audio_tokens_tpu.utils.seeding import key_for, set_seed
 
 logger = logging.getLogger(__name__)
@@ -88,18 +90,20 @@ class ClusterCreator:
                 # stream (the balanced-AudioSet frame corpus is ~9.8 GB,
                 # inside one v5e's HBM)
                 frames, n_valid = self._fused_frames_device()
-                centroids, obj = kmeans_fit(
-                    frames,
-                    self.config.vocab_size,
-                    self.config.niter,
-                    seed=self.config.random_seed,
-                    mesh=self.mesh,
-                    max_points_per_centroid=self.config.max_points_per_centroid,
-                    init=self.config.kmeans_init,
-                    empty_policy=self.config.kmeans_empty_policy,
-                    precision=precision_from_str(self.config.kmeans_precision),
-                    n_valid=n_valid,
-                )
+                with WIRE.device():  # frames resident: the fit is device work
+                    centroids, obj = kmeans_fit(
+                        frames,
+                        self.config.vocab_size,
+                        self.config.niter,
+                        seed=self.config.random_seed,
+                        mesh=self.mesh,
+                        max_points_per_centroid=self.config.max_points_per_centroid,
+                        init=self.config.kmeans_init,
+                        empty_policy=self.config.kmeans_empty_policy,
+                        precision=precision_from_str(
+                            self.config.kmeans_precision),
+                        n_valid=n_valid,
+                    )
                 logger.info("full kmeans over %d frames: obj=%.2f",
                             n_valid, obj)
             elif self._should_stream() or distributed.is_multiprocess():
@@ -121,6 +125,8 @@ class ClusterCreator:
                     raise ValueError(
                         f"kmeans_wire must be 'f32' or 'bf16', got '{wire}'")
                 start_iter, init_c = self._load_kmeans_checkpoint()
+                if init_c is None:
+                    init_c = self._global_init_centroids()
                 if start_iter >= self.config.niter:
                     # the fit finished but the run died before saving
                     # centroids.npy — the checkpoint IS the result
@@ -453,6 +459,82 @@ class ClusterCreator:
             return True
         return False
 
+    def _global_init_centroids(self) -> np.ndarray:
+        """Topology-invariant init for the streaming fit.
+
+        ``kmeans_fit_streaming``'s fallback init draws from process 0's
+        first LOCAL super-batch, whose contents depend on how the corpus is
+        sharded — so a 1-process and an N-process fit of the SAME corpus
+        would start from different centroids and follow entirely different
+        Lloyd trajectories (the composed-pipeline rehearsal caught this:
+        57% of centroid elements diverged).  Here the seeded sample is
+        drawn from the GLOBAL sorted train clip list, which is identical
+        for every process count, so the init — and therefore the whole
+        trajectory — depends only on (corpus, config), not topology.
+        The coordinator computes and ``all_sum_hosts`` broadcasts, so
+        device-side draws (kmeans++) cannot diverge across hosts.
+        """
+        cfg = self.config
+        k = cfg.vocab_size
+        if distributed.is_coordinator():
+            sample = self._global_init_sample()
+            if sample.shape[0] < k:
+                raise ValueError(
+                    f"init sample has {sample.shape[0]} frames < k={k}")
+            if cfg.kmeans_init == "kmeans++":
+                c0 = np.asarray(kmeans_plusplus_init(
+                    sample, k, seed=cfg.random_seed))
+            elif cfg.kmeans_init == "random":
+                rng = np.random.default_rng(cfg.random_seed)
+                c0 = sample[rng.choice(
+                    sample.shape[0], size=k, replace=False)]
+            else:
+                raise ValueError(
+                    f"unknown kmeans_init '{cfg.kmeans_init}'")
+            c0 = np.ascontiguousarray(c0, np.float32)
+        else:
+            c0 = np.zeros((k, self.feature_dim), np.float32)
+        if distributed.is_multiprocess():
+            c0 = np.asarray(distributed.all_sum_hosts(c0), np.float32)
+        return c0
+
+    def _global_init_sample(self) -> np.ndarray:
+        """Frames from a seeded subset of the GLOBAL train clip list, through
+        the same spec->conv->L2 chain the feeds use (reference frame
+        pipeline, cluster_creator.py:83-102 there)."""
+        cfg = self.config
+        rng = np.random.default_rng(cfg.random_seed)
+        # enough clips for a k-sized draw (kmeans++ benefits from slack)
+        target = max(4 * cfg.vocab_size, 2048)
+        n_pick = min(-(-target // max(1, cfg.frames_per_clip)) + 2, 10_000)
+        if cfg.fused_pipeline:
+            from audio_tokens_tpu.processors.spectrogram_generator import (
+                SpectrogramGenerator,
+            )
+
+            gen = getattr(self, "_fused_gen", None)
+            if gen is None:
+                gen = self._fused_gen = SpectrogramGenerator(cfg)
+            clips = sorted(gen.data_split["train"])
+            n_pick = min(n_pick, len(clips))
+            chosen = [clips[i] for i in sorted(
+                rng.choice(len(clips), size=n_pick, replace=False))]
+            specs = [spec for _, spec in gen.iter_specs(chosen)]
+        else:
+            spec_dir = Path(cfg.source_spec_path) / "train"
+            files = sorted(spec_dir.glob("*.npy"))
+            if not files:
+                raise FileNotFoundError(f"no spectrograms under {spec_dir}")
+            n_pick = min(n_pick, len(files))
+            chosen = [files[i] for i in sorted(
+                rng.choice(len(files), size=n_pick, replace=False))]
+            specs = [np.load(f) for f in chosen]
+        frames = np.concatenate(
+            [s.T for s in specs], axis=0).astype(np.float32)
+        if self.conv is not None:
+            frames = np.asarray(self.conv(frames))
+        return np.asarray(l2_normalize(frames))
+
     def _batch_generator(self, batch_size: int) -> Iterator[np.ndarray]:
         """Yield (frames, feature_dim) float32 matrices, L2-normalized, per
         file-batch — the reference's frame pipeline (:83-102) with the conv
@@ -550,6 +632,7 @@ class ClusterCreator:
                 idx[fill:fill + nv] = c * t_max + arange[:nv]
                 manifest[row_ytids[c]] = (offset + fill, nv)
                 fill += nv
+            WIRE.h2d(batch, idx)  # waveforms: the feed's only wire traffic
             buffer = accum(buffer, jnp.asarray(batch), jnp.asarray(idx),
                            jnp.int32(offset))
             offset += fill

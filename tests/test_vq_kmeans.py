@@ -509,10 +509,13 @@ class TestStreamingKMeans:
 
         # simulate the interruption: re-run the stage's exact fit for only
         # 2 iterations and plant its state as the in-progress checkpoint
+        # (the stage seeds the fit with its topology-invariant global init,
+        # so the partial fit must start from the same centroids)
         cc2 = ClusterCreator(cfg)
         c2, obj2, _ = kmeans_fit_streaming(
             lambda: cc2._batch_generator(cfg.clustering_batch_size),
             cfg.vocab_size, 2, d=cc2.feature_dim, seed=cfg.random_seed,
+            init_centroids=cc2._global_init_centroids(),
             mesh=cc2.mesh,
             superbatch_rows=cfg.kmeans_superbatch_rows,
             init=cfg.kmeans_init, empty_policy=cfg.kmeans_empty_policy,
@@ -535,6 +538,40 @@ class TestStreamingKMeans:
         )
         c_fresh = ClusterCreator(cfg_destructive).run()
         np.testing.assert_array_equal(c_fresh, c_full)
+
+    def test_global_init_is_deterministic_and_shard_independent(
+            self, tmp_path):
+        """The streaming fit's init is drawn from the GLOBAL clip list, so
+        it depends only on (corpus, config) — not on how the feed is
+        sharded.  Fresh ClusterCreator instances (staged AND fused routes)
+        must produce identical init centroids; the composed two-process
+        rehearsal (tests/test_pipeline_multiprocess.py) previously caught
+        the first-local-super-batch init diverging 57% of centroid elements
+        between process counts."""
+        from audio_tokens_tpu.data.metadata import AudiosetMetadataProcessor
+        from audio_tokens_tpu.data.splitter import DatasetSplitter
+        from audio_tokens_tpu.processors.cluster_creator import ClusterCreator
+        from audio_tokens_tpu.processors.spectrogram_generator import (
+            SpectrogramGenerator,
+        )
+        from tests import fixtures
+
+        fixtures.make_workspace(tmp_path, n_clips=10)
+        cfg = fixtures.test_config(tmp_path, kmeans_mode="full",
+                                   kmeans_streaming="always")
+        DatasetSplitter(cfg).create_split_file(AudiosetMetadataProcessor(cfg))
+        SpectrogramGenerator(cfg).run()
+        c_a = ClusterCreator(cfg)._global_init_centroids()
+        c_b = ClusterCreator(cfg)._global_init_centroids()
+        assert c_a.shape == (cfg.vocab_size, cfg.n_mels)
+        np.testing.assert_array_equal(c_a, c_b)
+        # fused route: same clips through the device mel frontend — the
+        # staged artifacts are bit-identical to iter_specs by contract
+        cfg_f = fixtures.test_config(tmp_path, fused_pipeline=True,
+                                     kmeans_mode="full",
+                                     kmeans_streaming="always")
+        c_fused = ClusterCreator(cfg_f)._global_init_centroids()
+        np.testing.assert_array_equal(c_a, c_fused)
 
     def test_cluster_stage_streaming_matches_inmemory(self, tmp_path):
         """kmeans_streaming='always' through the pipeline stage produces a
