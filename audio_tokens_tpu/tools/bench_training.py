@@ -283,8 +283,14 @@ def bench_device_loop(model_type: str, batch: int, seq: int, epochs: int,
     }
     trainer = Trainer(cfg)
     params, opt_state = trainer._init_state(_MemLoader([init_batch]))
+    # same decision the Trainer makes (bench corpora always fit the budget):
+    # 'auto' materializes the per-epoch permuted copy for wide-row kinds
+    gmode = cfg.device_epoch_gather
+    materialize = gmode == "epoch" or (gmode == "auto"
+                                       and kind in ("spec", "flat"))
     runner = DeviceEpochRunner(trainer.model, trainer.optimizer, cfg,
-                               trainer.mesh, trainer.use_lengths)
+                               trainer.mesh, trainer.use_lengths,
+                               materialize_train=materialize)
     runner.set_corpus_arrays("train", inputs, lengths, labels, n, batch)
 
     # warm epoch: compiles + the one-time corpus transfer already happened
@@ -301,6 +307,7 @@ def bench_device_loop(model_type: str, batch: int, seq: int, epochs: int,
     ms = dt / (n_batches * epochs) * 1e3
     print(
         f"{model_type:8s} B={batch} T={seq}: device-resident epoch loop "
+        f"[{'epoch' if materialize else 'step'}-gather] "
         f"{ms:7.1f} ms/step -> {clips / dt:8.0f} clips/s "
         f"(compile {compile_s:.1f}s; incl. on-device shuffle + exact mAP, "
         f"2 scalars fetched/epoch)"
