@@ -475,6 +475,27 @@ class AudioTokensConfig:
                 overrides[name] = _coerce(raw, fields[name])
         return cls(**overrides)
 
+    @classmethod
+    def parse_overrides(cls, argv: Sequence[str]) -> dict:
+        """Coerce leftover ``--field value`` / ``--field=value`` tokens
+        (e.g. ``parse_known_args`` remainders from a tool's own parser)
+        into a config-kwargs dict.  Unknown fields and dangling values
+        raise — tools share one overlay rule instead of hand-rolling it."""
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        flat: list = []
+        for tok in argv:
+            flat.extend(tok.split("=", 1)
+                        if tok.startswith("--") and "=" in tok else [tok])
+        if len(flat) % 2:
+            raise SystemExit(f"dangling config override: {flat[-1]}")
+        out: dict = {}
+        for name, val in zip(flat[::2], flat[1::2]):
+            name = name.lstrip("-")
+            if name not in fields:
+                raise SystemExit(f"unknown config field --{name}")
+            out[name] = _coerce(val, fields[name])
+        return out
+
     def to_dict(self) -> dict:
         out = {}
         for f in dataclasses.fields(self):

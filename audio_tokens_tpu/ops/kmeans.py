@@ -672,6 +672,7 @@ def kmeans_fit_streaming(
             if mp:
                 if isinstance(buf, jax.Array):
                     buf = np.asarray(buf)
+                WIRE.h2d(buf)  # this process's super-batch shard
                 x = jax.make_array_from_process_local_data(
                     sharding, buf, global_shape=(capacity, d))
                 f = jax.make_array_from_process_local_data(
@@ -985,7 +986,7 @@ def kmeans_fit_streaming(
             if from_hbm:
                 # device-resident replay: the whole iteration is device
                 # compute (no feeder, no wire) — credit it to the meter
-                WIRE.device_seconds += _time.perf_counter() - t_iter
+                WIRE.device_add(_time.perf_counter() - t_iter)
             logger.info(
                 "streaming kmeans iter %d/%d: %d pts%s, obj=%.4f (%.2fs%s)",
                 it + 1, niter, n_total, " global" if mp else "", obj,

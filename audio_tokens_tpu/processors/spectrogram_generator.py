@@ -117,7 +117,13 @@ class SpectrogramGenerator:
                 except (FileNotFoundError, json.JSONDecodeError):
                     stored = None
                 has_artifacts = any(output_dir.glob("*.npy"))
-                if stored == self._signature() or not has_artifacts:
+                if (stored == self._signature() or not has_artifacts
+                        or stored is None):
+                    # stored None + artifacts = a corpus rendered before the
+                    # signature existed: adopt it under the current config
+                    # (the pre-signature existence-only semantics) rather
+                    # than wiping what may be TBs of decode work; only a
+                    # RECORDED mismatching signature proves staleness
                     if distributed.is_coordinator() and stored != self._signature():
                         self._write_signature(output_dir)
                     before = len(ytids)

@@ -79,7 +79,10 @@ def main() -> None:
     spill = _DiskSpill(path, args.d, dtype, budget_mb=1 << 30)
     t0 = time.perf_counter()
     for _ in range(n_entries):
-        assert spill.append(entry, args.rows_per_entry)
+        if not spill.append(entry, args.rows_per_entry):
+            raise RuntimeError(
+                "spill budget exhausted mid-write; raise budget_mb — the "
+                "measurement would silently cover fewer bytes than claimed")
     spill._f.flush()
     os.fsync(spill._f.fileno())
     t_write = time.perf_counter() - t0

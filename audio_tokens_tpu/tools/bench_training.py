@@ -283,11 +283,11 @@ def bench_device_loop(model_type: str, batch: int, seq: int, epochs: int,
     }
     trainer = Trainer(cfg)
     params, opt_state = trainer._init_state(_MemLoader([init_batch]))
-    # same decision the Trainer makes (bench corpora always fit the budget):
-    # 'auto' materializes the per-epoch permuted copy for wide-row kinds
-    gmode = cfg.device_epoch_gather
-    materialize = gmode == "epoch" or (gmode == "auto"
-                                       and kind in ("spec", "flat"))
+    # literally the Trainer's decision (shared policy fn; bench corpora
+    # always fit, so no budget bound)
+    from audio_tokens_tpu.train.device_epoch import should_materialize
+
+    materialize, _ = should_materialize(cfg, kind, n)
     runner = DeviceEpochRunner(trainer.model, trainer.optimizer, cfg,
                                trainer.mesh, trainer.use_lengths,
                                materialize_train=materialize)

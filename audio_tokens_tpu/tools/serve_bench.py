@@ -60,34 +60,19 @@ def main() -> None:
     # --transformer_max_position 1728 for full-clip bert serving)
     args, rest = parser.parse_known_args()
 
-    import dataclasses
-
     import jax
     import jax.numpy as jnp
 
-    from audio_tokens_tpu.config import AudioTokensConfig, _coerce
+    from audio_tokens_tpu.config import AudioTokensConfig
     from audio_tokens_tpu.data import native_loader
     from audio_tokens_tpu.tokenizer import FusedTokenizer
 
-    base_fields = dict(
+    cfg = AudioTokensConfig(
         clip_seconds=args.seconds, vocab_size=args.vocab,
         tokenizer_precision=args.tier,
         **({"model_type": args.classify} if args.classify else {}),
+        **AudioTokensConfig.parse_overrides(rest),
     )
-    fields = {f.name: f for f in dataclasses.fields(AudioTokensConfig)}
-    flat: list = []
-    for tok_arg in rest:
-        flat.extend(tok_arg.split("=", 1)
-                    if tok_arg.startswith("--") and "=" in tok_arg
-                    else [tok_arg])
-    if len(flat) % 2:
-        raise SystemExit(f"dangling config override: {flat[-1]}")
-    for name, val in zip(flat[::2], flat[1::2]):
-        name = name.lstrip("-")
-        if name not in fields:
-            raise SystemExit(f"unknown config field --{name}")
-        base_fields[name] = _coerce(val, fields[name])
-    cfg = AudioTokensConfig(**base_fields)
     rng = np.random.default_rng(7)
     cent = rng.standard_normal((args.vocab, cfg.n_mels)).astype(np.float32)
     cent /= np.linalg.norm(cent, axis=1, keepdims=True) + 1e-10

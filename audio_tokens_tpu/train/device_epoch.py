@@ -116,6 +116,29 @@ def row_nbytes(max_seq_len: int, n_mels: int, kind: str, vocab_size: int,
     return max_seq_len * n_mels * feat_itemsize
 
 
+def should_materialize(cfg, kind: str, n_clips: int,
+                       feat_itemsize: int = 4, est: int = 0,
+                       budget: Optional[int] = None) -> Tuple[bool, int]:
+    """The ``device_epoch_gather`` policy — THE one copy of it, shared by
+    the Trainer and the bench harness so they cannot drift.  Returns
+    (materialize, copy_bytes): 'epoch' forces the per-epoch permuted-corpus
+    copy, 'auto' picks it for wide-row kinds (spec/flat) when the copy fits
+    the remaining budget (``budget=None`` = unbounded, e.g. bench corpora),
+    and token kinds keep per-step gathers (3.4 KB rows — the copy would
+    only add HBM pressure)."""
+    gmode = cfg.device_epoch_gather
+    n_pad = (-(-max(n_clips, 1) // cfg.training_batch_size)
+             * cfg.training_batch_size)
+    copy_bytes = n_pad * row_nbytes(cfg.max_seq_len, cfg.n_mels, kind,
+                                    cfg.vocab_size, feat_itemsize)
+    if gmode == "epoch":
+        return True, copy_bytes
+    if gmode == "auto" and kind in ("spec", "flat"):
+        fits = budget is None or est + copy_bytes <= budget
+        return fits, copy_bytes
+    return False, copy_bytes
+
+
 def corpus_nbytes(n_clips: int, batch_size: int, max_seq_len: int,
                   n_mels: int, kind: str, num_classes: int,
                   vocab_size: int, feat_itemsize: int = 4,

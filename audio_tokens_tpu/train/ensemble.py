@@ -480,10 +480,12 @@ class EnsembleTrainer:
                         "'ensemble-best'", epoch_best,
                         self.seeds[epoch_best],
                         self.learning_rates[epoch_best])
-                # full stacked state for exact resume (epoch+1: resume
-                # continues AFTER this epoch, like the Trainer)
-                self._save_resume(params, opt_state, epoch + 1, step,
-                                  best_per, best_ens, history)
+            # full stacked state for exact resume (epoch+1: resume continues
+            # AFTER this epoch, like the Trainer) — independent of the
+            # best-member checkpoint knob, else a sweep run with
+            # save_best_checkpoint=False could never crash-resume
+            self._save_resume(params, opt_state, epoch + 1, step,
+                              best_per, best_ens, history)
         if not np.isfinite(va_ens):
             # resumed with an exhausted epoch budget: no training ran —
             # report the restored state's validation numbers, not NaN

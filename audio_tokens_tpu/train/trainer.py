@@ -459,28 +459,21 @@ class Trainer:
         # permuted copy of the training inputs; see config.device_epoch_gather
         materialize = False
         if not eval_only:
-            from audio_tokens_tpu.train.device_epoch import row_nbytes
+            from audio_tokens_tpu.train.device_epoch import should_materialize
 
             kind = train_loader.ds.kind
-            n_pad = (-(-max(len(train_loader.ds), 1)
-                       // cfg.training_batch_size) * cfg.training_batch_size)
-            copy_bytes = n_pad * row_nbytes(
-                cfg.max_seq_len, cfg.n_mels, kind, cfg.vocab_size,
-                feat_itemsize)
-            gmode = cfg.device_epoch_gather
-            if gmode == "epoch":
-                materialize = True
-                if est + copy_bytes > budget:
-                    logger.warning(
-                        "device_epoch_gather='epoch': permuted-corpus copy "
-                        "(%.0f MB) pushes the estimate over the budget "
-                        "(forced on)", copy_bytes / 2**20)
-            elif gmode == "auto" and kind in ("spec", "flat"):
-                materialize = est + copy_bytes <= budget
-                if not materialize:
-                    logger.info(
-                        "device epoch: permuted-corpus copy (%.0f MB) over "
-                        "budget; keeping per-step gathers", copy_bytes / 2**20)
+            materialize, copy_bytes = should_materialize(
+                cfg, kind, len(train_loader.ds), feat_itemsize, est, budget)
+            if materialize and est + copy_bytes > budget:
+                logger.warning(
+                    "device_epoch_gather='epoch': permuted-corpus copy "
+                    "(%.0f MB) pushes the estimate over the budget "
+                    "(forced on)", copy_bytes / 2**20)
+            elif (not materialize and cfg.device_epoch_gather == "auto"
+                  and kind in ("spec", "flat")):
+                logger.info(
+                    "device epoch: permuted-corpus copy (%.0f MB) over "
+                    "budget; keeping per-step gathers", copy_bytes / 2**20)
         runner = DeviceEpochRunner(self.model, self.optimizer, cfg,
                                    self.mesh, self.use_lengths,
                                    materialize_train=materialize)
@@ -652,6 +645,7 @@ class Trainer:
                 # every process computes the same global batch (seeded
                 # loader); each contributes its contiguous row slice
                 lo, hi = distributed.local_row_bounds(len(row_w))
+                WIRE.h2d(*(v[lo:hi] for v in host[:4]))  # local shard only
                 return tuple(
                     jax.make_array_from_process_local_data(
                         sh, v[lo:hi] if sh is d else v,

@@ -128,3 +128,19 @@ def test_lstm_backend_typo_raises(tmp_path):
                             lstm_backend="Pallas")
     with pytest.raises(ValueError, match="lstm_backend"):
         get_model(cfg)
+
+
+def test_parse_overrides_tool_overlay():
+    """parse_overrides is the ONE overlay rule tools share (serve_bench
+    etc.): --field value and --field=value coerce via the dataclass
+    annotations; unknown fields and dangling values are rejected."""
+    out = AudioTokensConfig.parse_overrides(
+        ["--transformer_max_position", "1728", "--kmeans_wire=bf16",
+         "--dropout", "0.5", "--reference_compat", "false"])
+    assert out == {"transformer_max_position": 1728, "kmeans_wire": "bf16",
+                   "dropout": 0.5, "reference_compat": False}
+    assert AudioTokensConfig.parse_overrides([]) == {}
+    with pytest.raises(SystemExit, match="unknown config field"):
+        AudioTokensConfig.parse_overrides(["--not_a_field", "1"])
+    with pytest.raises(SystemExit, match="dangling"):
+        AudioTokensConfig.parse_overrides(["--dropout"])

@@ -2,6 +2,8 @@
 the single-model device-epoch path, the model axis shards over a mesh, and
 per-member hyperparameters (seed, lr) behave independently."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -258,3 +260,20 @@ def test_kill_resume_bit_equal_trajectory(tmp_path):
     cfg_bad = dataclasses.replace(cfg_b, random_seed=99)
     with pytest.raises(ValueError, match="seeds"):
         fresh(cfg_bad).run()
+
+
+def test_resume_checkpoint_written_without_best_checkpointing(tmp_path):
+    """Crash-resume state must be written even with
+    save_best_checkpoint=False — the resume feature is not an accessory of
+    best-member I/O (a sweep run without best saves previously could never
+    resume at all)."""
+    from audio_tokens_tpu.train import checkpoint as ckpt
+
+    cfg = _cfg(tmp_path, epochs=2, save_best_checkpoint=False)
+    ens = _ensemble_with_corpus(cfg, np.random.default_rng(7), n_models=2)[0]
+    ens.run()
+    meta = ckpt.load_meta(cfg.checkpoint_dir, EnsembleTrainer.RESUME_NAME)
+    assert meta["epoch"] == 2
+    # and no best-member checkpoint was written (the knob still means
+    # what it says)
+    assert not (Path(cfg.checkpoint_dir) / "ensemble-best").exists()

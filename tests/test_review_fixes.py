@@ -225,6 +225,16 @@ def test_incremental_signature_rerenders_on_config_change(tmp_path):
     for f, stamp in stamps.items():
         assert f.stat().st_mtime_ns == stamp, f
 
+    # grandfather path: a corpus rendered BEFORE the signature existed
+    # (no _signature.json) must be ADOPTED, not wiped — at 2M-clip scale
+    # the wipe would destroy hours of decode work on an unchanged config
+    (spec_dir / "_signature.json").unlink()
+    _time.sleep(0.01)
+    SpectrogramGenerator(cfg2).run()
+    for f, stamp in stamps.items():
+        assert f.stat().st_mtime_ns == stamp, f  # artifacts untouched
+    assert (spec_dir / "_signature.json").exists()  # adopted + stamped
+
 
 def test_incremental_resume_repairs_killed_mid_write(tmp_path):
     """A run killed mid-write leaves only a .npy.tmp (atomic writes never
