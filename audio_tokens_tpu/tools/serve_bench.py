@@ -56,6 +56,13 @@ def main() -> None:
                         help="model_type: serve the FULL wav->probs fused "
                         "program (export.ServingProgram; random-init params) "
                         "instead of wav->tokens")
+    parser.add_argument("--latency", type=int, default=0, metavar="N",
+                        help="also measure single-request (batch=1) "
+                        "end-to-end latency over N requests and report "
+                        "p50/p90/p99 — the serving-tail metric the "
+                        "throughput loop hides (requests arrive one at a "
+                        "time in production; batching trades latency for "
+                        "the throughput numbers above)")
     # extra --field value pairs overlay the config (e.g.
     # --transformer_max_position 1728 for full-clip bert serving)
     args, rest = parser.parse_known_args()
@@ -89,7 +96,7 @@ def main() -> None:
 
     wire_dtype = np.int16 if args.wire == "i16" else np.float32
 
-    def decode_batch(batch_paths):
+    def decode_batch(batch_paths, pad_to=args.batch):
         if use_native:
             batch, lengths = native_loader.decode_batch(
                 batch_paths, cfg.common_sr, cfg.clip_samples, cfg.n_fft,
@@ -97,8 +104,8 @@ def main() -> None:
                 row_len=alloc,  # >= clip+2*pad always (mel.py:158)
                 dtype=wire_dtype,
             )  # decoded straight at megakernel stride: no host re-pad copy
-            if batch.shape[0] < args.batch:
-                batch = np.pad(batch, ((0, args.batch - batch.shape[0]), (0, 0)))
+            if batch.shape[0] < pad_to:
+                batch = np.pad(batch, ((0, pad_to - batch.shape[0]), (0, 0)))
             return batch
         from audio_tokens_tpu.data.audio_io import decode_audio
 
@@ -110,8 +117,8 @@ def main() -> None:
             # (prepare_batch is float32-only)
             batch = np.clip(np.rint(batch * 32768.0), -32768, 32767
                             ).astype(np.int16)
-        if batch.shape[0] < args.batch:
-            batch = np.pad(batch, ((0, args.batch - batch.shape[0]), (0, 0)))
+        if batch.shape[0] < pad_to:
+            batch = np.pad(batch, ((0, pad_to - batch.shape[0]), (0, 0)))
         return batch
 
     batches = [paths[i : i + args.batch]
@@ -162,6 +169,37 @@ def main() -> None:
           f"wire={args.wire}, {'native' if use_native else 'python'} decode): "
           f"{cps:.0f} clips/s over {len(paths)} clips "
           f"({dt:.2f}s, {len(paths) * args.seconds / dt:.0f}x realtime)")
+
+    if args.latency > 0:
+        # single-request (batch=1) tail latency: one clip arrives, is
+        # decoded, crosses the link, runs the device program, and the result
+        # is fetched — the path a production request takes when it cannot
+        # wait for a batch to fill.  Separate B=1 compile (new shape).
+        if args.classify:
+            one_len = jnp.full(1, cfg.clip_samples, jnp.int32)
+
+            def device_one(host_one):
+                return prog.fn(jnp.asarray(host_one), one_len)[2]
+        else:
+            def device_one(host_one):
+                return tok.tokens_from_padded(jnp.asarray(host_one))
+
+        warm = decode_batch(paths[:1], pad_to=1)
+        float(probe(device_one(warm)))  # compile the B=1 program
+        lat_ms, dec_ms = [], []
+        for i in range(args.latency):
+            p = paths[i % len(paths)]
+            t0 = time.perf_counter()
+            host_one = decode_batch([p], pad_to=1)
+            t1 = time.perf_counter()
+            float(probe(device_one(host_one)))  # fetch = request complete
+            lat_ms.append((time.perf_counter() - t0) * 1e3)
+            dec_ms.append((t1 - t0) * 1e3)
+        q = lambda v, p_: float(np.percentile(np.asarray(v), p_))
+        print(f"request latency (batch=1, {what}, n={args.latency}): "
+              f"p50 {q(lat_ms, 50):.1f} ms / p90 {q(lat_ms, 90):.1f} / "
+              f"p99 {q(lat_ms, 99):.1f} (decode p50 {q(dec_ms, 50):.1f} ms; "
+              f"remainder = transfer + device + result fetch)")
 
 
 if __name__ == "__main__":

@@ -162,3 +162,21 @@ def test_expander_and_indexer_tools(tmp_path):
     out_csv = tmp_path / "index.csv"
     assert index_tars(tmp_path, out_csv) == 3
     assert "ytAAA001" in out_csv.read_text()
+
+
+def test_serve_bench_latency_mode(monkeypatch, capsys):
+    """serve_bench --latency reports batch=1 request-tail percentiles
+    alongside the batched-throughput loop (the serving metric a production
+    request sees when it cannot wait for a batch to fill)."""
+    import sys
+
+    from audio_tokens_tpu.tools import serve_bench
+
+    monkeypatch.setattr(sys, "argv", [
+        "serve_bench", "--n_clips", "4", "--batch", "2",
+        "--seconds", "0.5", "--vocab", "16", "--latency", "3",
+    ])
+    serve_bench.main()
+    out = capsys.readouterr().out
+    assert "request latency (batch=1" in out
+    assert "p99" in out and "decode p50" in out
